@@ -1,0 +1,274 @@
+"""Deduplication operators over ``documents`` (north-star additions).
+
+Exact dedup, n-gram Jaccard, MinHash + LSH banding, and SimHash — the
+standard near-dup stack for LLM training corpora. Everything is
+expressed with JVM-side higher-order functions + joins (no Python in
+the hot path), and each stage is also SQL-expressible, so the DuckDB
+oracle verifies values, not just row counts.
+
+Scale design:
+- MinHash/LSH is the 100-TB path: cost is O(docs x tokens x K) map-side
+  plus a shuffle on (band, signature) whose groups are tiny by
+  construction. The direct shingle self-join (``dedup_ngram_jaccard``)
+  is quadratic in shingle-bucket size and is kept as the *verifier*
+  run on LSH candidates in production (here on the full corpus since
+  the test corpus is small); hot shingles would be salted or
+  frequency-capped before the join.
+- Hashes derive from md5 (functions/hashing.py) so Spark and DuckDB
+  agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_N_HASHES = 16
+_BAND_ROWS = 4  # 16 hashes -> 4 bands of 4
+
+# shared CTE fragments for the oracle SQL
+_SQL_TOKS = (
+    "SELECT DISTINCT doc_id, t.tok"
+    " FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)"
+)
+_SQL_MINHASH = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    hashes AS (
+      SELECT doc_id, h.h,
+             {DUCKDB_MD5_LONG("CAST(h.h AS VARCHAR) || ':' || tok")} AS hv
+      FROM toks, UNNEST(range(0, {_N_HASHES})) AS h(h)
+    ),
+    sig AS (
+      SELECT doc_id, CAST(h AS INTEGER) AS h, MIN(hv) AS minhash
+      FROM hashes GROUP BY doc_id, h
+    )
+"""
+
+
+def _distinct_tokens(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+
+
+def _minhash_signature(d: DataFrame) -> DataFrame:
+    """(doc_id, h, minhash): min over the doc's token set of a salted
+    60-bit md5 hash — one row per doc per hash function."""
+    toks = _distinct_tokens(d)
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("h"),
+        "tok",
+    ).select(
+        "doc_id",
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id.
+
+    Grouping on the md5 digest instead of the raw text keeps shuffle
+    rows fixed-width — at 100 TB you shuffle 32-byte keys, not
+    documents.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard similarity pairs (threshold 0.1).
+
+    shingle -> self-join on shingle -> |intersection| / |union|.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingle_expr = F.expr(
+        "CASE WHEN size(t) >= 3 THEN"
+        " transform(sequence(1, size(t) - 2),"
+        "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+        " ELSE array() END"
+    )
+    sh = toks.select(
+        "doc_id", F.explode(F.array_distinct(shingle_expr)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_SQL_MINHASH + "SELECT doc_id, h, minhash FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix: 16 salted hash functions per document."""
+    tune(spark)
+    return _minhash_signature(table(spark, sf_dir, "documents")).select(
+        "doc_id", "h", "minhash"
+    )
+
+
+@query(
+    "dedup_minhash_lsh_candidates",
+    oracle=_SQL_MINHASH
+    + f""",
+    band AS (
+      SELECT doc_id, CAST(h // {_BAND_ROWS} AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS bsig
+      FROM sig GROUP BY doc_id, h // {_BAND_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (4 bands x 4 rows),
+    bucket-join on (band, band-signature). The scale path for near-dup:
+    only collided pairs ever meet, so there is no quadratic join."""
+    tune(spark)
+    sig = _minhash_signature(table(spark, sf_dir, "documents"))
+    band = (
+        sig.groupBy(
+            "doc_id", F.floor(F.col("h") / _BAND_ROWS).cast("int").alias("band")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("bsig")
+        )
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS}),
+    bits AS (
+      SELECT doc_id, b.b,
+             CASE WHEN ({DUCKDB_MD5_LONG("tok")} >> b.b) & 1 = 1
+                  THEN 1 ELSE -1 END AS v
+      FROM toks, UNNEST(range(0, 32)) AS b(b)
+    ),
+    sums AS (SELECT doc_id, b, SUM(v) AS s FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from the distinct-token set:
+    bit b of the hash votes +1/-1, the sign of the vote sum sets bit b."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = _distinct_tokens(d).withColumn("hv", md5_long(F.col("tok")))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "hv",
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(shiftright(hv, b) & 1) = 1"), 1).otherwise(-1).alias("v"),
+    )
+    sums = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return (
+        sums.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )

@@ -1,0 +1,196 @@
+"""Event-stream analytics over the ``events`` table.
+
+This is the Layer-A-facing query surface: the ``events`` table is the
+batch image of what the reference ingests from Redis (dynamic JSON in
+``props``, an ``event_type`` routing key — reference: src/main.ts:98-113,
+README.md:35-37). Queries here exercise JSON extraction, event-time
+windowing, sessionization, and pivoting — all with exact-decimal value
+aggregates so the DuckDB oracle hash-matches.
+
+Scale: every query groups/windows on (event_type | user_id | time
+bucket), which partitions cleanly; no query collects or loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "events_flagship_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def events_flagship_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-type daily event rollup (the ``entry()`` query).
+
+    The reference routes each event to a table named by ``event_type``
+    (src/main.ts:271) and can only *count* what it ingests; this is the
+    analytical rollup a user of that pipeline runs downstream.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1))
+    return (
+        e.groupBy("event_type", F.to_date("ts").cast("timestamp").alias("event_day"))
+        .agg(
+            cnt.alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value", 12)).cast("double").alias("total_value"),
+            (F.sum(dec("value", 12)).cast("double") / cnt).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "events_hourly_windows",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (batch image of a streaming windowed agg).
+
+    Uses ``F.window`` — the same operator a ``readStream`` variant uses
+    with a watermark (SURVEY §2.9 Layer-B consequence).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 12)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) via lag + prefix sum.
+
+    Microsecond-exact gap comparison (``unix_micros`` <-> ``epoch_us``)
+    so both engines split sessions identically.
+    """
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_pivot_type_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation) of event counts per user.
+
+    Written as explicit conditional counts rather than ``.pivot()`` so
+    the output column set is static — required for a deterministic
+    schema at any scale (``.pivot()`` without values scans twice).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    # column order must match the oracle: click, view, purchase, signup, error
+    return e.groupBy("user_id").agg(*aggs).select(
+        "user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"
+    )
+
+
+@query(
+    "ingest_normalize_events",
+    oracle="""
+    SELECT event_id, event_type, user_id, ts,
+           CAST(value AS DOUBLE) AS value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def ingest_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-A normalize applied to the events table (deterministic columns).
+
+    Mirrors the reference's per-row rewrite (P1-P8, SURVEY §2.2): the
+    dynamic JSON payload (``props``) becomes typed columns. The
+    engine-stamped columns (``received_at``/``sent_at``/``message_id``,
+    reference: clickhouse-batch-client.class.ts:280-288) are excluded
+    here because they are wall-clock/uuid nondeterministic — the full
+    pipeline is exercised in tests/test_ingest.py instead.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )

@@ -1,0 +1,192 @@
+"""Text-analysis operators over ``documents`` (north-star additions).
+
+Language-ID, quality scoring, token stats, and fingerprinting for an
+LLM training-data pipeline. All expressions are JVM-side higher-order
+functions (``split`` / ``filter`` / ``transform`` / ``aggregate``) —
+no Python UDFs in the hot path, so at 100 TB these run inside
+whole-stage codegen with the text column streamed off parquet.
+
+Tokenization contract (shared with the DuckDB oracle): split on a
+single space. The synthetic corpus is space-delimited; a production
+deployment would swap in a regex tokenizer behind the same API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID (public-knowledge word lists, not tied to the corpus)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+_STOPWORDS = _LANG_MARKERS["en"]
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenizer + length statistics."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_toks())
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN {_sql_in(_STOPWORDS)})) AS INTEGER)
+             AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN {_sql_in(_STOPWORDS)})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CASE WHEN LENGTH(text) BETWEEN 100 AND 400
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x IN {_sql_in(_STOPWORDS)})) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.02
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length window + stopword-ratio floor.
+
+    The standard cheap pre-filter in LLM data pipelines (C4-style
+    heuristics): documents outside a length band or with too few
+    function words get flagged for removal.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(stop_arr, x)))
+    ratio = n_stop.cast("double") / F.size(_toks())
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        F.when(
+            F.length("text").between(100, 400) & (ratio > 0.02), "keep"
+        )
+        .otherwise("flag")
+        .alias("quality_bucket"),
+    )
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {_sql_in(words)}))"
+        " AS INTEGER)"
+    )
+
+
+@query(
+    "text_lang_guess",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_lang_score_sql(_LANG_MARKERS["en"])} AS score_en,
+           {_lang_score_sql(_LANG_MARKERS["de"])} AS score_de,
+           {_lang_score_sql(_LANG_MARKERS["fr"])} AS score_fr,
+           {_lang_score_sql(_LANG_MARKERS["es"])} AS score_es,
+           CASE
+             WHEN {_lang_score_sql(_LANG_MARKERS["en"])} >= {_lang_score_sql(_LANG_MARKERS["de"])}
+              AND {_lang_score_sql(_LANG_MARKERS["en"])} >= {_lang_score_sql(_LANG_MARKERS["fr"])}
+              AND {_lang_score_sql(_LANG_MARKERS["en"])} >= {_lang_score_sql(_LANG_MARKERS["es"])}
+               THEN 'en'
+             WHEN {_lang_score_sql(_LANG_MARKERS["de"])} >= {_lang_score_sql(_LANG_MARKERS["fr"])}
+              AND {_lang_score_sql(_LANG_MARKERS["de"])} >= {_lang_score_sql(_LANG_MARKERS["es"])}
+               THEN 'de'
+             WHEN {_lang_score_sql(_LANG_MARKERS["fr"])} >= {_lang_score_sql(_LANG_MARKERS["es"])}
+               THEN 'fr'
+             ELSE 'es'
+           END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with a deterministic argmax tiebreak
+    (priority order en > de > fr > es on equal scores)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+
+    def score(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(_toks(), lambda x: F.array_contains(arr, x)))
+
+    s_en, s_de, s_fr, s_es = (score(_LANG_MARKERS[k]) for k in ("en", "de", "fr", "es"))
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        s_en.alias("score_en"),
+        s_de.alias("score_de"),
+        s_fr.alias("score_fr"),
+        s_es.alias("score_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {DUCKDB_MD5_LONG("text")} AS full_fp,
+           {DUCKDB_MD5_LONG("array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')")}
+             AS head_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text hash + head-shingle hash.
+
+    The head fingerprint (first 8 tokens) is the cheap prefix-dup
+    detector used before full near-dup passes.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_long(F.col("text")).alias("full_fp"),
+        md5_long(F.array_join(F.slice(_toks(), 1, 8), " ")).alias("head_fp"),
+    )

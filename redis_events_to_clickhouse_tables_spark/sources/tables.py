@@ -1,0 +1,39 @@
+"""Parquet table access for the driver's synthetic star schema.
+
+Plain ``spark.read.parquet`` — scans stay declarative so Catalyst
+pushes filters and prunes columns into the parquet reader
+(verify with ``df.explain('formatted')`` → ``PushedFilters`` /
+``ReadSchema``). Do not ``.cache()`` here: at 100 TB the tables do
+not fit in memory and caching would defeat pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as int64 via nanosAsLong (session.py);
+        # floor-divide to microseconds — the same truncation DuckDB
+        # applies when reading nanos into its us-precision TIMESTAMP.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
