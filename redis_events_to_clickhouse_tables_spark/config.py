@@ -1,0 +1,48 @@
+"""Engine configuration — the reference's env surface, re-expressed.
+
+Mirrors the knobs of the reference worker (/root/reference/.env.sample,
+src/main.ts:140-166) that still have meaning on Spark. Flow-control
+knobs (BULKER_MAX_LENGTH, TAKE_UP_TO_PER_BATCH, intervals) map to
+Structured Streaming trigger/rate options and are taken at stream
+start instead (streaming/stream.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    # routing key naming the destination table
+    # (reference: REDIS_JOB_EVENT_TYPE_PROPERTY, src/main.ts:70-73)
+    event_type_property: str = "event_type"
+    # P3: {'a': {'subKey': v}} -> column a_sub_key
+    # (reference: SPLIT_RECORDS_AS_COLUMNS, src/main.ts:147-148)
+    split_records_as_columns: bool = False
+    # P5: {'k': [x, y]} -> columns k_0, k_1
+    # (reference: SPLIT_ARRAY_ITEMS_AS_COLUMNS, src/main.ts:149-150)
+    split_array_items_as_columns: bool = False
+    # D3: columns added to an existing table are nullable
+    # (reference: CLICKHOUSE_ALTERED_COLUMN_NULLABLE, src/main.ts:145-146)
+    altered_column_nullable: bool = True
+    # E4/F2: event types droppable under repeated failure
+    # (reference: NON_CRITICAL_EVENT_TYPES, src/main.ts:164)
+    non_critical_event_types: tuple[str, ...] = ()
+    # P8: user transform hook applied to each normalized DataFrame;
+    # receives (df) post-normalization, returns df. The default adds
+    # timestamp = received_at (reference: src/transform.ts:9-12).
+    transform: Callable | None = None
+    # reserved/bookkeeping keys dropped from payloads (P1)
+    # (reference: clickhouse-batch-client.class.ts:197-205)
+    reserved_keys: tuple[str, ...] = (
+        "__is_single_retry",
+        "__single_retry_attempts",
+        "__is_from_old_queue",
+        "__bulker_full_attempts",
+        "__received_at",
+    )
+    # max attempts before an event is dead-lettered for good
+    # (reference: Bull attempts: 5, src/main.ts:502-507)
+    max_attempts: int = 5

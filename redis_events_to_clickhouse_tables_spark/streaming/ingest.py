@@ -1,0 +1,163 @@
+"""Micro-batch ingest engine (reference parity: G1, F1-F2, E1-E6, K4).
+
+One call to :meth:`IngestEngine.process_raw_batch` is the Spark
+equivalent of the reference's interval tick (src/main.ts:463-514): it
+takes a batch of raw JSON events, routes them per ``event_type`` to
+their tables (G1), normalizes (P1-P8), evolves each table's schema
+(D1-D5) and appends (K2). Used directly for batch ingest, or as the
+``foreachBatch`` body of the streaming wrapper (stream.py).
+
+Delivery semantics: the streaming harness's checkpointing replaces the
+reference's manual re-enqueue machinery (E5/E6/B5 — source offsets
+commit only after the batch succeeds). What remains engine-level is
+dead-lettering: a table whose write fails gets its events appended to
+the ``_dlq`` table with attempt counters and the error (E1), and
+events of non-critical types that have already failed once are
+dropped (E4/F2). ``_trace`` is the JSONL side-output (K4).
+
+Scale note: the per-type fan-out collects only the *distinct event
+types* of the batch (bounded by the number of destination tables —
+the same cardinality as the reference's bulker map), never event
+rows. Each table's rows are then one filtered write; with N tables
+this is N filtered scans of one cached batch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IngestConfig
+from ..plans.inference import parse_events
+from .normalize import normalize_events
+from .store import TableStore
+
+DLQ_TABLE = "_dlq"
+
+
+@dataclass
+class IngestReport:
+    batch_id: int
+    n_events: int = 0
+    n_missing_routing_key: int = 0
+    n_dead_lettered: int = 0
+    n_dropped_non_critical: int = 0
+    tables: dict[str, int] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+
+
+class IngestEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        config: IngestConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.config = config or IngestConfig()
+
+    # -- K4: trace side-output -------------------------------------------
+    def _trace(self, payload: dict) -> None:
+        path = Path(self.store.root) / "_trace.jsonl"
+        with path.open("a") as fh:
+            fh.write(json.dumps({"ts": time.time(), **payload}) + "\n")
+
+    # -- E1/E4: dead-letter ----------------------------------------------
+    def _dead_letter(self, events: DataFrame, table: str, error: str, report: IngestReport):
+        cfg = self.config
+        attempts = (
+            F.col("__single_retry_attempts").cast("long")
+            if "__single_retry_attempts" in events.columns
+            else F.lit(0).cast("long")
+        )
+        dlq = events.select(
+            F.lit(table).alias("target_table"),
+            F.to_json(F.struct(*[F.col(f"`{c}`") for c in events.columns])).alias(
+                "payload"
+            ),
+            F.lit(error).alias("error"),
+            (attempts + 1).alias("attempts"),
+            F.current_timestamp().alias("dead_lettered_at"),
+        )
+        if cfg.non_critical_event_types:
+            # E4/F2: non-critical events that already failed once are dropped
+            dropped = dlq.filter(
+                F.lit(table).isin(*cfg.non_critical_event_types)
+                & (F.col("attempts") > 1)
+            ).count()
+            report.n_dropped_non_critical += dropped
+            dlq = dlq.filter(
+                ~(
+                    F.lit(table).isin(*cfg.non_critical_event_types)
+                    & (F.col("attempts") > 1)
+                )
+            )
+        # the DLQ write bypasses evolution (fixed schema) — append directly
+        data_dir = self.store.root / DLQ_TABLE / "data"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        dlq.write.mode("append").parquet(str(data_dir))
+        n = dlq.count()
+        report.n_dead_lettered += n
+        self._trace({"event": "dead_letter", "table": table, "rows": n, "error": error})
+
+    def read_dlq(self) -> DataFrame:
+        data_dir = self.store.root / DLQ_TABLE / "data"
+        return self.spark.read.parquet(str(data_dir))
+
+    # -- the tick ---------------------------------------------------------
+    def process_raw_batch(self, raw: DataFrame, batch_id: int = 0) -> IngestReport:
+        """Ingest a batch of raw JSON strings (column ``value``)."""
+        report = IngestReport(batch_id=batch_id)
+        events = parse_events(self.spark, raw)
+        if not events.columns:
+            return report
+        etp = self.config.event_type_property
+        if etp not in events.columns:
+            n = events.count()
+            report.n_events = n
+            report.n_missing_routing_key = n
+            self._trace({"event": "missing_routing_key", "batch": batch_id, "rows": n})
+            return report
+
+        events = events.persist()
+        try:
+            report.n_events = events.count()
+            # F1: events with no routing key are logged and dropped
+            report.n_missing_routing_key = events.filter(F.col(etp).isNull()).count()
+            if report.n_missing_routing_key:
+                self._trace(
+                    {
+                        "event": "missing_routing_key",
+                        "batch": batch_id,
+                        "rows": report.n_missing_routing_key,
+                    }
+                )
+            valid = events.filter(F.col(etp).isNotNull())
+
+            # G1: route per event type — distinct() is bounded by the
+            # number of destination tables, like the reference's bulkers
+            types = [r[0] for r in valid.select(etp).distinct().collect()]
+            for etype in sorted(types):
+                sub = valid.filter(F.col(etp) == etype)
+                try:
+                    rows = normalize_events(sub, self.config)
+                    self.store.write(
+                        rows, etype, nullable_new=self.config.altered_column_nullable
+                    )
+                    n = rows.count()
+                    report.tables[etype] = n
+                    self._trace(
+                        {"event": "insert", "batch": batch_id, "table": etype, "rows": n}
+                    )
+                except Exception as exc:  # noqa: BLE001 — E1: dead-letter path
+                    report.errors[etype] = str(exc)[:500]
+                    self._dead_letter(sub, etype, str(exc)[:500], report)
+            return report
+        finally:
+            events.unpersist()

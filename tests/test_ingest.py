@@ -1,0 +1,105 @@
+"""End-to-end batch ingest: routing, F1 drop, evolution, DLQ, trace."""
+
+from __future__ import annotations
+
+import json
+
+from redis_events_to_clickhouse_tables_spark.config import IngestConfig
+from redis_events_to_clickhouse_tables_spark.streaming.ingest import IngestEngine
+from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
+
+
+def _raw(spark, payloads):
+    return spark.createDataFrame([(json.dumps(p),) for p in payloads], "value string")
+
+
+def _engine(spark, tmp_path, **cfg):
+    store = TableStore(spark, tmp_path / "warehouse")
+    return IngestEngine(spark, store, IngestConfig(**cfg)), store
+
+
+def test_routing_and_insert(spark, tmp_path):
+    engine, store = _engine(spark, tmp_path)
+    report = engine.process_raw_batch(
+        _raw(
+            spark,
+            [
+                {"event_type": "session", "user": "u1", "n": 1},
+                {"event_type": "session", "user": "u2", "n": 2},
+                {"event_type": "click", "target": "#buy"},
+            ],
+        )
+    )
+    assert report.n_events == 3
+    assert report.tables == {"click": 1, "session": 2}
+    assert store.tables() == ["click", "session"]  # G1 routing
+    session = store.read("session")
+    assert session.count() == 2
+    assert {"user", "n", "received_at", "sent_at", "message_id", "timestamp"} <= set(
+        session.columns
+    )
+
+
+def test_missing_routing_key_dropped(spark, tmp_path):
+    # F1: no event_type value -> logged + dropped
+    engine, store = _engine(spark, tmp_path)
+    report = engine.process_raw_batch(
+        _raw(spark, [{"event_type": "a", "x": 1}, {"x": 2}, {"event_type": None, "x": 3}])
+    )
+    assert report.n_missing_routing_key == 2
+    assert store.read("a").count() == 1
+    trace = (store.root / "_trace.jsonl").read_text()
+    assert "missing_routing_key" in trace
+
+
+def test_schema_evolution_across_batches(spark, tmp_path):
+    engine, store = _engine(spark, tmp_path)
+    engine.process_raw_batch(_raw(spark, [{"event_type": "t", "a": 1}]))
+    engine.process_raw_batch(_raw(spark, [{"event_type": "t", "a": "two", "b": 9}]))
+    df = store.read("t")
+    assert df.schema["a"].dataType.simpleString() == "string"  # D4 widen
+    assert {r["a"] for r in df.collect()} == {"1", "two"}
+    assert df.schema["b"].dataType.simpleString() == "bigint"  # D3 add
+
+
+def test_dead_letter_on_write_failure(spark, tmp_path, monkeypatch):
+    engine, store = _engine(spark, tmp_path)
+
+    original = store.write
+
+    def failing_write(df, table, **kw):
+        if table == "poison":
+            raise RuntimeError("sink exploded")
+        return original(df, table, **kw)
+
+    monkeypatch.setattr(store, "write", failing_write)
+    report = engine.process_raw_batch(
+        _raw(
+            spark,
+            [{"event_type": "poison", "x": 1}, {"event_type": "ok", "x": 2}],
+        )
+    )
+    assert report.tables == {"ok": 1}
+    assert report.n_dead_lettered == 1  # E1
+    assert "poison" in report.errors
+    dlq = engine.read_dlq().collect()
+    assert len(dlq) == 1
+    assert dlq[0]["target_table"] == "poison"
+    assert dlq[0]["attempts"] == 1
+    assert json.loads(dlq[0]["payload"])["x"] == 1
+    assert "sink exploded" in dlq[0]["error"]
+    # the healthy table still landed
+    assert store.read("ok").count() == 1
+
+
+def test_non_critical_retry_dropped(spark, tmp_path, monkeypatch):
+    # E4/F2: non-critical event that already failed once is dropped
+    engine, store = _engine(spark, tmp_path, non_critical_event_types=("noise",))
+    monkeypatch.setattr(
+        store, "write", lambda df, table, **kw: (_ for _ in ()).throw(RuntimeError("x"))
+    )
+    report = engine.process_raw_batch(
+        _raw(spark, [{"event_type": "noise", "a": 1, "__single_retry_attempts": 2}])
+    )
+    assert report.n_dropped_non_critical == 1
+    assert report.n_dead_lettered == 0

@@ -1,0 +1,72 @@
+"""Structured-Streaming ingest: file source -> foreachBatch -> store,
+with checkpoint-based exactly-once source progress (replaces the
+reference's manual re-enqueue, SURVEY §2.5/§2.8)."""
+
+from __future__ import annotations
+
+import json
+
+from redis_events_to_clickhouse_tables_spark.streaming.ingest import IngestEngine
+from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
+from redis_events_to_clickhouse_tables_spark.streaming.stream import start_file_ingest
+
+
+def _write_jsonl(path, payloads):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(json.dumps(p) for p in payloads) + "\n")
+
+
+def test_stream_ingest_available_now(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    _write_jsonl(
+        inbox / "batch1.jsonl",
+        [
+            {"event_type": "session", "user": "u1"},
+            {"event_type": "click", "t": "#a"},
+        ],
+    )
+    store = TableStore(spark, tmp_path / "warehouse")
+    q = start_file_ingest(
+        spark,
+        str(inbox),
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert store.read("session").count() == 1
+    assert store.read("click").count() == 1
+
+    # restart with the same checkpoint: already-processed files are NOT
+    # re-ingested (E5/E6 equivalent), new files are
+    _write_jsonl(inbox / "batch2.jsonl", [{"event_type": "session", "user": "u2"}])
+    q2 = start_file_ingest(
+        spark,
+        str(inbox),
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert store.read("session").count() == 2  # not 3: batch1 not replayed
+    assert store.read("click").count() == 1
+
+
+def test_stream_rate_limit_batches(spark, tmp_path):
+    # B3: maxFilesPerTrigger bounds each micro-batch (backpressure)
+    inbox = tmp_path / "inbox"
+    for i in range(3):
+        _write_jsonl(inbox / f"f{i}.jsonl", [{"event_type": "t", "i": i}])
+    store = TableStore(spark, tmp_path / "warehouse")
+    q = start_file_ingest(
+        spark,
+        str(inbox),
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert store.read("t").count() == 3
+    progress = q.recentProgress
+    assert len(progress) >= 3  # one micro-batch per file
