@@ -19,6 +19,41 @@ from redis_events_to_clickhouse_tables_spark.registry import load_all
 from redis_events_to_clickhouse_tables_spark.session import get_spark
 
 
+def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
+    """Time the full Layer-A path: raw JSON -> infer -> route ->
+    normalize -> evolve -> append. Returns (seconds, events).
+
+    The reference's derived steady-state ceiling is 20 events/s per
+    table (BASELINE.md); this measures ours on the same kind of
+    payload (the events table re-serialized to JSON).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.sources.tables import table
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import IngestEngine
+    from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
+
+    events = table(spark, sf_dir, "events")
+    raw = events.select(
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value")
+    )
+    raw.persist()
+    n = raw.count()  # materialize input outside the timed window
+    tmp = tempfile.mkdtemp(prefix="ingest-bench-")
+    try:
+        engine = IngestEngine(spark, TableStore(spark, tmp))
+        start = time.perf_counter()
+        engine.process_raw_batch(raw, 0)
+        elapsed = time.perf_counter() - start
+    finally:
+        raw.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return elapsed, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -40,6 +75,14 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - start, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    ingest_sec, ingest_events = bench_layer_a_ingest(spark, sf_dir)
+    timings["layer_a_ingest"] = round(ingest_sec, 4)
+    print(
+        f"# layer_a_ingest: {ingest_sec:.3f}s for {ingest_events} events "
+        f"({ingest_events / ingest_sec:,.0f} events/s; reference ceiling 20/s/table)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 4)
     print(

@@ -1,0 +1,265 @@
+"""Advanced aggregates, window frames, and expression coverage (Layer B).
+
+Moving-average frames, ranking-function families, GROUPING SETS via
+the SQL API, exact moment-based statistics, exact median, regex/string
+expressions, and approximate-distinct (rows-only: HLL sketches are
+engine-specific by design).
+
+Statistics note: stddev/variance/correlation are computed from exact
+decimal power sums with the final formula evaluated in double using
+the *same expression tree* as the oracle — Welford-style streaming
+moments (what both engines' builtin stddev use) are
+summation-order-dependent and would not reproduce bit-identically
+across engines, exactly the kind of nondeterminism a 1000-executor
+run amplifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+@query(
+    "window_moving_avg_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a bounded ROWS frame (exact decimal sum /
+    frame count — one IEEE division, not a double running mean)."""
+    tune(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(dec("o_totalprice", 14)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "window_ranking_family",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER w1 AS INTEGER) AS price_quartile,
+           CAST(DENSE_RANK() OVER w2 AS INTEGER) AS price_band_rank,
+           PERCENT_RANK() OVER w1 AS pct_rank,
+           CUME_DIST() OVER w1 AS cume,
+           FIRST_VALUE(o_orderkey) OVER w1 AS cheapest_in_status,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_in_status
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus
+                  ORDER BY CAST(FLOOR(o_totalprice / 10000) AS BIGINT))
+    """,
+)
+def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / DENSE_RANK / PERCENT_RANK / CUME_DIST / FIRST+LAST_VALUE.
+
+    percent_rank and cume_dist are definitional ratios ((rank-1)/(n-1),
+    rank/n) — identical doubles on both engines. Windows are
+    partitioned (by status), never global: a partitionless window
+    serializes the table through one task at scale.
+    """
+    tune(spark)
+    w1 = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w2 = Window.partitionBy("o_orderstatus").orderBy(
+        F.floor(F.col("o_totalprice") / 10000)
+    )
+    w_full = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w1).alias("price_quartile"),
+        F.dense_rank().over(w2).alias("price_band_rank"),
+        F.percent_rank().over(w1).alias("pct_rank"),
+        F.cume_dist().over(w1).alias("cume"),
+        F.first("o_orderkey").over(w1).alias("cheapest_in_status"),
+        F.last("o_orderkey").over(w_full).alias("priciest_in_status"),
+    )
+
+
+@query(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() indicators via the SQL API."""
+    tune(spark)
+    vname = "retct_orders_gs"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(vname)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM {vname}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+# exact power sums (decimal) -> closed-form moments in double, with the
+# SAME expression tree on both engines
+_SQL_STATS = """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_disc
+    FROM sums
+"""
+
+
+@query("agg_stats_explicit", oracle=_SQL_STATS)
+def agg_stats_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / Pearson correlation from exact power
+    sums — order-insensitive and reproducible at any parallelism."""
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    q, d = dec("l_quantity", 12), dec("l_discount", 4)
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(d * d).cast("double").alias("syy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qty_disc"),
+    )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark ``median`` <->
+    DuckDB ``quantile_cont(0.5)``: both sort and midpoint-interpolate)."""
+    tune(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("median_qty"),
+            F.median("l_extendedprice").alias("median_price"),
+        )
+    )
+
+
+@query(
+    "scalar_regex_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num_int,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+           split_part(p_brand, '#', 2) AS brand_suffix,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           translate(p_type, 'AEO', '430') AS type_l33t,
+           left(p_name, 3) AS name_prefix,
+           right(p_name, 3) AS name_suffix,
+           repeat(p_brand, 2) AS brand_doubled,
+           contains(p_type, 'OM') AS has_om,
+           starts_with(p_type, 'P') AS is_p,
+           ends_with(p_type, 'O') AS ends_o
+    FROM part
+    """,
+)
+def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + positional string expression coverage (JVM regex and
+    DuckDB RE2 agree on these basic character-class patterns)."""
+    tune(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).cast("long").alias("brand_num_int"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_suffix"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.translate("p_type", "AEO", "430").alias("type_l33t"),
+        F.left(F.col("p_name"), F.lit(3)).alias("name_prefix"),
+        F.right(F.col("p_name"), F.lit(3)).alias("name_suffix"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_doubled"),
+        F.contains(F.col("p_type"), F.lit("OM")).alias("has_om"),
+        F.startswith(F.col("p_type"), F.lit("P")).alias("is_p"),
+        F.endswith(F.col("p_type"), F.lit("O")).alias("ends_o"),
+    )
+
+
+@query("approx_distinct_users", oracle=None)  # HLL sketches are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++) next to the exact
+    count — the constant-memory path for 100-TB cardinality estimates.
+    Rows-only check: sketch estimates legitimately differ per engine.
+    """
+    tune(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -190,3 +190,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.col("text")).alias("full_fp"),
         md5_long(F.array_join(F.slice(_toks(), 1, 8), " ")).alias("head_fp"),
     )
+
+
+def _tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf.join(df_, "tok").crossJoin(F.broadcast(n))
+
+
+@query(
+    "text_tf_idf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df, n.n_docs
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    """,
+)
+def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF pipeline, oracle-checked on its exact integer statistics
+    (tf, df, corpus size): explode -> tf -> df -> join.
+
+    The corpus size is a broadcast 1-row aggregate; the tf<->df join
+    shuffles on token (bounded vocabulary). The final ``ln`` scores
+    are in ``text_tf_idf_scores`` (rows-only): JVM ``Math.log`` and
+    libm ``ln`` differ in the last ulp on ~3% of inputs, so the float
+    column legitimately cannot hash-match across engines.
+    """
+    tune(spark)
+    return _tf_df(spark, sf_dir).select("doc_id", "tok", "tf", "df", "n_docs")
+
+
+@query("text_tf_idf_scores", oracle=None)  # ln() ulp-differs across engines
+def text_tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual tf*ln(N/df) scores (rows-only check; see text_tf_idf)."""
+    tune(spark)
+    return _tf_df(spark, sf_dir).select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tf_idf"),
+    )

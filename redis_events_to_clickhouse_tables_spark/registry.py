@@ -50,6 +50,15 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run."""
-    from .operators import dedup, events, multimodal, relational, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        advanced,
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        subqueries,
+        text,
+    )
 
     return REGISTRY

@@ -1,0 +1,88 @@
+"""Layer-B streaming: watermarked windows + custom stateful operator.
+
+Both are driven through a real ``readStream`` (file source over the
+driver's events parquet) and compared against the batch computation
+of the same logic — the unified-model guarantee.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from redis_events_to_clickhouse_tables_spark.sources.tables import table
+from redis_events_to_clickhouse_tables_spark.streaming.stateful import (
+    running_user_totals,
+)
+from redis_events_to_clickhouse_tables_spark.streaming.windows import (
+    windowed_event_counts,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    # re-materialize events as a clean parquet dir the file stream can read
+    # (the testdata file has nanos timestamps handled by sources.tables)
+    d = str(tmp_path / "events_stream")
+    table(spark, SF_DIR, "events").write.parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windows_match_batch(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    windowed = windowed_event_counts(stream, watermark="30 minutes")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert got == expected
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["n"], pytest.approx(r["tv"]))
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, last(n_events) AS n, last(total_value) AS tv "
+        "FROM state_out GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["tv"]) for r in rows}
+    assert set(got) == set(expected)
+    for uid, (n, tv) in expected.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == tv
