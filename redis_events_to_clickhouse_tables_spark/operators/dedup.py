@@ -26,10 +26,15 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
 from ..registry import query
 from ..session import tune
-from ..sources.tables import table
+from ..sources.tables import fanout, table
 
 _N_HASHES = 16
 _BAND_ROWS = 4  # 16 hashes -> 4 bands of 4
+# two-hash (Kirsch-Mitzenmacher) family: h_i(t) = (x1 + i*x2) mod 2^60
+# with x2 reduced mod 2^58 so i*x2 + x1 < 2^63 — no 64-bit overflow in
+# either engine (DuckDB raises on BIGINT overflow; Spark would wrap).
+_M58 = 1 << 58
+_P60 = 1 << 60
 
 # shared CTE fragments for the oracle SQL
 _SQL_TOKS = (
@@ -38,14 +43,17 @@ _SQL_TOKS = (
 )
 _SQL_MINHASH = f"""
     WITH toks AS ({_SQL_TOKS}),
-    hashes AS (
-      SELECT doc_id, h.h,
-             {DUCKDB_MD5_LONG("CAST(h.h AS VARCHAR) || ':' || tok")} AS hv
-      FROM toks, UNNEST(range(0, {_N_HASHES})) AS h(h)
+    th AS (
+      SELECT doc_id,
+             {DUCKDB_MD5_LONG("tok", salt="1")} AS x1,
+             {DUCKDB_MD5_LONG("tok", salt="2")} % {_M58} AS x2
+      FROM toks
     ),
     sig AS (
-      SELECT doc_id, CAST(h AS INTEGER) AS h, MIN(hv) AS minhash
-      FROM hashes GROUP BY doc_id, h
+      SELECT doc_id, CAST(h.h AS INTEGER) AS h,
+             MIN((x1 + h.h * x2) % {_P60}) AS minhash
+      FROM th, UNNEST(range(0, {_N_HASHES})) AS h(h)
+      GROUP BY doc_id, h.h
     )
 """
 
@@ -56,30 +64,45 @@ def _distinct_tokens(d: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_signature(d: DataFrame) -> DataFrame:
-    """(doc_id, h, minhash): min over the doc's token set of a salted
-    60-bit md5 hash — one row per doc per hash function."""
-    toks = _distinct_tokens(d)
-    hashed = toks.select(
+def _minhash_sig_array(d: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[16]) — the full MinHash signature.
+
+    Two md5s per token (the Kirsch-Mitzenmacher two-hash trick), then
+    the 16 functions h_i(t) = (x1 + i*x2) mod 2^60 are integer mixing
+    over the precomputed pair — NOT 16 fresh md5s. Shape: explode to
+    one row per (doc, token), hash once, then 16 ``min`` aggregates.
+    Map-side partial aggregation reduces each partition to 16 longs
+    per doc before the shuffle, so shuffle volume is ~docs x 128 bytes
+    regardless of corpus size — the token explosion never crosses the
+    wire. (A pure higher-order-function formulation was tried first;
+    CollapseProject inlines the per-token hash array into the 16-way
+    outer lambda and recomputes it per hash function, 32 md5s/token.)
+    """
+    toks = fanout(d).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("h"),
-        "tok",
-    ).select(
-        "doc_id",
-        "h",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("tok"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("hv"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
     )
-    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+    hx = toks.select(
+        "doc_id",
+        md5_long("tok", salt="1").alias("x1"),
+        (md5_long("tok", salt="2") % _M58).alias("x2"),
+    )
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("x1") + F.lit(i) * F.col("x2")) % _P60).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(_N_HASHES)]).alias("sig")
+    )
+
+
+def _minhash_signature(d: DataFrame) -> DataFrame:
+    """(doc_id, h, minhash): the signature matrix in long form."""
+    return _minhash_sig_array(d).select(
+        "doc_id", F.posexplode("sig").alias("h", "minhash")
+    )
 
 
 @query(
@@ -195,34 +218,53 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (4 bands x 4 rows),
-    bucket-join on (band, band-signature). The scale path for near-dup:
-    only collided pairs ever meet, so there is no quadratic join."""
+    bucket on (band, band-signature), emit pairs within buckets. The
+    scale path for near-dup: only collided docs ever meet, so there is
+    no quadratic comparison against the corpus.
+
+    Shape chosen for skew: duplicate-heavy corpora produce hot buckets
+    (3k+ docs with identical band signatures in the test data), and a
+    sort-merge self-join serializes each hot key's quadratic pair
+    blow-up into one task — AQE's skew splitting can't see it because
+    the *input* partitions are tiny; only the join output explodes.
+    Instead: collect each bucket's member ids (a few KB even for hot
+    buckets), explode one row per member, round-robin-rebalance those
+    rows across the cluster, and emit each member's greater-id partners
+    with a cheap higher-order filter over the carried id array — pair
+    generation is O(|bucket|) per task and evenly spread. A final
+    DISTINCT folds pairs that collide in more than one band (<= 4x
+    duplication by construction).
+    """
     tune(spark)
-    sig = _minhash_signature(table(spark, sf_dir, "documents"))
-    band = (
-        sig.groupBy(
-            "doc_id", F.floor(F.col("h") / _BAND_ROWS).cast("int").alias("band")
-        )
-        .agg(
+    sig = _minhash_sig_array(table(spark, sf_dir, "documents"))
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
+                    F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
+                    lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("bsig")
-        )
+            ).alias("bsig"),
+        ),
     )
-    a = band.alias("a")
-    b = band.alias("b")
+    band = sig.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", "bs.band", "bs.bsig"
+    )
+    buckets = (
+        band.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    lhs = fanout(buckets.select(F.explode("ids").alias("doc_a"), "ids"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        lhs.select(
+            "doc_a",
+            F.explode(F.filter("ids", lambda i: i > F.col("doc_a"))).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 

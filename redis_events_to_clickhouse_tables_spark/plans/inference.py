@@ -93,9 +93,17 @@ def parse_events(spark: SparkSession, raw: DataFrame, json_col: str = "value") -
     after flattening (see streaming/normalize.py) so nested leaves get
     the same treatment as top-level ones.
 
-    The RDD bridge below is the one sanctioned non-DataFrame hop: it
-    feeds Spark's own JSON inference engine, runs distributed, and
-    carries strings only.
+    Fast path: hand the single string column to the JVM's
+    ``DataFrameReader.json(Dataset[String])`` overload directly —
+    inference and parsing stay entirely JVM-side. The public PySpark
+    signature only accepts an RDD[str], which round-trips every row
+    through Python pickling; that path is kept as the fallback.
     """
-    rdd = raw.select(json_col).rdd.map(lambda r: r[0])
-    return spark.read.json(rdd)
+    try:
+        jds = getattr(raw.select(json_col)._jdf, "as")(
+            spark._jvm.org.apache.spark.sql.Encoders.STRING()
+        )
+        return DataFrame(spark._jsparkSession.read().json(jds), spark)
+    except Exception:  # py4j surface changed: use the public API
+        rdd = raw.select(json_col).rdd.map(lambda r: r[0])
+        return spark.read.json(rdd)

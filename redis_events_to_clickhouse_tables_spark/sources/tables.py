@@ -37,3 +37,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # applies when reading nanos into its us-precision TIMESTAMP.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count.
+
+    Use ahead of compute-dominated maps (md5 shingling, JSON decode,
+    per-token hashing) whose downstream CPU cost per byte dwarfs one
+    shuffle of the input — true at any scale, so the trade survives a
+    100x scale-up. Needed because the test parquet files are single
+    row-group, so Spark plans the scan as ONE task regardless of
+    ``maxPartitionBytes``; on a real cluster the scan is already wide
+    and this becomes a cheap rebalance against skewed file sizes.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

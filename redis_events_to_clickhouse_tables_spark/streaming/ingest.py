@@ -127,9 +127,14 @@ class IngestEngine:
 
         events = events.persist()
         try:
-            report.n_events = events.count()
+            # one aggregate for total + F1 missing-routing-key counts
+            counts = events.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col(etp).isNull(), 1)).alias("miss"),
+            ).collect()[0]
+            report.n_events = counts["n"]
             # F1: events with no routing key are logged and dropped
-            report.n_missing_routing_key = events.filter(F.col(etp).isNull()).count()
+            report.n_missing_routing_key = int(counts["miss"])
             if report.n_missing_routing_key:
                 self._trace(
                     {
@@ -146,11 +151,15 @@ class IngestEngine:
             for etype in sorted(types):
                 sub = valid.filter(F.col(etp) == etype)
                 try:
-                    rows = normalize_events(sub, self.config)
+                    # persist the normalized rows: the write materializes
+                    # the cache, so the row count afterwards doesn't
+                    # re-run the whole normalize pipeline
+                    rows = normalize_events(sub, self.config).persist()
                     self.store.write(
                         rows, etype, nullable_new=self.config.altered_column_nullable
                     )
                     n = rows.count()
+                    rows.unpersist()
                     report.tables[etype] = n
                     self._trace(
                         {"event": "insert", "batch": batch_id, "table": etype, "rows": n}
