@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         subqueries,
         text,
+        tpch_extra,
     )
 
     return REGISTRY
