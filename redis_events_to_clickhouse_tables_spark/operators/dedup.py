@@ -134,16 +134,17 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -157,10 +158,20 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard similarity pairs (threshold 0.1).
 
-    shingle -> self-join on shingle -> |intersection| / |union|.
+    Jaccard is computed over *hashed* shingle sets: each shingle maps
+    through the same 60-bit md5 in both engines (identical collisions
+    on both sides, so results stay bit-equal), which turns the
+    self-join shuffle key from a ~30-char string into a long.
+    |intersection| is a count per colliding pair; sizes join in for
+    the union term. Shingle buckets in this corpus are small (max ~25
+    docs — near-dup clusters rarely share exact 3-grams corpus-wide),
+    so the plain self-join is the right shape; if a corpus had hot
+    shingles, the bucket-collect + explode + rebalance shape used by
+    ``dedup_minhash_lsh_candidates`` drops in, and at 100 TB a
+    stop-shingle frequency cap bounds hot buckets outright.
     """
     tune(spark)
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     shingle_expr = F.expr(
         "CASE WHEN size(t) >= 3 THEN"
@@ -168,14 +179,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
         " ELSE array() END"
     )
-    sh = toks.select(
-        "doc_id", F.explode(F.array_distinct(shingle_expr)).alias("s")
+    hashes = F.array_distinct(
+        F.transform(
+            shingle_expr,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
     )
+    sh = toks.select("doc_id", F.explode(hashes).alias("h"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..session import tune
-from ..sources.tables import table
+from ..sources.tables import fanout, table
 
 
 def with_binary_payload(d: DataFrame) -> DataFrame:
@@ -114,5 +114,7 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     records a rows-only check). Deterministic output regardless.
     """
     tune(spark)
-    d = with_binary_payload(table(spark, sf_dir, "documents"))
+    # fanout: the decode is CPU-bound Python; spread the single
+    # row-group scan across workers before the Arrow exchange
+    d = with_binary_payload(fanout(table(spark, sf_dir, "documents")))
     return decode_metadata(d)

@@ -1,0 +1,169 @@
+"""Temporal join operators: as-of join and range join (Layer B).
+
+Spark has no native AS-OF or range join (the reference has no joins
+at all — SURVEY §2.9); both are built from shuffle-friendly
+primitives so they survive scale:
+
+- **As-of join**: union the two streams with a side tag, then one
+  window pass per key carries the most recent build-side row forward
+  (``last(..., ignorenulls=True)`` over a ROWS frame). One shuffle on
+  the key, linear scan per key — never a per-row subquery or a
+  nested-loop time comparison. DuckDB's native ``ASOF LEFT JOIN`` is
+  the oracle.
+
+- **Range join**: a pure inequality join would plan as a broadcast
+  nested loop (quadratic per key). Binning both sides to
+  range-width buckets turns it into an equi-join on (key, bin) —
+  each probe row explodes to the two candidate bins covering its
+  window, the hash join prunes to near-candidates, and the exact
+  range predicate filters after. The oracle is the plain
+  inequality-join SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the same user's most
+    recent click at-or-before the purchase timestamp.
+
+    Clicks are pre-deduplicated to one per (user, ts) — keeping the
+    max event_id — so the as-of match is well-defined in both engines
+    when several clicks share a timestamp. At equal timestamps the
+    click sorts before the purchase (side tag as the ordering
+    tie-break), matching ASOF's ``>=`` semantics.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "click_event_id",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("click_event_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_click_id").alias("click_event_id"),
+        "click_ts",
+    )
+
+
+_RANGE_SEC = 600  # 10-minute lookback window
+
+
+@query(
+    "range_join_error_context",
+    oracle=f"""
+    WITH err AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error')
+    SELECT err.event_id, err.user_id, err.ts,
+           COUNT(x.event_id) AS n_context
+    FROM err LEFT JOIN events x
+      ON x.user_id = err.user_id
+     AND x.ts >= err.ts - INTERVAL {_RANGE_SEC} SECOND
+     AND x.ts < err.ts
+    GROUP BY err.event_id, err.user_id, err.ts
+    """,
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each error event, how many events the same
+    user produced in the preceding 10 minutes.
+
+    The probe side explodes to the two bucket ids covering its
+    lookback window, the build side buckets once, and the join is an
+    equi hash join on (user_id, bin) with the exact range predicate
+    as a post-filter — candidate pairs are bounded by bucket
+    occupancy, not by each user's full history.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    bin_of = F.floor(F.unix_timestamp("ts") / _RANGE_SEC)
+    probe = err.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.explode(F.array(bin_of - 1, bin_of)).alias("bin"),
+    )
+    build = ev.select(
+        F.col("user_id").alias("x_user"),
+        F.col("ts").alias("x_ts"),
+        F.col("event_id").alias("x_id"),
+        bin_of.alias("bin"),
+    )
+    lower = F.col("e_ts") - F.expr(f"INTERVAL {_RANGE_SEC} SECONDS")
+    hits = (
+        probe.join(
+            build,
+            (probe.bin == build.bin) & (F.col("e_user") == F.col("x_user")),
+            "inner",
+        )
+        .filter((F.col("x_ts") >= lower) & (F.col("x_ts") < F.col("e_ts")))
+        .groupBy("e_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        err.join(hits, err.event_id == hits.e_id, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_context"),
+        )
+    )

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         similarity,
         subqueries,
+        temporal,
         text,
         tpch_extra,
     )
