@@ -215,3 +215,54 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine)
         .filter(F.col("cosine") >= 0.8)
     )
+
+
+_FP_SCALE = 10_000_000  # fixed-point quantum for cross-engine-exact sums
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH u AS (
+      SELECT label, p.pos,
+             CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * {_FP_SCALE})
+                  AS BIGINT) AS xi
+      FROM embeddings, UNNEST(range(len(embedding))) AS p(pos))
+    SELECT label, pos,
+           CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * {_FP_SCALE}.0) AS centroid
+    FROM u GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vector, one row per (label, dimension).
+
+    Double-precision sums are summation-order-dependent (and float32
+    -> decimal rounding hits round-half ties differently across
+    engines), so each coordinate is quantized to 1e-7 fixed-point
+    BIGINTs first: integer sums are exact and associative, partial
+    aggregation stays map-side, and both engines produce the same
+    bits. The quantization is the documented semantic (standard for
+    deterministic embedding aggregation); the final division is one
+    IEEE op. At scale this is a single shuffle of (label, pos)
+    partial sums — dims x labels rows per partition, regardless of
+    row count.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * _FP_SCALE).cast("long")).alias(
+                "s"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / (F.col("n") * float(_FP_SCALE))).alias(
+                "centroid"
+            ),
+        )
+    )

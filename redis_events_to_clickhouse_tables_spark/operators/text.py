@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
 from ..registry import query
 from ..session import tune
-from ..sources.tables import table
+from ..sources.tables import fanout, table
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 # language-ID (public-knowledge word lists, not tied to the corpus)
@@ -237,4 +237,41 @@ def text_tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tok",
         (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tf_idf"),
+    )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT t.tok, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents,
+         UNNEST(regexp_extract_all(text, '{_BPE_RE}')) AS t(tok)
+    GROUP BY t.tok
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies under a BPE-ish regex tokenizer
+    (letter runs | digit runs | single punctuation), the pre-tokenizer
+    split BPE vocabularies train on — vs the whitespace tokens of
+    ``text_token_stats``.
+
+    The pattern sticks to explicit ASCII classes so Java regex (Spark)
+    and RE2 (DuckDB) agree. Shuffle key is the token (bounded
+    vocabulary); counts partial-aggregate map-side.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+        ).alias("tok"),
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
     )
