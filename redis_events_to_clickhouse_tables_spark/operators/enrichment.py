@@ -1,0 +1,143 @@
+"""Gap-filled rollups, multiset set-ops, JSON extraction (Layer B).
+
+- ``rollup_daily_gapfill``: the hypertable-style time rollup — every
+  (day, event_type) cell present, zero-filled where no events landed.
+  The scaffold is generated (date sequence x distinct types — tiny)
+  and the fact counts LEFT-join onto it, so the fact table is scanned
+  once and the scaffold side broadcasts.
+- ``set_except_all_heavy_lineitems`` / ``set_intersect_all_orderkeys``:
+  EXCEPT ALL / INTERSECT ALL — bag semantics (duplicate counts
+  preserved), the set-op family the DISTINCT variants don't cover.
+- ``json_extract_props``: scalar JSON extraction from the events
+  ``props`` column with JVM-side ``get_json_object`` — the read-side
+  counterpart of Layer A's JSON ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+@query(
+    "rollup_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(d0 + p.i * INTERVAL 1 DAY AS TIMESTAMP) AS day
+      FROM bounds, UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS p(i)),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT d.day, t.event_type,
+           COALESCE(n, 0) AS n_events,
+           COALESCE(CAST(v AS DOUBLE), 0.0) AS total_value
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+)
+def rollup_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup per event type with gap filling: days with no
+    events still emit a zero row (the shape dashboards and
+    hypertable-style continuous aggregates need).
+
+    The day scaffold comes from a 1-row min/max aggregate exploded
+    into a date sequence, cross-joined with the distinct type set —
+    both tiny at any scale, so the scaffold side broadcasts and the
+    fact table is scanned exactly once.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day_d")
+    ).select(F.col("day_d").cast("timestamp").alias("day"))
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 12)).alias("v"),
+    )
+    scaffold = days.crossJoin(types)
+    return (
+        F.broadcast(scaffold)
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("v").cast("double"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "set_except_all_heavy_lineitems",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all_heavy_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference (each duplicate subtracts once) —
+    distinct from the EXCEPT (set) variant already covered."""
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") > 25).select("l_orderkey")
+    b = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "set_intersect_all_orderkeys",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_intersect_all_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection (min of duplicate counts)."""
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") > 25).select("l_orderkey")
+    b = l.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction from the dynamic ``props`` payload —
+    JVM-side ``get_json_object`` (whole-stage codegen), never a Python
+    JSON parse. The read-side twin of Layer A's schema inference."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )

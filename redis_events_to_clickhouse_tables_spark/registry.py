@@ -53,10 +53,12 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         advanced,
         dedup,
+        enrichment,
         events,
         multimodal,
         relational,
         similarity,
+        skew,
         subqueries,
         temporal,
         text,
