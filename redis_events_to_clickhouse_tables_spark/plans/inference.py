@@ -51,7 +51,13 @@ def sniff_timestamp(col: Column) -> Column:
 
 
 def _is_date_string(col: Column) -> Column:
-    return col.rlike(DATE_STRING_REGEX) & sniff_timestamp(col).isNotNull()
+    # CASE short-circuit: the cheap regex rejects most strings before
+    # the 3-format try_to_timestamp cascade ever runs — on a typical
+    # batch almost no string column is date-like, so the inference
+    # scan stays regex-cost, not parser-cost
+    return F.when(~col.rlike(DATE_STRING_REGEX), F.lit(False)).otherwise(
+        sniff_timestamp(col).isNotNull()
+    )
 
 
 def infer_leaf_types(df: DataFrame) -> dict[str, T.DataType]:

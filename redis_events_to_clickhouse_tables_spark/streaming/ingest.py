@@ -25,7 +25,9 @@ this is N filtered scans of one cached batch.
 from __future__ import annotations
 
 import json
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -61,11 +63,12 @@ class IngestEngine:
         self.spark = spark
         self.store = store
         self.config = config or IngestConfig()
+        self._lock = threading.Lock()
 
     # -- K4: trace side-output -------------------------------------------
     def _trace(self, payload: dict) -> None:
         path = Path(self.store.root) / "_trace.jsonl"
-        with path.open("a") as fh:
+        with self._lock, path.open("a") as fh:
             fh.write(json.dumps({"ts": time.time(), **payload}) + "\n")
 
     # -- E1/E4: dead-letter ----------------------------------------------
@@ -91,7 +94,8 @@ class IngestEngine:
                 F.lit(table).isin(*cfg.non_critical_event_types)
                 & (F.col("attempts") > 1)
             ).count()
-            report.n_dropped_non_critical += dropped
+            with self._lock:
+                report.n_dropped_non_critical += dropped
             dlq = dlq.filter(
                 ~(
                     F.lit(table).isin(*cfg.non_critical_event_types)
@@ -103,7 +107,8 @@ class IngestEngine:
         data_dir.mkdir(parents=True, exist_ok=True)
         dlq.write.mode("append").parquet(str(data_dir))
         n = dlq.count()
-        report.n_dead_lettered += n
+        with self._lock:
+            report.n_dead_lettered += n
         self._trace({"event": "dead_letter", "table": table, "rows": n, "error": error})
 
     def read_dlq(self) -> DataFrame:
@@ -148,7 +153,8 @@ class IngestEngine:
             # G1: route per event type — distinct() is bounded by the
             # number of destination tables, like the reference's bulkers
             types = [r[0] for r in valid.select(etp).distinct().collect()]
-            for etype in sorted(types):
+
+            def _process_type(etype: str) -> None:
                 sub = valid.filter(F.col(etp) == etype)
                 try:
                     # persist the normalized rows: the write materializes
@@ -160,13 +166,28 @@ class IngestEngine:
                     )
                     n = rows.count()
                     rows.unpersist()
-                    report.tables[etype] = n
+                    with self._lock:
+                        report.tables[etype] = n
                     self._trace(
                         {"event": "insert", "batch": batch_id, "table": etype, "rows": n}
                     )
                 except Exception as exc:  # noqa: BLE001 — E1: dead-letter path
-                    report.errors[etype] = str(exc)[:500]
+                    with self._lock:
+                        report.errors[etype] = str(exc)[:500]
                     self._dead_letter(sub, etype, str(exc)[:500], report)
+
+            # per-table flushes run concurrently, like the reference's
+            # independent bulkers (src/main.ts:463-514) — each submits
+            # its own Spark jobs against the shared cached batch, and
+            # distinct types write to distinct table directories
+            if len(types) <= 1:
+                for etype in sorted(types):
+                    _process_type(etype)
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(types))
+                ) as pool:
+                    list(pool.map(_process_type, sorted(types)))
             return report
         finally:
             events.unpersist()
