@@ -263,3 +263,66 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) AS value_30m
+    FROM events
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each event's trailing 30-minute value
+    sum per user. Spark's rangeBetween needs a numeric ordering key,
+    so the frame orders on epoch microseconds with a 30-minute-in-
+    micros lookback — frame membership is identical to DuckDB's
+    INTERVAL RANGE frame (both include timestamp peers)."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-30 * 60 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value", 12)).over(w).cast("double").alias("value_30m"),
+    )
+
+
+@query(
+    "window_first_nth_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type,
+           LAST_VALUE(event_type) OVER w AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_nth_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / NTH_VALUE / LAST_VALUE over an unbounded frame —
+    each user's first, second, and latest event type (event_id breaks
+    timestamp ties so both engines agree on the positional values)."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
