@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         enrichment,
         events,
+        grouped,
         multimodal,
         relational,
         similarity,
