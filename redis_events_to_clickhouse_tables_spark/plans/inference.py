@@ -11,8 +11,9 @@ The reference infers a per-batch relational schema from raw JSON rows
 - boolean -> UInt8 (BooleanType)
 - anything else -> String
 
-**Documented deviation:** the reference types each column from the
-*first* row that defines it and never re-examines later rows
+**Documented deviation (G2/G3):** the reference's batch schema is the
+column-set union (G2) typed from the *first* row that defines each column
+(G3, `firstFoundValuePerColumn`) and never re-examines later rows
 (clickhouse-batch-client.class.ts:406-423) — order-dependent, and a
 conflicting later row can fail the INSERT. We infer from **all** rows
 of the batch (order-insensitive, strictly safer): JSON structure via

@@ -25,8 +25,10 @@ this is N filtered scans of one cached batch.
 from __future__ import annotations
 
 import json
+import shutil
 import threading
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -40,6 +42,14 @@ from .normalize import normalize_events
 from .store import TableStore
 
 DLQ_TABLE = "_dlq"
+
+
+class StoreUnavailableError(RuntimeError):
+    """B4: raised when the destination health probe fails — the batch
+    is not processed, and (in streaming) source offsets are not
+    committed, so events are redelivered once the sink recovers. The
+    same outcome as the reference's ping-gated tick skip
+    (src/main.ts:463-469): ingestion pauses, nothing is lost."""
 
 
 @dataclass
@@ -115,9 +125,72 @@ class IngestEngine:
         data_dir = self.store.root / DLQ_TABLE / "data"
         return self.spark.read.parquet(str(data_dir))
 
+    def retry_dead_letters(self, max_attempts: int = 5) -> IngestReport:
+        """E2/E3: replay dead-lettered events back into their tables.
+
+        The reference re-enqueues failed events flagged
+        ``__is_single_retry`` and inserts them one-by-one on a
+        dedicated emergency client with Bull retrying up to 5 attempts
+        (src/main.ts:284-363, :482-511). Here: DLQ rows under the
+        attempt ceiling are re-parsed and re-written per target table;
+        rows that fail again return to the DLQ with ``attempts``
+        incremented, rows at the ceiling stay parked (poison). E3's
+        busy-client mutex has no equivalent — Spark serializes the
+        writes — but the attempt counter it increments is preserved.
+        """
+        report = IngestReport(batch_id=-1)
+        data_dir = self.store.root / DLQ_TABLE / "data"
+        if not data_dir.exists() or not any(data_dir.glob("*.parquet")):
+            return report
+        dlq = self.spark.read.parquet(str(data_dir)).persist()
+        try:
+            eligible = dlq.filter(F.col("attempts") < max_attempts)
+            parked = dlq.filter(F.col("attempts") >= max_attempts)
+            failures: list[DataFrame] = []
+            tables = [
+                r[0] for r in eligible.select("target_table").distinct().collect()
+            ]
+            for t in sorted(tables):
+                sub = eligible.filter(F.col("target_table") == t)
+                try:
+                    events = parse_events(
+                        self.spark, sub.select(F.col("payload").alias("value"))
+                    )
+                    rows = normalize_events(events, self.config).persist()
+                    self.store.write(
+                        rows, t, nullable_new=self.config.altered_column_nullable
+                    )
+                    n = rows.count()
+                    rows.unpersist()
+                    report.tables[t] = n
+                    self._trace({"event": "dlq_retry_ok", "table": t, "rows": n})
+                except Exception as exc:  # noqa: BLE001 — back to the DLQ
+                    err = str(exc)[:500]
+                    report.errors[t] = err
+                    failures.append(
+                        sub.withColumn("attempts", F.col("attempts") + 1)
+                        .withColumn("error", F.lit(err))
+                        .withColumn("dead_lettered_at", F.current_timestamp())
+                    )
+                    self._trace({"event": "dlq_retry_fail", "table": t, "error": err})
+            remaining = parked
+            for f in failures:
+                remaining = remaining.unionByName(f)
+            # atomic DLQ replacement: write survivors to a fresh dir, swap
+            report.n_dead_lettered = remaining.count()
+            tmp = self.store.root / DLQ_TABLE / f".retry-{uuid.uuid4().hex[:8]}"
+            remaining.write.mode("overwrite").parquet(str(tmp))
+            shutil.rmtree(data_dir)
+            tmp.rename(data_dir)
+            return report
+        finally:
+            dlq.unpersist()
+
     # -- the tick ---------------------------------------------------------
     def process_raw_batch(self, raw: DataFrame, batch_id: int = 0) -> IngestReport:
         """Ingest a batch of raw JSON strings (column ``value``)."""
+        if not self.store.ping():  # B4: sink-health gate
+            raise StoreUnavailableError(f"store {self.store.root} unavailable")
         report = IngestReport(batch_id=batch_id)
         events = parse_events(self.spark, raw)
         if not events.columns:

@@ -18,6 +18,13 @@ same contract over parquet directories + a sidecar schema registry:
 Appends are directories of parquet files — the micro-batch pattern:
 each batch writes new files, never rewrites old ones (K2's multi-row
 INSERT amortization).
+
+Sink-protocol details of the reference with no Spark-side counterpart
+(out of correctness scope, per SURVEY §2.6-2.7): D6's textual DDL
+rendering (`Nullable(T)` wrapping, default-literal escaping) is
+subsumed by ``StructField(nullable=...)`` in the sidecar schema; K1's
+SQL-literal escaping by native parquet value binding; K3's ClickHouse
+``async_insert`` client setting by the sink connector's own batching.
 """
 
 from __future__ import annotations
@@ -48,6 +55,18 @@ class TableStore:
         if not table or table.startswith("_") or "/" in table or ".." in table:
             raise ValueError(f"illegal table name: {table!r}")
         return self.root / table
+
+    def ping(self) -> bool:
+        """B4: destination health probe — the reference pings ClickHouse
+        every 30s and pauses ingestion while it fails (src/main.ts:
+        648-653, 463-469). Here: is the store root writable?"""
+        try:
+            probe = self.root / ".ping"
+            probe.write_text("")
+            probe.unlink()
+            return True
+        except OSError:
+            return False
 
     def table_exists(self, table: str) -> bool:
         """S3: existence probe."""

@@ -103,3 +103,60 @@ def test_non_critical_retry_dropped(spark, tmp_path, monkeypatch):
     )
     assert report.n_dropped_non_critical == 1
     assert report.n_dead_lettered == 0
+
+
+def test_store_health_gate(spark, tmp_path, monkeypatch):
+    # B4: a failing sink ping pauses ingestion instead of half-writing
+    import pytest
+
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        StoreUnavailableError,
+    )
+
+    engine, store = _engine(spark, tmp_path)
+    monkeypatch.setattr(store, "ping", lambda: False)
+    with pytest.raises(StoreUnavailableError):
+        engine.process_raw_batch(_raw(spark, [{"event_type": "a", "x": 1}]))
+    assert store.tables() == []  # nothing landed
+
+
+def test_dlq_retry_replays_and_clears(spark, tmp_path, monkeypatch):
+    # E2: dead-lettered events replay into their table once the sink heals
+    engine, store = _engine(spark, tmp_path)
+    original = store.write
+    monkeypatch.setattr(
+        store,
+        "write",
+        lambda df, table, **kw: (_ for _ in ()).throw(RuntimeError("down"))
+        if table == "poison"
+        else original(df, table, **kw),
+    )
+    engine.process_raw_batch(
+        _raw(spark, [{"event_type": "poison", "x": 7}, {"event_type": "ok", "x": 1}])
+    )
+    assert engine.read_dlq().count() == 1
+    monkeypatch.setattr(store, "write", original)  # sink heals
+    report = engine.retry_dead_letters()
+    assert report.tables == {"poison": 1}
+    assert report.n_dead_lettered == 0
+    assert engine.read_dlq().count() == 0
+    assert store.read("poison").filter("x = 7").count() == 1
+
+
+def test_dlq_retry_attempts_and_parking(spark, tmp_path, monkeypatch):
+    # E3-lineage: attempts increment per failed retry; poison rows park
+    engine, store = _engine(spark, tmp_path)
+    monkeypatch.setattr(
+        store,
+        "write",
+        lambda df, table, **kw: (_ for _ in ()).throw(RuntimeError("still down")),
+    )
+    engine.process_raw_batch(_raw(spark, [{"event_type": "bad", "x": 1}]))
+    assert engine.read_dlq().collect()[0]["attempts"] == 1
+    report = engine.retry_dead_letters(max_attempts=2)
+    assert "bad" in report.errors
+    assert engine.read_dlq().collect()[0]["attempts"] == 2
+    # now at the ceiling: parked, not retried
+    report = engine.retry_dead_letters(max_attempts=2)
+    assert report.tables == {} and report.errors == {}
+    assert engine.read_dlq().collect()[0]["attempts"] == 2
