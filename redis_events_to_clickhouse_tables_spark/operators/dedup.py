@@ -284,9 +284,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
+_SQL_SIMHASH = f"""
     WITH toks AS ({_SQL_TOKS}),
     bits AS (
       SELECT doc_id, b.b,
@@ -294,18 +292,18 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE -1 END AS v
       FROM toks, UNNEST(range(0, 32)) AS b(b)
     ),
-    sums AS (SELECT doc_id, b, SUM(v) AS s FROM bits GROUP BY doc_id, b)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM sums GROUP BY doc_id
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from the distinct-token set:
-    bit b of the hash votes +1/-1, the sign of the vote sum sets bit b."""
-    tune(spark)
-    d = table(spark, sf_dir, "documents")
+    sums AS (SELECT doc_id, b, SUM(v) AS s FROM bits GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM sums GROUP BY doc_id
+    )
+"""
+
+
+def _simhash_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash from the distinct-token set."""
     toks = _distinct_tokens(d).withColumn("hv", md5_long(F.col("tok")))
     bits = toks.select(
         "doc_id",
@@ -328,4 +326,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("simhash")
         )
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SQL_SIMHASH + "SELECT doc_id, simhash FROM sh",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from the distinct-token set:
+    bit b of the hash votes +1/-1, the sign of the vote sum sets bit b."""
+    tune(spark)
+    return _simhash_df(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_neardup",
+    oracle=_SQL_SIMHASH
+    + """,
+    band AS (
+      SELECT doc_id, simhash, b.i,
+             (simhash >> (8 * CAST(b.i AS INTEGER))) & 255 AS byte
+      FROM sh, UNNEST(range(0, 4)) AS b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM band a
+      JOIN band b ON a.i = b.i AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 3 over the 32-bit
+    hashes, found without an all-pairs comparison.
+
+    Pigeonhole banding: split the hash into 4 bytes — any pair within
+    hamming 3 differs in at most 3 bytes, so at least one byte matches
+    exactly. Bucket-join on (byte index, byte value), then verify the
+    exact hamming distance with bit_count(xor) on the survivors. The
+    all-pairs cost collapses to bucket occupancy, the same shape as
+    the MinHash LSH pipeline.
+    """
+    tune(spark)
+    sig = _simhash_df(table(spark, sf_dir, "documents"))
+    band = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        "simhash",
+    ).select("doc_id", "i", F.expr("(simhash >> (8 * i)) & 255").alias("byte"))
+    # skew-aware pair generation (duplicate-heavy corpora make the
+    # byte buckets hot — same shape as the LSH pipeline): collect each
+    # bucket's ids, explode + rebalance, emit greater-id partners
+    buckets = (
+        band.groupBy("i", "byte")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    lhs = fanout(buckets.select(F.explode("ids").alias("doc_a"), "ids"))
+    pairs = (
+        lhs.select(
+            "doc_a",
+            F.explode(F.filter("ids", lambda x: x > F.col("doc_a"))).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verify exact hamming on the survivors; the sig table is tiny
+    # relative to the pair set and AQE broadcasts it at this scale —
+    # at 100 TB both joins shuffle on doc_id, which is still linear
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sa ^ sb")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
     )
