@@ -194,3 +194,52 @@ def ingest_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (30-min gap), verified against
+    a from-first-principles oracle (lag -> new-session flag -> prefix
+    sum -> per-session bounds). Spark's session end is exclusive
+    (last_ts + gap; an event landing exactly on the boundary opens a
+    new session), hence the ``>=`` in the oracle's gap test.
+
+    This is the batch image of the streaming form — the same
+    groupBy(session_window(...)) works on a withWatermark stream,
+    where state eviction finalizes sessions older than the watermark.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

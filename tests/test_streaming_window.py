@@ -86,3 +86,41 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
     for uid, (n, tv) in expected.items():
         assert got[uid][0] == n
         assert got[uid][1] == tv
+
+
+def test_streaming_session_windows_match_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sessions(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = (
+        sessions(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == expected
