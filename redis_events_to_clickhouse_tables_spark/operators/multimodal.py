@@ -118,3 +118,108 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-group scan across workers before the Arrow exchange
     d = with_binary_payload(fanout(table(spark, sf_dir, "documents")))
     return decode_metadata(d)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_bytes", T.IntegerType()),
+    ]
+)
+
+
+def fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a thumbnail resize (PIL goes here).
+    Output thumbnails are 64px-wide with aspect preserved against the
+    fake decode's dimensions."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        w = (n_bytes % 640).clip(lower=1)
+        h = ((n_bytes * 7) % 480).clip(lower=1)
+        tw = pd.Series(64, index=pdf.index)
+        th = (64 * h / w).astype("int32").clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "thumb_w": tw.astype("int32"),
+                "thumb_h": th,
+                "thumb_bytes": (tw * th * 3).astype("int32"),  # RGB
+            }
+        )
+
+
+@query("multimodal_resize", oracle=None)  # rows-only: python resize stub
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize pipeline over the binary payload column —
+    Arrow-batched mapInPandas, one row out per image in."""
+    tune(spark)
+    d = with_binary_payload(fanout(table(spark, sf_dir, "documents")))
+    return d.select("doc_id", "payload").mapInPandas(
+        fake_resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+_FRAME_SIZE = 32  # bytes per fake "frame"
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for video frame sampling (ffmpeg goes
+    here): treat the payload as fixed-size frames, emit every
+    ``_FRAME_STRIDE``-th one — a ROW-EXPANDING mapInPandas (N frames
+    out per payload in), the shape a real frame sampler has."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // _FRAME_SIZE)
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                off = idx * _FRAME_SIZE
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["frame_off"].append(off)
+                out["frame_bytes"].append(bytes(payload[off : off + _FRAME_SIZE]))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             GREATEST(1, octet_length(encode(text)) // {_FRAME_SIZE}) AS n_frames
+      FROM documents)
+    SELECT doc_id, CAST(p.i AS INTEGER) AS frame_idx,
+           CAST(p.i * {_FRAME_SIZE} AS INTEGER) AS frame_off,
+           CAST(LEAST({_FRAME_SIZE}, n_bytes - p.i * {_FRAME_SIZE}) AS INTEGER)
+             AS frame_len
+    FROM f, UNNEST(range(0, n_frames, {_FRAME_STRIDE})) AS p(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with its row-expanding Python plumbing, but
+    checked against a SQL oracle on the frame *geometry* (index,
+    offset, length) — the byte payloads themselves stay in the rows-
+    only realm, the geometry proves the sampler walks the payload
+    identically."""
+    tune(spark)
+    d = with_binary_payload(fanout(table(spark, sf_dir, "documents")))
+    frames = d.select("doc_id", "payload").mapInPandas(
+        frame_sample_batches, schema=FRAME_SCHEMA
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
