@@ -54,7 +54,7 @@ class StoreUnavailableError(RuntimeError):
 
 @dataclass
 class IngestReport:
-    batch_id: int
+    batch_id: int | None
     n_events: int = 0
     n_missing_routing_key: int = 0
     n_dead_lettered: int = 0
@@ -187,8 +187,14 @@ class IngestEngine:
             dlq.unpersist()
 
     # -- the tick ---------------------------------------------------------
-    def process_raw_batch(self, raw: DataFrame, batch_id: int = 0) -> IngestReport:
-        """Ingest a batch of raw JSON strings (column ``value``)."""
+    def process_raw_batch(self, raw: DataFrame, batch_id: int | None = None) -> IngestReport:
+        """Ingest a batch of raw JSON strings (column ``value``).
+
+        ``batch_id`` (passed by the streaming wrapper's foreachBatch)
+        makes the per-table writes idempotent: a replayed batch id is
+        skipped by the store's commit log, so crash-replay never
+        double-inserts. Direct batch callers omit it.
+        """
         if not self.store.ping():  # B4: sink-health gate
             raise StoreUnavailableError(f"store {self.store.root} unavailable")
         report = IngestReport(batch_id=batch_id)
@@ -235,7 +241,12 @@ class IngestEngine:
                     # re-run the whole normalize pipeline
                     rows = normalize_events(sub, self.config).persist()
                     self.store.write(
-                        rows, etype, nullable_new=self.config.altered_column_nullable
+                        rows,
+                        etype,
+                        nullable_new=self.config.altered_column_nullable,
+                        batch_id=batch_id,
+                        partition_by=self.config.table_partition_by,
+                        sort_by=self.config.table_sort_by,
                     )
                     n = rows.count()
                     rows.unpersist()

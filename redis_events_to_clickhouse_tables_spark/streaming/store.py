@@ -42,6 +42,8 @@ from pyspark.sql import types as T
 from ..plans.evolution import merge_schemas
 
 _SCHEMA_FILE = "_schema.json"
+_META_FILE = "_meta.json"
+_MAX_TRACKED_BATCHES = 10_000
 
 
 class TableStore:
@@ -92,13 +94,55 @@ class TableStore:
         if schema is None:
             raise KeyError(f"no such table: {table}")
         data = self.table_path(table) / "data"
-        if not any(data.glob("*.parquet")):
+        if not data.exists() or not any(data.rglob("*.parquet")):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(str(data))
 
+    # -- table meta (layout + commit log) --------------------------------
+    def _load_meta(self, table: str) -> dict:
+        p = self.table_path(table) / _META_FILE
+        if not p.exists():
+            return {"partition_by": [], "sort_by": [], "committed_batches": []}
+        return json.loads(p.read_text())
+
+    def _save_meta(self, table: str, meta: dict) -> None:
+        p = self.table_path(table)
+        p.mkdir(parents=True, exist_ok=True)
+        (p / _META_FILE).write_text(json.dumps(meta))
+
     # -- write (D2/D3/D4 + K2) -------------------------------------------
-    def write(self, df: DataFrame, table: str, nullable_new: bool = True) -> T.StructType:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        nullable_new: bool = True,
+        batch_id: int | str | None = None,
+        partition_by: tuple[str, ...] | None = None,
+        sort_by: tuple[str, ...] | None = None,
+    ) -> T.StructType:
+        """Append a batch, evolving the table schema to fit.
+
+        - ``batch_id``: idempotent commit — a batch id already in the
+          table's commit log is skipped entirely, so a ``foreachBatch``
+          replay after a crash never double-inserts (the exactly-once
+          half the reference approximates by clearing its prepared
+          state before exec, clickhouse-batch-client.class.ts:152-154).
+        - ``partition_by``: directory partitioning, fixed at table
+          creation (later values are ignored in favor of the recorded
+          layout) — the scale analog of a time-partitioned MergeTree;
+          reads with partition-key predicates prune directories.
+        - ``sort_by``: ``sortWithinPartitions`` before the write — the
+          MergeTree ``ORDER BY sent_at`` analog (D2,
+          clickhouse-batch-client.class.ts:579-584): co-locates rows
+          for min/max skipping within each parquet file.
+        """
+        meta = self._load_meta(table)
+        if batch_id is not None and str(batch_id) in meta["committed_batches"]:
+            return self.table_schema(table)
         existing = self.table_schema(table)
+        if existing is None:  # table creation fixes the layout
+            meta["partition_by"] = list(partition_by or ())
+            meta["sort_by"] = list(sort_by or ())
         target = merge_schemas(existing, df.schema, nullable_new=nullable_new)
 
         if existing is not None:
@@ -113,11 +157,62 @@ class TableStore:
                 self._rewrite(table, existing, target)
 
         aligned = _align(df, target)
+        sort_cols = [c for c in meta["sort_by"] if c in set(target.fieldNames())]
+        if sort_cols:
+            aligned = aligned.sortWithinPartitions(*sort_cols)
         data_dir = self.table_path(table) / "data"
         data_dir.mkdir(parents=True, exist_ok=True)
-        aligned.write.mode("append").parquet(str(data_dir))
+        writer = aligned.write.mode("append")
+        part_cols = [c for c in meta["partition_by"] if c in set(target.fieldNames())]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(str(data_dir))
         self._save_schema(table, target)
+        if batch_id is not None:
+            meta["committed_batches"].append(str(batch_id))
+            meta["committed_batches"] = meta["committed_batches"][-_MAX_TRACKED_BATCHES:]
+        self._save_meta(table, meta)
         return target
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+        """Merge the small files micro-batch appends accumulate.
+
+        Every trigger writes new files (K2); at scale that means
+        thousands of KB-sized parquet files per table per day, and scan
+        planning cost grows with file count. Rewrite the table into
+        ~``target_file_bytes`` files (per partition directory when
+        partitioned), atomically (write to a temp dir, swap). Returns
+        (files_before, files_after).
+        """
+        data_dir = self.table_path(table) / "data"
+        files = list(data_dir.rglob("*.parquet")) if data_dir.exists() else []
+        if not files:
+            return (0, 0)
+        n_before = len(files)
+        total = sum(f.stat().st_size for f in files)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil
+        meta = self._load_meta(table)
+        df = self.read(table)
+        part_cols = meta["partition_by"]
+        if part_cols:
+            # co-locate each partition's rows so partitionBy emits one
+            # file per (task, partition-value) — repartition on the keys
+            df = df.repartition(int(n_target), *part_cols)
+        else:
+            df = df.repartition(int(n_target))
+        sort_cols = [c for c in meta["sort_by"] if c in df.columns]
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        tmp = self.table_path(table) / f".compact-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(str(tmp))
+        shutil.rmtree(data_dir)
+        tmp.rename(data_dir)
+        n_after = len(list(data_dir.rglob("*.parquet")))
+        return (n_before, n_after)
 
     def _save_schema(self, table: str, schema: T.StructType) -> None:
         p = self.table_path(table)
@@ -126,11 +221,15 @@ class TableStore:
 
     def _rewrite(self, table: str, old: T.StructType, new: T.StructType) -> None:
         data_dir = self.table_path(table) / "data"
-        if not any(data_dir.glob("*.parquet")):
+        if not data_dir.exists() or not any(data_dir.rglob("*.parquet")):
             return
+        meta = self._load_meta(table)
         tmp = self.table_path(table) / f".rewrite-{uuid.uuid4().hex[:8]}"
         old_df = self.spark.read.schema(old).parquet(str(data_dir))
-        _align(old_df, new).write.mode("overwrite").parquet(str(tmp))
+        writer = _align(old_df, new).write.mode("overwrite")
+        if meta["partition_by"]:
+            writer = writer.partitionBy(*meta["partition_by"])
+        writer.parquet(str(tmp))
         shutil.rmtree(data_dir)
         tmp.rename(data_dir)
 

@@ -1,0 +1,99 @@
+"""TableStore layout features: idempotent commits, partitioning,
+sort-on-write, compaction."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from redis_events_to_clickhouse_tables_spark.config import IngestConfig
+from redis_events_to_clickhouse_tables_spark.streaming.ingest import IngestEngine
+from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
+
+
+def _store(spark, tmp_path):
+    return TableStore(spark, tmp_path / "warehouse")
+
+
+def _df(spark, rows, schema="k long, day string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_idempotent_batch_commit(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    df = _df(spark, [(1, "d1"), (2, "d1")])
+    store.write(df, "t", batch_id=7)
+    store.write(df, "t", batch_id=7)  # replay: must be a no-op
+    assert store.read("t").count() == 2
+    store.write(df, "t", batch_id=8)  # a new batch appends
+    assert store.read("t").count() == 4
+
+
+def test_partitioned_layout_and_pruning(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    df = _df(spark, [(1, "d1"), (2, "d2"), (3, "d2")])
+    store.write(df, "t", partition_by=("day",))
+    root = store.table_path("t") / "data"
+    assert (root / "day=d1").exists() and (root / "day=d2").exists()
+    back = store.read("t")
+    assert back.count() == 3
+    # a partition-key predicate must prune to one directory
+    plan = (
+        back.filter(F.col("day") == "d2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert back.filter(F.col("day") == "d2").count() == 2
+    # the layout is fixed at creation: later writes keep partitioning
+    store.write(_df(spark, [(4, "d3")]), "t")
+    assert (root / "day=d3").exists()
+
+
+def test_sort_within_files(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    df = _df(spark, [(9, "x"), (1, "x"), (5, "x")]).coalesce(1)
+    store.write(df, "t", sort_by=("k",))
+    # one file, rows sorted by k inside it
+    import pyarrow.parquet as pq
+
+    files = list((store.table_path("t") / "data").rglob("*.parquet"))
+    vals = pq.read_table(str(files[0])).column("k").to_pylist()
+    assert vals == sorted(vals)
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    for i in range(5):  # 5 micro-batches -> many small files
+        store.write(_df(spark, [(i, "d")]), "t", batch_id=i)
+    before = len(list((store.table_path("t") / "data").rglob("*.parquet")))
+    assert before >= 5
+    n_before, n_after = store.compact("t")
+    assert n_before == before and n_after < before
+    assert store.read("t").count() == 5  # no rows lost
+
+
+def test_compaction_preserves_partitions(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    for i in range(3):
+        store.write(
+            _df(spark, [(i, "d1"), (i, "d2")]), "t", batch_id=i, partition_by=("day",)
+        )
+    store.compact("t")
+    root = store.table_path("t") / "data"
+    assert (root / "day=d1").exists() and (root / "day=d2").exists()
+    assert store.read("t").count() == 6
+
+
+def test_engine_streaming_batches_idempotent(spark, tmp_path):
+    # foreachBatch replay semantics end-to-end through the engine
+    store = _store(spark, tmp_path)
+    engine = IngestEngine(spark, store, IngestConfig())
+    raw = spark.createDataFrame(
+        [(json.dumps({"event_type": "e", "x": 1}),)], "value string"
+    )
+    engine.process_raw_batch(raw, batch_id=3)
+    engine.process_raw_batch(raw, batch_id=3)  # crash-replay of batch 3
+    assert store.read("e").count() == 1
