@@ -141,3 +141,63 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber,
+             'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    ) t
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): three measure columns melt into
+    (measure, value) rows via the native ``unpivot`` operator — the
+    inverse of ``events_pivot_type_counts``. Catalyst expands this to
+    a generator, one scan, no self-union of the fact table (the oracle
+    spells out the UNION ALL semantics it must equal)."""
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).withColumn(
+        "measure",
+        F.expr("substring(measure, 3)"),  # l_quantity -> quantity
+    )
+
+
+@query(
+    "stringagg_custkeys_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT CAST(o_custkey AS VARCHAR), ','
+                      ORDER BY CAST(o_custkey AS VARCHAR)) AS custkeys_sample
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_orderstatus
+    """,
+)
+def stringagg_custkeys_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set -> array_sort ->
+    array_join gives the deterministic STRING_AGG(DISTINCT ... ORDER
+    BY) both engines agree on — collect_set alone is partition-order-
+    nondeterministic, the sort is what makes this oracle-checkable."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("o_custkey").cast("string"))), ","
+        ).alias("custkeys_sample")
+    )
