@@ -326,3 +326,50 @@ def window_first_nth_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 2).over(w).alias("second_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@query(
+    "scalar_conditional_functions",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           LEAST(o_totalprice, 100000.0) AS capped_price,
+           GREATEST(o_totalprice, 1000.0) AS floored_price,
+           IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'same') AS nvl_demo
+    FROM orders
+    """,
+)
+def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF / COALESCE / LEAST / GREATEST / IFNULL sweep — the
+    conditional scalar family, all whole-stage-codegen expressions."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floored_price"),
+        F.ifnull(
+            F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority")),
+            F.lit("same"),
+        ).alias("nvl_demo"),
+    )
+
+
+@query("approx_percentile_prices", oracle=None)  # sketch-based: rows-only
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of order value per priority via Spark's
+    percentile_approx (KLL-style sketch). Rows-only by design: sketch
+    internals are engine-specific, exactly like approx_distinct_users
+    — the exact-median counterpart is ``agg_median_exact``."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
