@@ -243,3 +243,48 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+             CAST(to_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800)
+                  AS TIMESTAMP) AS window_start
+      FROM events, UNNEST(range(0, 2)) AS k(k)
+      WHERE epoch_us(ts) < ((epoch_us(ts) // 1800000000 - k.k) * 1800000000
+                            + 3600000000)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 hour long, 30-minute slide): each
+    event lands in two overlapping windows. The oracle derives window
+    membership from first principles (epoch floor-div to the slide,
+    back-shifted k slides, bounded by window length) — pinning Spark's
+    epoch-aligned window start semantics. Streaming form: identical
+    expression after withWatermark.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 12)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

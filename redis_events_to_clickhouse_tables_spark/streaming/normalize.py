@@ -38,37 +38,55 @@ def default_transform(df: DataFrame) -> DataFrame:
     return df.withColumn("timestamp", F.col("received_at"))
 
 
-def _received_at_expr(df: DataFrame) -> Column:
+def _received_at_expr(df: DataFrame, col_name: str | None) -> Column:
     """P7 precursor: received_at is stamped once and survives
-    re-delivery (reference: __received_at, src/main.ts:278-282)."""
-    if "__received_at" not in df.columns:
+    re-delivery (reference: __received_at, src/main.ts:278-282).
+    ``col_name`` is the (possibly renamed) physical column holding the
+    carried value, or None when the batch never carried one."""
+    if col_name is None or col_name not in df.columns:
         return F.current_timestamp()
-    src = F.col("__received_at")
-    if isinstance(df.schema["__received_at"].dataType, T.StringType):
+    src = F.col(f"`{col_name}`")
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.StringType):
         parsed = sniff_timestamp(src)
-    elif isinstance(df.schema["__received_at"].dataType, T.TimestampType):
+    elif isinstance(dt, T.TimestampType):
         parsed = src
-    elif isinstance(df.schema["__received_at"].dataType, (T.LongType, T.DoubleType)):
+    elif isinstance(dt, (T.LongType, T.DoubleType)):
         parsed = F.timestamp_millis(src.cast("long"))
     else:
         parsed = F.lit(None).cast("timestamp")
     return F.coalesce(parsed, F.current_timestamp())
 
 
+def _splittable(dt: T.StructType) -> bool:
+    """A struct can only split into columns when no two field names
+    collide under Spark's case-insensitive resolution — otherwise
+    ``getField`` is ambiguous. Colliding structs fall back to P4
+    JSON-stringify (lossless; the conservative choice)."""
+    names = [f.name.lower() for f in dt.fields]
+    return len(set(names)) == len(names)
+
+
 def _flatten_exprs(
-    schema: T.StructType, cfg: IngestConfig, max_lens: dict[str, int]
+    fields: list[tuple[str, str, T.DataType]],
+    cfg: IngestConfig,
+    max_lens: dict[str, int],
 ) -> list[tuple[str, Column]]:
-    """P2-P6 as a (name, expression) projection list over the payload."""
+    """P2-P6 as a (name, expression) projection list over the payload.
+
+    ``fields`` is (original_name, unique_temp_name, type): expressions
+    reference the collision-proof temp names, output aliases derive
+    from the original names.
+    """
     out: list[tuple[str, Column]] = []
 
     def add(name: str, col: Column) -> None:
         out.append((name, col.alias(name)))
 
-    for f in schema.fields:
-        name, dt = f.name, f.dataType
-        qcol = F.col(f"`{name}`")
+    for name, tmp, dt in fields:
+        qcol = F.col(f"`{tmp}`")
         if isinstance(dt, T.StructType):
-            if cfg.split_records_as_columns:
+            if cfg.split_records_as_columns and _splittable(dt):
                 # P3: {'a': {'subKey': v}} -> a_sub_key
                 for sub in dt.fields:
                     add(snake_case(f"{name}_{sub.name}"), qcol.getField(sub.name))
@@ -79,10 +97,10 @@ def _flatten_exprs(
             if cfg.split_array_items_as_columns:
                 # P5: positional columns k_0..k_{max-1}
                 elem = dt.elementType
-                for i in range(max_lens.get(name, 0)):
+                for i in range(max_lens.get(tmp, 0)):
                     item = qcol.getItem(i)
                     if isinstance(elem, T.StructType):
-                        if cfg.split_records_as_columns:
+                        if cfg.split_records_as_columns and _splittable(elem):
                             for sub in elem.fields:
                                 add(
                                     snake_case(f"{name}_{i}_{sub.name}"),
@@ -97,30 +115,50 @@ def _flatten_exprs(
                 add(snake_case(name), F.to_json(qcol))
         else:
             add(snake_case(name), qcol)
-    return out
+    # snake_case can collide ('aB' and 'a_b' both -> a_b; keys differing
+    # only by case fold together): LAST value wins, first position kept —
+    # exactly JS object assignment, which is what the reference's
+    # row-object spread does (clickhouse-batch-client.class.ts:190-273)
+    dedup: dict[str, Column] = {}
+    for name, col in out:
+        dedup[name] = col
+    return list(dedup.items())
 
 
 def normalize_events(df: DataFrame, cfg: IngestConfig | None = None) -> DataFrame:
     """Full P1-P8 pipeline over a typed event DataFrame (one table's rows)."""
     cfg = cfg or IngestConfig()
-    received_at = _received_at_expr(df)
+
+    # Positional rename to collision-proof temp names FIRST: event keys
+    # that differ only in case ('J' vs 'j') are distinct JSON fields but
+    # ambiguous to Spark's case-insensitive column resolution — toDF is
+    # positional, so every later access is unambiguous.
+    orig_names = [f.name for f in df.schema.fields]
+    tmp_names = [f"__p{i}" for i in range(len(orig_names))]
+    tmp_of = dict(zip(orig_names, tmp_names))
+    renamed = df.toDF(*tmp_names)
+
+    received_at = _received_at_expr(renamed, tmp_of.get("__received_at"))
 
     # P1: drop routing + bookkeeping keys
-    drop = {c for c in (cfg.event_type_property, *cfg.reserved_keys) if c in df.columns}
-    payload_fields = T.StructType([f for f in df.schema.fields if f.name not in drop])
+    drop = {cfg.event_type_property, *cfg.reserved_keys}
+    payload = [
+        (f.name, tmp, f.dataType)
+        for f, tmp in zip(df.schema.fields, tmp_names)
+        if f.name not in drop
+    ]
 
     # P5 needs batch max array lengths — one aggregate, O(array columns)
-    array_cols = [
-        f.name for f in payload_fields.fields if isinstance(f.dataType, T.ArrayType)
-    ]
+    array_tmps = [tmp for _, tmp, dt in payload if isinstance(dt, T.ArrayType)]
     max_lens: dict[str, int] = {}
-    if cfg.split_array_items_as_columns and array_cols:
-        row = df.agg(
-            *[F.max(F.size(F.col(f"`{c}`"))).alias(c) for c in array_cols]
+    if cfg.split_array_items_as_columns and array_tmps:
+        row = renamed.agg(
+            *[F.max(F.size(F.col(f"`{c}`"))).alias(c) for c in array_tmps]
         ).collect()[0]
-        max_lens = {c: (row[c] or 0) for c in array_cols}
+        max_lens = {c: (row[c] or 0) for c in array_tmps}
 
-    body = _flatten_exprs(payload_fields, cfg, max_lens)
+    df = renamed
+    body = _flatten_exprs(payload, cfg, max_lens)
     # system columns overwrite same-named payload columns (the reference
     # assigns them after spreading the row,
     # clickhouse-batch-client.class.ts:280-288)

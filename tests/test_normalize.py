@@ -177,3 +177,34 @@ def test_custom_transform_hook(spark):
     row = normalize_events(_events(spark, [FIX1]), cfg).collect()[0]
     assert row["extra"] == "hi"
     assert "timestamp" not in row.asDict()  # custom hook replaces default
+
+
+def test_case_colliding_keys_last_wins(spark):
+    """Keys differing only by case are distinct JSON fields but fold to
+    one snake_case column: LAST value wins, like the JS object
+    assignment the reference's row spread performs."""
+    out = normalize_events(
+        _events(spark, [{"event_type": "t", "J": 1, "j": 2}])
+    )
+    assert out.columns.count("j") == 1
+    assert out.select("j").first()[0] == 2
+
+
+def test_case_colliding_struct_falls_back_to_json(spark):
+    """A record whose fields collide under case folding cannot split
+    (ambiguous getField) — it JSON-stringifies instead, losslessly."""
+    out = normalize_events(
+        _events(spark, [{"event_type": "t", "rec": {"A": 1, "a": 2}}]),
+        IngestConfig(split_records_as_columns=True),
+    )
+    assert "rec" in out.columns
+    assert json.loads(out.select("rec").first()[0]) == {"A": 1, "a": 2}
+
+
+def test_snakecase_colliding_keys_last_wins(spark):
+    """'aB' and 'a_b' both normalize to a_b: one column, last value."""
+    out = normalize_events(
+        _events(spark, [{"event_type": "t", "aB": "first", "a_b": "second"}])
+    )
+    assert out.columns.count("a_b") == 1
+    assert out.select("a_b").first()[0] == "second"
