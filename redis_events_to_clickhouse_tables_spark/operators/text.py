@@ -275,3 +275,62 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+_SPLIT_HASH = DUCKDB_MD5_LONG("'split:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sample_stratified_documents",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SPLIT_HASH} % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END
+    """,
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep 50% of English, 30% of
+    German, 10% of everything else — membership decided by a salted
+    content-independent hash of the id, so the sample is reproducible
+    across runs, engines, and cluster sizes (``rand()`` is none of
+    those). This is how corpus-construction pipelines downsample
+    over-represented languages; pure filter, no shuffle.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 30)
+        .otherwise(10)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@query(
+    "sample_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by salted id-hash: stable
+    under re-runs and data growth (a document never changes split when
+    new documents arrive — the property random assignment lacks).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
