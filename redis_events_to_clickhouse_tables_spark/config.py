@@ -51,3 +51,38 @@ class IngestConfig:
     # (the MergeTree ORDER BY sent_at analog, D2)
     table_partition_by: tuple[str, ...] = ()
     table_sort_by: tuple[str, ...] = ("sent_at",)
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "IngestConfig":
+        """Build from the reference's environment-variable surface
+        (/root/reference/.env.sample), same names and 0/1 flag
+        encoding. Unset variables keep the dataclass defaults.
+
+        - REDIS_JOB_EVENT_TYPE_PROPERTY   (.env.sample:25)
+        - SPLIT_RECORDS_AS_COLUMNS        (.env.sample:72)
+        - SPLIT_ARRAY_ITEMS_AS_COLUMNS    (.env.sample:76)
+        - CLICKHOUSE_ALTERED_COLUMN_NULLABLE (.env.sample:48)
+        - NON_CRITICAL_EVENT_TYPES        (comma-separated, .env.sample:85)
+        """
+        import os as _os
+
+        e = _os.environ if env is None else env
+
+        def flag(name: str, default: bool) -> bool:
+            v = e.get(name)
+            return default if v is None else v.strip() == "1"
+
+        non_critical = tuple(
+            t.strip()
+            for t in e.get("NON_CRITICAL_EVENT_TYPES", "").split(",")
+            if t.strip()
+        )
+        return cls(
+            event_type_property=e.get(
+                "REDIS_JOB_EVENT_TYPE_PROPERTY", cls.event_type_property
+            ),
+            split_records_as_columns=flag("SPLIT_RECORDS_AS_COLUMNS", False),
+            split_array_items_as_columns=flag("SPLIT_ARRAY_ITEMS_AS_COLUMNS", False),
+            altered_column_nullable=flag("CLICKHOUSE_ALTERED_COLUMN_NULLABLE", True),
+            non_critical_event_types=non_critical,
+        )

@@ -208,3 +208,23 @@ def test_snakecase_colliding_keys_last_wins(spark):
     )
     assert out.columns.count("a_b") == 1
     assert out.select("a_b").first()[0] == "second"
+
+
+def test_config_from_env_matches_reference_surface():
+    cfg = IngestConfig.from_env(
+        {
+            "REDIS_JOB_EVENT_TYPE_PROPERTY": "clickhouse_table",
+            "SPLIT_RECORDS_AS_COLUMNS": "1",
+            "SPLIT_ARRAY_ITEMS_AS_COLUMNS": "0",
+            "CLICKHOUSE_ALTERED_COLUMN_NULLABLE": "0",
+            "NON_CRITICAL_EVENT_TYPES": "pageview, heartbeat",
+        }
+    )
+    assert cfg.event_type_property == "clickhouse_table"
+    assert cfg.split_records_as_columns is True
+    assert cfg.split_array_items_as_columns is False
+    assert cfg.altered_column_nullable is False
+    assert cfg.non_critical_event_types == ("pageview", "heartbeat")
+    # empty env keeps defaults
+    d = IngestConfig.from_env({})
+    assert d == IngestConfig()
