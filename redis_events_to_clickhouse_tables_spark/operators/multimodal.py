@@ -223,3 +223,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_off",
         F.length("frame_bytes").cast("int").alias("frame_len"),
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("n_frames_10ms", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+_SAMPLE_RATE = 16_000  # fake PCM16 mono
+
+
+def audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for audio feature extraction
+    (torchaudio/librosa go here): treat the payload as 16kHz PCM16
+    mono — sample count, duration, 10ms frame count, plus an md5 of
+    the exact bytes the worker saw (proves the Arrow transfer is
+    byte-faithful, since the oracle recomputes it SQL-side)."""
+    import hashlib
+
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        n_samples = (n_bytes // 2).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": n_samples,
+                "duration_sec": n_samples / float(_SAMPLE_RATE),
+                "n_frames_10ms": (n_samples // (_SAMPLE_RATE // 100)).astype("int64"),
+                "checksum": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) // 2 AS n_samples,
+           CAST(octet_length(encode(text)) // 2 AS DOUBLE) / {_SAMPLE_RATE}.0
+             AS duration_sec,
+           (octet_length(encode(text)) // 2) // {_SAMPLE_RATE // 100}
+             AS n_frames_10ms,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing (completes the image/audio/
+    video triad): Python computes waveform geometry AND an md5 of the
+    received bytes; the oracle recomputes both SQL-side, so the check
+    proves the Arrow payload transfer is byte-faithful end to end."""
+    tune(spark)
+    d = with_binary_payload(fanout(table(spark, sf_dir, "documents")))
+    return d.select("doc_id", "payload").mapInPandas(
+        audio_feature_batches, schema=AUDIO_SCHEMA
+    )
