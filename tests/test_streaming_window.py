@@ -124,3 +124,31 @@ def test_streaming_session_windows_match_batch(spark, events_dir):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
+    """Streaming exact-dedup: dropDuplicates on a watermarked stream
+    must keep one row per event_id, matching batch distinct — the
+    streaming half of the dedup family (state evicts beyond the
+    watermark, bounding memory at scale)."""
+    batch_df = spark.read.parquet(events_dir)
+    # duplicate the source: every event arrives twice
+    dup_dir = str(tmp_path / "dup_events")
+    batch_df.unionAll(batch_df).write.parquet(dup_dir)
+    expected = batch_df.select("event_id").distinct().count()
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(dup_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM dedup_out").first()
+    assert got[0] == expected
+    assert got[1] == expected  # no duplicate rows emitted at all
