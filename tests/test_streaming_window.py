@@ -152,3 +152,66 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
     got = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM dedup_out").first()
     assert got[0] == expected
     assert got[1] == expected  # no duplicate rows emitted at all
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream join with watermarks: purchases join the same
+    user's clicks from the preceding 30 minutes — the canonical
+    attribution join. Both sides watermarked so join state is bounded;
+    results must equal the identical batch join."""
+    from pyspark.sql import functions as F
+
+    batch_df = spark.read.parquet(events_dir)
+
+    def split_sides(df):
+        clicks = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+        )
+        purchases = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+        )
+        return clicks, purchases
+
+    def join_sides(clicks, purchases):
+        return purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        ).select("purchase_id", "click_id")
+
+    b_clicks, b_purchases = split_sides(batch_df)
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in join_sides(b_clicks, b_purchases).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    s_clicks, s_purchases = split_sides(stream)
+    joined = join_sides(
+        s_clicks.withWatermark("c_ts", "2 hours"),
+        s_purchases.withWatermark("p_ts", "2 hours"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == expected
