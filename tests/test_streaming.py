@@ -70,3 +70,32 @@ def test_stream_rate_limit_batches(spark, tmp_path):
     assert store.read("t").count() == 3
     progress = q.recentProgress
     assert len(progress) >= 3  # one micro-batch per file
+
+
+def test_worker_entrypoint_builds_and_ingests(spark, tmp_path):
+    """__main__.build_worker wires env -> config -> store -> stream,
+    the src/main.ts-equivalent worker startup."""
+    import time as _time
+
+    from redis_events_to_clickhouse_tables_spark.__main__ import build_worker
+    from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
+
+    inbox = tmp_path / "inbox"
+    _write_jsonl(inbox / "b1.jsonl", [{"event_type": "worker_t", "x": 1}])
+    env = {
+        "INGEST_INPUT_PATH": str(inbox),
+        "INGEST_WAREHOUSE": str(tmp_path / "wh"),
+        "BULK_REPEAT_INTERVAL_SEC": "1",
+        "SPLIT_RECORDS_AS_COLUMNS": "1",
+    }
+    q = build_worker(spark, env)
+    try:
+        store = TableStore(spark, tmp_path / "wh")
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if store.table_exists("worker_t") and store.read("worker_t").count() == 1:
+                break
+            _time.sleep(1)
+        assert store.read("worker_t").count() == 1
+    finally:
+        q.stop()
