@@ -64,9 +64,11 @@ def main() -> None:
     spark = get_spark("bench")
     registry = load_all()
 
-    # warm the JVM / parquet footers so per-query numbers reflect the
-    # engine, not first-touch JIT cost
+    # warm the JVM / parquet footers / codegen paths so per-query
+    # numbers reflect the engine, not first-touch JIT cost
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    if "q1_pricing_summary" in registry:
+        registry["q1_pricing_summary"].build(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, spec in registry.items():

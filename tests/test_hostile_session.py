@@ -1,0 +1,40 @@
+"""The driver hands queries a session we didn't build — including,
+potentially, one with a non-UTC timezone. Every query calls tune()
+first, which must re-pin UTC; these tests run the timestamp-heavy
+queries under a hostile timezone and compare against DuckDB."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from redis_events_to_clickhouse_tables_spark.registry import load_all
+
+from .conftest import SF_DIR
+from .oracle_harness import run_compare
+
+REGISTRY = load_all()
+
+TIMESTAMP_QUERIES = [
+    "events_hourly_windows",
+    "events_sliding_windows",
+    "events_session_window",
+    "asof_purchase_last_click",
+    "range_join_error_context",
+    "rollup_daily_gapfill",
+    "window_time_range_frame",
+]
+
+
+@pytest.fixture()
+def hostile_tz(spark):
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", original)
+
+
+@pytest.mark.parametrize("name", TIMESTAMP_QUERIES)
+def test_timestamp_queries_survive_hostile_timezone(name, hostile_tz, ddb):
+    res = run_compare(hostile_tz, ddb, REGISTRY[name], SF_DIR)
+    assert res.ok, str(res)
