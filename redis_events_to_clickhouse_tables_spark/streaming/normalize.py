@@ -80,7 +80,13 @@ def _flatten_exprs(
     """
     out: list[tuple[str, Column]] = []
 
-    def add(name: str, col: Column) -> None:
+    def add(name: str, col: Column, dt: T.DataType | None = None) -> None:
+        # output tables are strictly flat (the reference's model): a
+        # value still complex after the one-level split — a depth-2
+        # record, an array inside a record — JSON-stringifies, exactly
+        # like the reference's JSON.stringify of non-split nesting
+        if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            col = F.to_json(col)
         out.append((name, col.alias(name)))
 
     for name, tmp, dt in fields:
@@ -89,7 +95,11 @@ def _flatten_exprs(
             if cfg.split_records_as_columns and _splittable(dt):
                 # P3: {'a': {'subKey': v}} -> a_sub_key
                 for sub in dt.fields:
-                    add(snake_case(f"{name}_{sub.name}"), qcol.getField(sub.name))
+                    add(
+                        snake_case(f"{name}_{sub.name}"),
+                        qcol.getField(sub.name),
+                        sub.dataType,
+                    )
             else:
                 # P4: JSON-stringify the record
                 add(snake_case(name), F.to_json(qcol))
@@ -105,11 +115,12 @@ def _flatten_exprs(
                                 add(
                                     snake_case(f"{name}_{i}_{sub.name}"),
                                     item.getField(sub.name),
+                                    sub.dataType,
                                 )
                         else:
                             add(snake_case(f"{name}_{i}"), F.to_json(item))
                     else:
-                        add(snake_case(f"{name}_{i}"), item)
+                        add(snake_case(f"{name}_{i}"), item, elem)
             else:
                 # P6: JSON-stringify the whole array
                 add(snake_case(name), F.to_json(qcol))

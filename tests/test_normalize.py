@@ -228,3 +228,28 @@ def test_config_from_env_matches_reference_surface():
     # empty env keeps defaults
     d = IngestConfig.from_env({})
     assert d == IngestConfig()
+
+
+def test_deep_nesting_stringifies_to_flat_table(spark):
+    """Output tables are strictly flat: after the one-level split, a
+    depth-2 record or an array inside a record JSON-stringifies (the
+    reference's tables have no nested columns)."""
+    out = normalize_events(
+        _events(
+            spark,
+            [
+                {
+                    "event_type": "t",
+                    "a": {"deep": {"x": 1}, "arr": [1, 2], "plain": 5},
+                }
+            ],
+        ),
+        IngestConfig(split_records_as_columns=True),
+    )
+    types = _types(out)
+    assert types["a_deep"] == "string"
+    assert types["a_arr"] == "string"
+    assert types["a_plain"] == "bigint"
+    row = out.select("a_deep", "a_arr").first()
+    assert json.loads(row["a_deep"]) == {"x": 1}
+    assert json.loads(row["a_arr"]) == [1, 2]
