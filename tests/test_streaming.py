@@ -99,3 +99,29 @@ def test_worker_entrypoint_builds_and_ingests(spark, tmp_path):
         assert store.read("worker_t").count() == 1
     finally:
         q.stop()
+
+
+def test_two_source_fanin_union(spark, tmp_path):
+    """S2's Spark shape: a second (legacy) source unions into the main
+    stream. The file source's glob does the fan-in; rows from both
+    inboxes land in the same tables."""
+    main_inbox = tmp_path / "queues" / "main"
+    legacy_inbox = tmp_path / "queues" / "legacy"
+    _write_jsonl(main_inbox / "a.jsonl", [{"event_type": "t", "src": "main"}])
+    _write_jsonl(
+        legacy_inbox / "b.jsonl",
+        [{"event_type": "t", "src": "legacy", "__is_from_old_queue": True}],
+    )
+    store = TableStore(spark, tmp_path / "warehouse")
+    q = start_file_ingest(
+        spark,
+        str(tmp_path / "queues" / "*"),
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = store.read("t").collect()
+    assert {r["src"] for r in rows} == {"main", "legacy"}
+    # the legacy marker is a reserved key: dropped during normalize (P1)
+    assert "__is_from_old_queue" not in store.read("t").columns
