@@ -776,3 +776,64 @@ def conditional_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", 12)).cast("double").alias("tier_balance"),
         )
     )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer vs supplier presence,
+    zero-filled on either missing side — the one outer-join variant
+    the inventory didn't cover."""
+    tune(spark)
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END AS is_home
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (5 x 25 rows — the only cardinality where a
+    cartesian product is ever the right plan) with a post-join flag."""
+    tune(spark)
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+        .otherwise(0)
+        .alias("is_home"),
+    )
