@@ -217,19 +217,23 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh_candidates",
-    oracle=_SQL_MINHASH
-    + f""",
+_SQL_LSH_BAND = f""",
     band AS (
       SELECT doc_id, CAST(h // {_BAND_ROWS} AS INTEGER) AS band,
              string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS bsig
       FROM sig GROUP BY doc_id, h // {_BAND_ROWS}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a
+      JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a
-    JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_lsh_candidates",
+    oracle=_SQL_MINHASH + _SQL_LSH_BAND + "SELECT doc_a, doc_b FROM pairs",
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (4 bands x 4 rows),
@@ -251,6 +255,12 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication by construction).
     """
     tune(spark)
+    return _lsh_candidate_pairs(spark, sf_dir)
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, bsig, ids): every collision bucket with its sorted
+    member ids — the shared substrate of pair emission and clustering."""
     sig = _minhash_sig_array(table(spark, sf_dir, "documents"))
     n_bands = _N_HASHES // _BAND_ROWS
     bands = F.transform(
@@ -269,11 +279,15 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = sig.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", "bs.band", "bs.bsig"
     )
-    buckets = (
+    return (
         band.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = _lsh_buckets(spark, sf_dir)
     lhs = fanout(buckets.select(F.explode("ids").alias("doc_a"), "ids"))
     return (
         lhs.select(
@@ -410,3 +424,106 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "dedup_cluster_components",
+    # DuckDB needs the RECURSIVE keyword on the whole WITH chain when
+    # any member recurses
+    oracle=(_SQL_MINHASH + _SQL_LSH_BAND).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, MIN(b) AS component_id
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph — the
+    clustering step that turns near-dup PAIRS into dedup GROUPS (one
+    canonical id per cluster: the minimum member id).
+
+    Iterative min-label propagation: every doc starts labeled with its
+    own id; each round takes the min of its label and its neighbors'
+    labels; converged when a round changes nothing. Rounds are pure
+    DataFrame joins + aggregations (state persisted between rounds,
+    previous round unpersisted), so each round is one shuffle on
+    doc_id — the standard large-graph CC shape, bounded by the
+    component diameter (LSH buckets produce cliques, so diameters stay
+    small). The oracle computes the same components via a recursive
+    transitive-closure CTE — one of the genuinely iterative algorithms
+    the driver contract expects, here still value-checked exactly.
+    """
+    tune(spark)
+    # Components of the candidate-pair graph equal components of the
+    # far sparser bucket-STAR graph (hub = each bucket's min member,
+    # spokes to every member): a bucket is a clique in the pair graph,
+    # and a star spans a clique. Pair cardinality is quadratic in
+    # bucket size (7.4M pairs at sf0.1); stars are linear (~20k).
+    buckets = _lsh_buckets(spark, sf_dir)
+    stars = buckets.select(
+        F.element_at("ids", 1).alias("hub"), F.explode("ids").alias("doc")
+    )
+    edges = (
+        stars.filter(F.col("hub") != F.col("doc"))
+        .select(F.col("hub").alias("src"), F.col("doc").alias("dst"))
+        .unionAll(
+            stars.filter(F.col("hub") != F.col("doc")).select(
+                F.col("doc").alias("src"), F.col("hub").alias("dst")
+            )
+        )
+        .persist()
+    )
+    # init: every member starts at its buckets' best hub — bucket
+    # cliques collapse before the first iteration
+    labels = (
+        stars.groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.min("hub").alias("label"))
+        .persist()
+    )
+    # per-doc labels only ever decrease, so the label SUM is a strictly
+    # decreasing monotone: equal sums <=> fixpoint. That makes the
+    # convergence probe part of the same single action that
+    # materializes the round's cache — one Spark job per round.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(25):
+        nmin = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = labels.join(nmin, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping (path halving): label <- label(label), so a
+        # min label crosses 2^k hops after k rounds — O(log diameter)
+        # rounds instead of O(diameter) for chain-shaped components
+        lut = merged.select(
+            F.col("doc_id").alias("l_doc"), F.col("label").alias("l_label")
+        )
+        new_labels = (
+            merged.join(lut, merged.label == lut.l_doc)
+            .select("doc_id", F.col("l_label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component_id"))
