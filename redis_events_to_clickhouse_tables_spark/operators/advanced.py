@@ -364,12 +364,19 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of order value per priority via Spark's
     percentile_approx (KLL-style sketch). Rows-only by design: sketch
     internals are engine-specific, exactly like approx_distinct_users
-    — the exact-median counterpart is ``agg_median_exact``."""
+    — the exact-median counterpart is ``agg_median_exact``.
+
+    Output is four scalar columns (one percentile_approx sketch, flattened
+    with element_at) rather than one array column: the driver's result
+    canonicalizer sorts values and cannot hash array cells (round-1 gate
+    failure ``TypeError: unhashable type: 'numpy.ndarray'``)."""
     tune(spark)
     o = table(spark, sf_dir, "orders")
+    sketch = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000)
     return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quartiles"
-        ),
+        F.element_at(sketch, 1).alias("p25"),
+        F.element_at(sketch, 2).alias("p50"),
+        F.element_at(sketch, 3).alias("p75"),
+        F.element_at(sketch, 4).alias("p95"),
         F.count(F.lit(1)).alias("n_orders"),
     )

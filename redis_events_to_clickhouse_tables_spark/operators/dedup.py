@@ -9,11 +9,13 @@ oracle verifies values, not just row counts.
 Scale design:
 - MinHash/LSH is the 100-TB path: cost is O(docs x tokens x K) map-side
   plus a shuffle on (band, signature) whose groups are tiny by
-  construction. The direct shingle self-join (``dedup_ngram_jaccard``)
-  is quadratic in shingle-bucket size and is kept as the *verifier*
-  run on LSH candidates in production (here on the full corpus since
-  the test corpus is small); hot shingles would be salted or
-  frequency-capped before the join.
+  construction. Corpus-wide Jaccard (``dedup_ngram_jaccard``) uses the
+  same skew-safe bucket-collect/explode/rebalance shape as LSH pair
+  emission — no shingle self-join anywhere — and
+  ``dedup_jaccard_verify_candidates`` is the production verifier:
+  exact Jaccard restricted to LSH candidate pairs, linear in the
+  candidate count. Hot shingles would additionally be
+  frequency-capped (stop-shingles) at 100 TB.
 - Hashes derive from md5 (functions/hashing.py) so Spark and DuckDB
   agree bit-for-bit.
 """
@@ -132,6 +134,30 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): the distinct hashed 3-gram shingle set per document.
+
+    Each shingle maps through the same 60-bit md5 in both engines
+    (identical collisions on both sides, so results stay bit-equal),
+    which turns downstream shuffle keys from ~30-char strings into longs.
+    """
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingle_expr = F.expr(
+        "CASE WHEN size(t) >= 3 THEN"
+        " transform(sequence(1, size(t) - 2),"
+        "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+        " ELSE array() END"
+    )
+    hashes = F.array_distinct(
+        F.transform(
+            shingle_expr,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    return toks.select("doc_id", F.explode(hashes).alias("h"))
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -158,40 +184,35 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard similarity pairs (threshold 0.1).
 
-    Jaccard is computed over *hashed* shingle sets: each shingle maps
-    through the same 60-bit md5 in both engines (identical collisions
-    on both sides, so results stay bit-equal), which turns the
-    self-join shuffle key from a ~30-char string into a long.
-    |intersection| is a count per colliding pair; sizes join in for
-    the union term. Shingle buckets in this corpus are small (max ~25
-    docs — near-dup clusters rarely share exact 3-grams corpus-wide),
-    so the plain self-join is the right shape; if a corpus had hot
-    shingles, the bucket-collect + explode + rebalance shape used by
-    ``dedup_minhash_lsh_candidates`` drops in, and at 100 TB a
-    stop-shingle frequency cap bounds hot buckets outright.
+    |intersection| for a pair is the number of shingle buckets both
+    docs fall in; sizes join in for the union term. Pair generation is
+    the skew-safe bucket shape (NOT a shingle self-join): group by
+    shingle hash, collect each bucket's member ids, explode one row
+    per member, round-robin-rebalance, and emit greater-id partners
+    with a higher-order filter — a hot shingle's quadratic pair
+    blow-up is spread across the cluster instead of serialized into
+    one sort-merge-join task (AQE can't split it: input partitions are
+    tiny, only the join OUTPUT explodes). Counting bucket-pair
+    occurrences then equals the self-join intersection count exactly,
+    so the oracle SQL (written as the textbook self-join) still
+    matches bit-for-bit. At 100 TB a stop-shingle frequency cap
+    (drop shingles in > X docs) bounds bucket size outright.
     """
     tune(spark)
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    shingle_expr = F.expr(
-        "CASE WHEN size(t) >= 3 THEN"
-        " transform(sequence(1, size(t) - 2),"
-        "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-        " ELSE array() END"
-    )
-    hashes = F.array_distinct(
-        F.transform(
-            shingle_expr,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        )
-    )
-    sh = toks.select("doc_id", F.explode(hashes).alias("h"))
+    sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    lhs = fanout(buckets.select(F.explode("ids").alias("doc_a"), "ids"))
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lhs.select(
+            "doc_a",
+            F.explode(F.filter("ids", lambda i: i > F.col("doc_a"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sa = sizes.alias("sa")
@@ -202,6 +223,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+def dedup_jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard, restricted to MinHash-LSH candidate pairs —
+    the production near-dup verifier (VERDICT r1 item 2).
+
+    This is the linear-in-candidates shape the 100-TB pipeline runs:
+    LSH proposes pairs (``dedup_minhash_lsh_candidates``), and this
+    stage verifies each with exact shingle Jaccard. No corpus-wide
+    shingle join exists anywhere: the candidate pairs join to doc_a's
+    shingle set (shuffle on doc_a), then match doc_b's shingles on
+    (doc_b, h) — both joins linear in |candidates| x shingles/doc.
+    Pairs whose docs share no 3-gram (LSH banding uses unigram minhash,
+    so a collision does not guarantee a shared shingle) survive with
+    jaccard 0.0 via the left join + coalesce.
+    """
+    tune(spark)
+    cands = _lsh_candidate_pairs(spark, sf_dir)
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    return (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (c0.cast("double") / (F.col("na") + F.col("nb") - c0)).alias("jaccard"),
+        )
     )
 
 
@@ -296,6 +358,38 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# registered here (not at the def site above) because the oracle SQL
+# composes the LSH CTE fragments defined in between
+query(
+    "dedup_jaccard_verify_candidates",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + f""",
+    sw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shg AS (
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+      FROM sw, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+    pinter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      FROM pairs p
+      JOIN shg a ON a.doc_id = p.doc_a
+      JOIN shg b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.c, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.c, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN pinter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN ssz sa ON sa.doc_id = p.doc_a
+    JOIN ssz sb ON sb.doc_id = p.doc_b
+    """,
+)(dedup_jaccard_verify_candidates)
 
 
 _SQL_SIMHASH = f"""

@@ -61,6 +61,7 @@ def test_fixed_dims_broadcast(spark, name):
         "q18_large_volume_orders",
         "q21_waiting_suppliers",
         "dedup_minhash_lsh_candidates",
+        "dedup_jaccard_verify_candidates",
         "range_join_error_context",
     ],
 )
@@ -83,6 +84,18 @@ def test_wholestage_codegen_hot_path(spark):
     # the "*(n)" operator prefix is the whole-stage-codegen marker in
     # the compact plan string
     assert "*(" in plan, plan[:1500]
+
+
+def test_ngram_jaccard_has_no_shingle_self_join(spark):
+    """dedup_ngram_jaccard must use the bucket-collect/explode shape,
+    never a self-join of the exploded shingle table: a hot shingle
+    would serialize a quadratic pair blow-up into one join task
+    (VERDICT r1 'what's wrong' #2). The only joins allowed are the two
+    doc-size joins on the (linear) pair aggregate."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins <= 2, plan[:3000]
+    assert "collect_list" in plan, plan[:3000]
 
 
 def test_semi_and_anti_joins_planned(spark):
