@@ -63,6 +63,19 @@ class IngestConfig:
         - SPLIT_ARRAY_ITEMS_AS_COLUMNS    (.env.sample:76)
         - CLICKHOUSE_ALTERED_COLUMN_NULLABLE (.env.sample:48)
         - NON_CRITICAL_EVENT_TYPES        (comma-separated, .env.sample:85)
+
+        DELIBERATE DEVIATION — CLICKHOUSE_ALTERED_COLUMN_NULLABLE
+        defaults to True here when unset, whereas the reference treats
+        unset as false (src/main.ts:145-146, ``=== "1"``). The
+        reference can afford non-nullable added columns because
+        ClickHouse backfills them with type defaults (0, ''); this
+        store NULL-fills rows written before an ADD COLUMN, so a
+        non-nullable default would declare a schema the stored data
+        violates. Set the variable to "0" explicitly to opt into the
+        reference behavior (new tables' first-batch columns are then
+        declared non-nullable; columns added later still read back
+        NULL for pre-existing rows — that caveat is why True is the
+        default).
         """
         import os as _os
 

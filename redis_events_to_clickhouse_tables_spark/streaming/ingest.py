@@ -25,7 +25,6 @@ this is N filtered scans of one cached batch.
 from __future__ import annotations
 
 import json
-import shutil
 import threading
 import time
 import uuid
@@ -39,7 +38,7 @@ from pyspark.sql import functions as F
 from ..config import IngestConfig
 from ..plans.inference import parse_events
 from .normalize import normalize_events
-from .store import TableStore
+from .store import TableStore, swap_dirs
 
 DLQ_TABLE = "_dlq"
 
@@ -74,6 +73,14 @@ class IngestEngine:
         self.store = store
         self.config = config or IngestConfig()
         self._lock = threading.Lock()
+        # serializes every writer of the _dlq directory: concurrent
+        # appends to ONE output path share the FileOutputCommitter
+        # _temporary staging dir, and the first job's commit deletes
+        # it — a multi-table failure dead-lettering from the
+        # ThreadPoolExecutor could silently lose events (ADVICE r1).
+        # Also taken for the whole retry replay+swap so a concurrent
+        # dead-letter can't append into a dir about to be swapped away.
+        self._dlq_lock = threading.Lock()
 
     # -- K4: trace side-output -------------------------------------------
     def _trace(self, payload: dict) -> None:
@@ -112,10 +119,12 @@ class IngestEngine:
                     & (F.col("attempts") > 1)
                 )
             )
-        # the DLQ write bypasses evolution (fixed schema) — append directly
+        # the DLQ write bypasses evolution (fixed schema) — append
+        # directly, one writer at a time (see _dlq_lock)
         data_dir = self.store.root / DLQ_TABLE / "data"
-        data_dir.mkdir(parents=True, exist_ok=True)
-        dlq.write.mode("append").parquet(str(data_dir))
+        with self._dlq_lock:
+            data_dir.mkdir(parents=True, exist_ok=True)
+            dlq.write.mode("append").parquet(str(data_dir))
         n = dlq.count()
         with self._lock:
             report.n_dead_lettered += n
@@ -140,51 +149,56 @@ class IngestEngine:
         """
         report = IngestReport(batch_id=-1)
         data_dir = self.store.root / DLQ_TABLE / "data"
-        if not data_dir.exists() or not any(data_dir.glob("*.parquet")):
-            return report
-        dlq = self.spark.read.parquet(str(data_dir)).persist()
-        try:
-            eligible = dlq.filter(F.col("attempts") < max_attempts)
-            parked = dlq.filter(F.col("attempts") >= max_attempts)
-            failures: list[DataFrame] = []
-            tables = [
-                r[0] for r in eligible.select("target_table").distinct().collect()
-            ]
-            for t in sorted(tables):
-                sub = eligible.filter(F.col("target_table") == t)
-                try:
-                    events = parse_events(
-                        self.spark, sub.select(F.col("payload").alias("value"))
-                    )
-                    rows = normalize_events(events, self.config).persist()
-                    self.store.write(
-                        rows, t, nullable_new=self.config.altered_column_nullable
-                    )
-                    n = rows.count()
-                    rows.unpersist()
-                    report.tables[t] = n
-                    self._trace({"event": "dlq_retry_ok", "table": t, "rows": n})
-                except Exception as exc:  # noqa: BLE001 — back to the DLQ
-                    err = str(exc)[:500]
-                    report.errors[t] = err
-                    failures.append(
-                        sub.withColumn("attempts", F.col("attempts") + 1)
-                        .withColumn("error", F.lit(err))
-                        .withColumn("dead_lettered_at", F.current_timestamp())
-                    )
-                    self._trace({"event": "dlq_retry_fail", "table": t, "error": err})
-            remaining = parked
-            for f in failures:
-                remaining = remaining.unionByName(f)
-            # atomic DLQ replacement: write survivors to a fresh dir, swap
-            report.n_dead_lettered = remaining.count()
-            tmp = self.store.root / DLQ_TABLE / f".retry-{uuid.uuid4().hex[:8]}"
-            remaining.write.mode("overwrite").parquet(str(tmp))
-            shutil.rmtree(data_dir)
-            tmp.rename(data_dir)
-            return report
-        finally:
-            dlq.unpersist()
+        # hold the DLQ lock for the whole replay: a concurrent batch
+        # dead-lettering into data_dir between our read and the swap
+        # below would be deleted with the old directory otherwise
+        with self._dlq_lock:
+            if not data_dir.exists() or not any(data_dir.glob("*.parquet")):
+                return report
+            dlq = self.spark.read.parquet(str(data_dir)).persist()
+            try:
+                eligible = dlq.filter(F.col("attempts") < max_attempts)
+                parked = dlq.filter(F.col("attempts") >= max_attempts)
+                failures: list[DataFrame] = []
+                tables = [
+                    r[0] for r in eligible.select("target_table").distinct().collect()
+                ]
+                for t in sorted(tables):
+                    sub = eligible.filter(F.col("target_table") == t)
+                    try:
+                        events = parse_events(
+                            self.spark, sub.select(F.col("payload").alias("value"))
+                        )
+                        rows = normalize_events(events, self.config).persist()
+                        self.store.write(
+                            rows, t, nullable_new=self.config.altered_column_nullable
+                        )
+                        n = rows.count()
+                        rows.unpersist()
+                        report.tables[t] = n
+                        self._trace({"event": "dlq_retry_ok", "table": t, "rows": n})
+                    except Exception as exc:  # noqa: BLE001 — back to the DLQ
+                        err = str(exc)[:500]
+                        report.errors[t] = err
+                        failures.append(
+                            sub.withColumn("attempts", F.col("attempts") + 1)
+                            .withColumn("error", F.lit(err))
+                            .withColumn("dead_lettered_at", F.current_timestamp())
+                        )
+                        self._trace({"event": "dlq_retry_fail", "table": t, "error": err})
+                remaining = parked
+                for f in failures:
+                    remaining = remaining.unionByName(f)
+                # atomic DLQ replacement: write survivors to a fresh
+                # dir, then crash-safe swap (old dir renamed aside
+                # before deletion — streaming/store.py swap_dirs)
+                report.n_dead_lettered = remaining.count()
+                tmp = self.store.root / DLQ_TABLE / f".retry-{uuid.uuid4().hex[:8]}"
+                remaining.write.mode("overwrite").parquet(str(tmp))
+                swap_dirs(tmp, data_dir)
+                return report
+            finally:
+                dlq.unpersist()
 
     # -- the tick ---------------------------------------------------------
     def process_raw_batch(self, raw: DataFrame, batch_id: int | None = None) -> IngestReport:

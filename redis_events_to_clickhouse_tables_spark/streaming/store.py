@@ -153,8 +153,12 @@ class TableStore:
             ]
             if changed:
                 # D4: ALTER COLUMN TYPE equivalent — rewrite stored data
-                # under the widened schema
+                # under the widened schema; persist the widened schema
+                # immediately so a failure later in this write (e.g. the
+                # append) can't leave widened data files under a stale
+                # sidecar that read() would then mis-type (ADVICE r1)
                 self._rewrite(table, existing, target)
+                self._save_schema(table, target)
 
         aligned = _align(df, target)
         sort_cols = [c for c in meta["sort_by"] if c in set(target.fieldNames())]
@@ -209,8 +213,7 @@ class TableStore:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(str(tmp))
-        shutil.rmtree(data_dir)
-        tmp.rename(data_dir)
+        swap_dirs(tmp, data_dir)
         n_after = len(list(data_dir.rglob("*.parquet")))
         return (n_before, n_after)
 
@@ -230,8 +233,25 @@ class TableStore:
         if meta["partition_by"]:
             writer = writer.partitionBy(*meta["partition_by"])
         writer.parquet(str(tmp))
-        shutil.rmtree(data_dir)
-        tmp.rename(data_dir)
+        swap_dirs(tmp, data_dir)
+
+
+def swap_dirs(tmp: Path, live: Path) -> None:
+    """Replace ``live`` with ``tmp`` without a window where the data is
+    gone-for-good: the old dir is renamed aside (one atomic rename)
+    before the new one takes its place, and only then deleted. A crash
+    between the renames leaves a ``.old-*`` sibling holding the full
+    previous contents — recoverable by hand — instead of the
+    rmtree-then-rename shape whose mid-crash state loses the table
+    outright (ADVICE r1)."""
+    old = live.with_name(f".old-{uuid.uuid4().hex[:8]}")
+    live.rename(old)
+    try:
+        tmp.rename(live)
+    except OSError:
+        old.rename(live)  # roll back; tmp is left for inspection
+        raise
+    shutil.rmtree(old)
 
 
 def _align(df: DataFrame, target: T.StructType) -> DataFrame:

@@ -160,3 +160,24 @@ def test_dlq_retry_attempts_and_parking(spark, tmp_path, monkeypatch):
     report = engine.retry_dead_letters(max_attempts=2)
     assert report.tables == {} and report.errors == {}
     assert engine.read_dlq().collect()[0]["attempts"] == 2
+
+
+def test_concurrent_multi_table_failures_keep_all_dead_letters(
+    spark, tmp_path, monkeypatch
+):
+    # a store outage mid-batch fails EVERY table's flush concurrently;
+    # DLQ appends are serialized (shared FileOutputCommitter staging
+    # dir), so no dead-lettered event may be lost
+    engine, store = _engine(spark, tmp_path)
+    monkeypatch.setattr(
+        store,
+        "write",
+        lambda df, table, **kw: (_ for _ in ()).throw(RuntimeError("outage")),
+    )
+    report = engine.process_raw_batch(
+        _raw(spark, [{"event_type": f"t{i}", "x": i} for i in range(6)])
+    )
+    assert report.n_dead_lettered == 6
+    dlq = engine.read_dlq()
+    assert dlq.count() == 6
+    assert {r["target_table"] for r in dlq.collect()} == {f"t{i}" for i in range(6)}

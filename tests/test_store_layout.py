@@ -97,3 +97,57 @@ def test_engine_streaming_batches_idempotent(spark, tmp_path):
     engine.process_raw_batch(raw, batch_id=3)
     engine.process_raw_batch(raw, batch_id=3)  # crash-replay of batch 3
     assert store.read("e").count() == 1
+
+
+def test_swap_dirs_rolls_back_when_replacement_missing(spark, tmp_path):
+    # crash-safety: swap never has a window where the live data is
+    # deleted before the replacement is in place
+    import pytest
+
+    from redis_events_to_clickhouse_tables_spark.streaming.store import swap_dirs
+
+    live = tmp_path / "data"
+    live.mkdir()
+    (live / "part-0.parquet").write_text("payload")
+    with pytest.raises(OSError):
+        swap_dirs(tmp_path / "does-not-exist", live)
+    assert (live / "part-0.parquet").read_text() == "payload"
+
+
+def test_compaction_leaves_no_old_dirs(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    for k in range(3):
+        store.write(_df(spark, [(k, "d1")]), "t")
+    store.compact("t")
+    assert store.read("t").count() == 3
+    leftovers = [p.name for p in (store.root / "t").iterdir() if p.name.startswith(".old-")]
+    assert leftovers == []
+
+
+def test_widened_schema_persists_even_if_append_fails(spark, tmp_path, monkeypatch):
+    # D4 ordering: the sidecar schema must be saved right after the
+    # widening rewrite — an append failure later must not leave widened
+    # data files under a stale (narrower) sidecar
+    store = _store(spark, tmp_path)
+    store.write(_df(spark, [(1, "d1")], "a long, day string"), "t")
+    import redis_events_to_clickhouse_tables_spark.streaming.store as store_mod
+
+    original_align = store_mod._align
+    calls = {"n": 0}
+
+    def align_then_fail(df, target):
+        calls["n"] += 1
+        if calls["n"] == 2:  # 1st call: the rewrite; 2nd: the append
+            raise RuntimeError("append torpedoed")
+        return original_align(df, target)
+
+    monkeypatch.setattr(store_mod, "_align", align_then_fail)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="append torpedoed"):
+        store.write(_df(spark, [("two", "d2")], "a string, day string"), "t")
+    monkeypatch.setattr(store_mod, "_align", original_align)
+    # sidecar must already declare the widened type, matching the
+    # rewritten data files, so the table still reads cleanly
+    assert store.table_schema("t")["a"].dataType.simpleString() == "string"
+    assert {r["a"] for r in store.read("t").collect()} == {"1"}
