@@ -125,3 +125,129 @@ def test_two_source_fanin_union(spark, tmp_path):
     assert {r["src"] for r in rows} == {"main", "legacy"}
     # the legacy marker is a reserved key: dropped during normalize (P1)
     assert "__is_from_old_queue" not in store.read("t").columns
+
+
+def test_watchdog_flags_silence_and_refires(spark):
+    """B5 detection logic: a query with no sign of life for timeout_s
+    is flagged, and flagged again after a full further silent period
+    (clock resets per firing, so a dead query isn't spammed per poll)."""
+    import time as _time
+
+    from redis_events_to_clickhouse_tables_spark.streaming.watchdog import (
+        StallWatchdog,
+    )
+
+    fired: list[str] = []
+    wd = StallWatchdog(spark, timeout_s=1.0, on_stall=fired.append, poll_s=0.2)
+    wd.start()
+    try:
+        wd._mark("q1")
+        _time.sleep(3.0)
+    finally:
+        wd.stop()
+    assert fired.count("q1") >= 2
+    assert wd.stalls == fired
+
+
+def test_watchdog_restarts_stalled_worker(spark, tmp_path, monkeypatch):
+    """B5 end-to-end: a sink hang (the batch blocks well past the
+    timeout) stalls the stream; the supervisor detects it, stops the
+    query, and rebuilds from the checkpoint; the uncommitted batch
+    replays and the event still lands exactly once.
+
+    The hang ends in StoreUnavailableError (the B4 sink-down path):
+    foreachBatch can't be preempted mid-call — stop() blocks until the
+    hung callback returns — so the deterministic recovery story is
+    detection (immediate) + a failed batch whose offsets never commit
+    + replay in the rebuilt incarnation."""
+    import threading as _threading
+    import time as _time
+
+    from redis_events_to_clickhouse_tables_spark.__main__ import run_worker
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        StoreUnavailableError,
+    )
+
+    inbox = tmp_path / "inbox"
+    _write_jsonl(inbox / "b1.jsonl", [{"event_type": "wt", "x": 1}])
+    hang = {"armed": True}
+    orig = IngestEngine.process_raw_batch
+
+    def hanging_batch(self, raw, batch_id=None):
+        if hang["armed"]:
+            hang["armed"] = False
+            _time.sleep(30)  # far past the 15s watchdog window
+            raise StoreUnavailableError("sink hung, then down")
+        return orig(self, raw, batch_id)
+
+    monkeypatch.setattr(IngestEngine, "process_raw_batch", hanging_batch)
+    env = {
+        "INGEST_INPUT_PATH": str(inbox),
+        "INGEST_WAREHOUSE": str(tmp_path / "wh"),
+        "BULK_REPEAT_INTERVAL_SEC": "1",
+        # comfortably above a healthy cold batch (~5-10s here) so only
+        # the genuine hang trips it
+        "WATCH_DOG_MAX_INACTIVITY_SEC": "15",
+    }
+    shutdown = _threading.Event()
+    result: dict[str, int] = {}
+
+    def run():
+        result["restarts"] = run_worker(spark, env, shutdown)
+
+    th = _threading.Thread(target=run, daemon=True)
+    th.start()
+    store = TableStore(spark, tmp_path / "wh")
+    deadline = _time.time() + 150
+    while _time.time() < deadline:
+        if store.table_exists("wt") and store.read("wt").count() >= 1:
+            break
+        _time.sleep(1)
+    shutdown.set()
+    th.join(timeout=90)
+    assert not th.is_alive()
+    assert result.get("restarts", 0) >= 1  # the stall was detected + survived
+    assert store.read("wt").count() == 1  # exactly once despite the replay
+
+
+def test_worker_periodic_compaction_reduces_files(spark, tmp_path):
+    """Maintenance hook: the supervised worker periodically stops the
+    stream, compacts every table's small micro-batch files, and resumes
+    from the checkpoint — file count drops, no rows are lost."""
+    import threading as _threading
+    import time as _time
+
+    from redis_events_to_clickhouse_tables_spark.__main__ import run_worker
+
+    inbox = tmp_path / "inbox"
+    for i in range(4):
+        _write_jsonl(inbox / f"b{i}.jsonl", [{"event_type": "ct", "x": i}])
+    env = {
+        "INGEST_INPUT_PATH": str(inbox),
+        "INGEST_WAREHOUSE": str(tmp_path / "wh"),
+        "BULK_REPEAT_INTERVAL_SEC": "1",
+        "TAKE_UP_TO_PER_BATCH": "1",  # one file per micro-batch: 4 appends
+        "COMPACT_EVERY_SEC": "8",
+        "WATCH_DOG_MAX_INACTIVITY_SEC": "0",
+    }
+    shutdown = _threading.Event()
+    th = _threading.Thread(
+        target=lambda: run_worker(spark, env, shutdown), daemon=True
+    )
+    th.start()
+    store = TableStore(spark, tmp_path / "wh")
+    data_dir = tmp_path / "wh" / "ct" / "data"
+    deadline = _time.time() + 150
+    ok = False
+    while _time.time() < deadline:
+        if store.table_exists("ct") and store.read("ct").count() == 4:
+            n_files = len(list(data_dir.rglob("*.parquet")))
+            if n_files <= 2:  # 4 single-row appends compacted down
+                ok = True
+                break
+        _time.sleep(2)
+    shutdown.set()
+    th.join(timeout=90)
+    assert not th.is_alive()
+    assert ok, "compaction never reduced the file count"
+    assert {r["x"] for r in store.read("ct").collect()} == {0, 1, 2, 3}
