@@ -62,6 +62,7 @@ def test_fixed_dims_broadcast(spark, name):
         "q21_waiting_suppliers",
         "dedup_minhash_lsh_candidates",
         "dedup_jaccard_verify_candidates",
+        "sim_ivf_kmeans_topk",
         "range_join_error_context",
     ],
 )
