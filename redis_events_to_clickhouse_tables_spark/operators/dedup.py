@@ -320,10 +320,11 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs(spark, sf_dir)
 
 
-def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(band, bsig, ids): every collision bucket with its sorted
-    member ids — the shared substrate of pair emission and clustering."""
-    sig = _minhash_sig_array(table(spark, sf_dir, "documents"))
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig): the LSH banding of each document's MinHash
+    signature — the unit the batch pipeline buckets on and the
+    streaming incremental index (streaming/neardup.py) persists."""
+    sig = _minhash_sig_array(docs)
     n_bands = _N_HASHES // _BAND_ROWS
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -338,9 +339,15 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bsig"),
         ),
     )
-    band = sig.select("doc_id", F.explode(bands).alias("bs")).select(
+    return sig.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", "bs.band", "bs.bsig"
     )
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, bsig, ids): every collision bucket with its sorted
+    member ids — the shared substrate of pair emission and clustering."""
+    band = band_signatures(table(spark, sf_dir, "documents"))
     return (
         band.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
