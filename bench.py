@@ -4,6 +4,13 @@
 Each query is materialized with a count-style action so the full plan
 executes (no collect of large results to the driver). Times include
 Catalyst planning — that's the honest end-to-end latency a user sees.
+
+Output contract (BENCH_r1 arrived head-truncated: the harness records
+only the last ~2 KB of stdout, and 100 per-query timings overflow
+that): the stdout JSON line stays compact — a headline-query subset
+plus totals, with the scalar summary fields LAST so they survive any
+tail capture — and the full per-query timing map is written to
+``BENCH_FULL.json`` next to this script for the full record.
 """
 
 from __future__ import annotations
@@ -80,21 +87,66 @@ def main() -> None:
 
     ingest_sec, ingest_events = bench_layer_a_ingest(spark, sf_dir)
     timings["layer_a_ingest"] = round(ingest_sec, 4)
+    events_per_sec = round(ingest_events / ingest_sec, 1)
     print(
         f"# layer_a_ingest: {ingest_sec:.3f}s for {ingest_events} events "
-        f"({ingest_events / ingest_sec:,.0f} events/s; reference ceiling 20/s/table)",
+        f"({events_per_sec:,.0f} events/s; reference ceiling 20/s/table)",
         file=sys.stderr,
     )
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "layer_a_ingest_events": ingest_events,
+        "layer_a_ingest_events_per_sec": events_per_sec,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q6_forecast_revenue",
+        "q8_market_share",
+        "q9_product_profit",
+        "q18_large_volume_orders",
+        "q21_waiting_suppliers",
+        "events_flagship_daily",
+        "events_sessionize",
+        "window_moving_avg_spend",
+        "grouped_user_gap_stats",
+        "dedup_exact_documents",
+        "dedup_minhash_lsh_candidates",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_verify_candidates",
+        "dedup_cluster_components",
+        "sim_bruteforce_topk",
+        "sim_ivf_kmeans_topk",
+        "sim_embedding_neardup",
+        "text_tf_idf",
+        "multimodal_frame_sample",
+        "layer_a_ingest",
+    ]
+    # queries first, scalar summary last: the harness keeps the TAIL
+    # of stdout, so the fields that must survive go at the end
     print(
         json.dumps(
             {
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "n_queries": len(timings),
+                "full_timings": "BENCH_FULL.json",
+                "layer_a_ingest_events": ingest_events,
+                "layer_a_ingest_events_per_sec": events_per_sec,
+                "sf": sf_val,
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
             }
         )
     )

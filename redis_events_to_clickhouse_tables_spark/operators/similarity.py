@@ -379,8 +379,17 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = v.filter(F.col("vec_id") < _K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
+    prev = None
     for _ in range(_KM_ITERS):
-        cents = _km_update(_km_assign(v, cents))
+        # materialize each round's centroids (K x dims doubles): the
+        # next assignment broadcasts them, and without the persist the
+        # broadcast job re-executes every earlier iteration's lineage —
+        # the same round-caching discipline as dedup_cluster_components
+        cents = _km_update(_km_assign(v, cents)).persist()
+        cents.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     assigned = _km_assign(v, cents)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
