@@ -399,6 +399,53 @@ query(
 )(dedup_jaccard_verify_candidates)
 
 
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs: exact
+    Levenshtein over a fixed 200-char prefix of each document.
+
+    Character-level verification complements shingle Jaccard: it
+    catches small in-place edits that shift every containing 3-gram.
+    The prefix cap bounds the O(len^2) DP per pair — at 100 TB you
+    budget verifier cost per candidate, never per corpus — and the
+    work is linear in |candidates| with both text joins shuffling on
+    doc id. ``levenshtein`` is engine-exact (unit-cost edits in both
+    Spark and DuckDB), so the oracle checks values.
+    """
+    tune(spark)
+    cands = _lsh_candidate_pairs(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    ta = d.select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 200).alias("txt_a")
+    )
+    tb = d.select(
+        F.col("doc_id").alias("doc_b"), F.substring("text", 1, 200).alias("txt_b")
+    )
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("txt_a", "txt_b").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+query(
+    "dedup_levenshtein_verify",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + """
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+                AS BIGINT) AS edit_distance
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.doc_a
+    JOIN documents b ON b.doc_id = p.doc_b
+    """,
+)(dedup_levenshtein_verify)
+
+
 _SQL_SIMHASH = f"""
     WITH toks AS ({_SQL_TOKS}),
     bits AS (

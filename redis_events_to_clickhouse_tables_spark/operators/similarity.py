@@ -415,6 +415,59 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3),
+    iv AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.vec_id <> b.vec_id
+         AND {_SQL_BUCKET.format(e="a")} = {_SQL_BUCKET.format(e="b")}
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3)
+    SELECT ex.q_id, CAST(COUNT(iv.q_id) AS DOUBLE) / 3 AS recall_at_3
+    FROM ex LEFT JOIN iv ON iv.q_id = ex.q_id AND iv.c_id = ex.c_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality metric: recall@3 of the sign-bucket IVF against
+    exact brute-force top-3, per query vector.
+
+    The measurement every ANN deployment runs before trusting an
+    index: build the ground truth on a (small, broadcastable) query
+    sample, left-join the approximate results onto it, and count hits.
+    Composes the two registered pipelines unchanged, so the metric
+    can't drift from what the index actually serves. At scale the
+    ground-truth side is the expensive half — which is exactly why
+    it runs over the bounded query set, not the corpus.
+    """
+    tune(spark)
+    ex = sim_bruteforce_topk(spark, sf_dir).filter(F.col("rk") <= 3).select(
+        "q_id", "c_id"
+    )
+    iv = sim_ivf_bucketed_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        ex.join(iv, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg((F.count("hit").cast("double") / F.lit(3)).alias("recall_at_3"))
+    )
+
+
 _FP_SCALE = 10_000_000  # fixed-point quantum for cross-engine-exact sums
 
 
