@@ -76,6 +76,13 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     if "q1_pricing_summary" in registry:
         registry["q1_pricing_summary"].build(spark, sf_dir).count()
+    # warm the Python-worker pool (Arrow path): the first mapInPandas in
+    # a session forks one interpreter per core, each importing
+    # pyspark+pandas (~13 s across 32 cores); workers are reused after
+    # (spark.python.worker.reuse), so that one-time cost must not land
+    # on whichever Arrow query happens to run first
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par, 1, par).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in registry.items():
