@@ -574,6 +574,9 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOCAL_FINISH_MAX_STARS = 4_000_000
+
+
 @query(
     "dedup_cluster_components",
     # DuckDB needs the RECURSIVE keyword on the whole WITH chain when
@@ -601,16 +604,25 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering step that turns near-dup PAIRS into dedup GROUPS (one
     canonical id per cluster: the minimum member id).
 
-    Iterative min-label propagation: every doc starts labeled with its
-    own id; each round takes the min of its label and its neighbors'
-    labels; converged when a round changes nothing. Rounds are pure
-    DataFrame joins + aggregations (state persisted between rounds,
-    previous round unpersisted), so each round is one shuffle on
-    doc_id — the standard large-graph CC shape, bounded by the
-    component diameter (LSH buckets produce cliques, so diameters stay
-    small). The oracle computes the same components via a recursive
-    transitive-closure CTE — one of the genuinely iterative algorithms
-    the driver contract expects, here still value-checked exactly.
+    Two-phase, the published large-graph CC recipe (contraction, then
+    finish small graphs off-cluster): phase 1 contracts each LSH
+    bucket (a clique in the pair graph) to a STAR — hub = min member,
+    spokes to every member — which is linear in corpus size where
+    pairs are quadratic in bucket size. Phase 2 depends on the
+    contracted size: if the star set fits a bounded driver budget
+    (``_LOCAL_FINISH_MAX_STARS`` rows ~= 64 MB), a local union-find
+    finishes in one collect — every distributed round costs a full
+    shuffle barrier plus scheduler latency, so once the graph is
+    driver-sized, more rounds are pure overhead (the same
+    fits-in-memory principle AQE uses to promote broadcast joins).
+    Above the budget — the 100-TB case — iterative min-label
+    propagation with pointer jumping runs entirely as DataFrame
+    joins + aggregations, O(log diameter) rounds, one shuffle per
+    round, convergence probed by a 1-scalar monotone-sum collect.
+    Both phases produce identical min-labels; the oracle computes the
+    same components via a recursive transitive-closure CTE — one of
+    the genuinely iterative algorithms the driver contract expects,
+    here still value-checked exactly.
     """
     tune(spark)
     # Components of the candidate-pair graph equal components of the
@@ -621,7 +633,31 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _lsh_buckets(spark, sf_dir)
     stars = buckets.select(
         F.element_at("ids", 1).alias("hub"), F.explode("ids").alias("doc")
-    )
+    ).persist()
+    n_stars = stars.count()
+    if n_stars <= _LOCAL_FINISH_MAX_STARS:
+        # local finish: union-find over the contracted star edges
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for hub, doc in stars.collect():
+            parent.setdefault(hub, hub)
+            parent.setdefault(doc, doc)
+            ra, rb = find(hub), find(doc)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-root union
+        out = [(doc, find(doc)) for doc in parent]
+        stars.unpersist()
+        return spark.createDataFrame(
+            out, "doc_id long, component_id long"
+        )
     edges = (
         stars.filter(F.col("hub") != F.col("doc"))
         .select(F.col("hub").alias("src"), F.col("doc").alias("dst"))
@@ -674,4 +710,5 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
+    stars.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_id"))

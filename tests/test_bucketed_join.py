@@ -43,3 +43,21 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_cluster_components_phases_agree(spark, monkeypatch):
+    """The local union-find finish and the distributed min-label loop
+    must produce identical components: force the distributed path by
+    zeroing the driver budget and compare against the (default) local
+    path at test scale."""
+    from redis_events_to_clickhouse_tables_spark.operators import dedup
+
+    local = sorted(
+        tuple(r) for r in dedup.dedup_cluster_components(spark, SF_DIR).collect()
+    )
+    monkeypatch.setattr(dedup, "_LOCAL_FINISH_MAX_STARS", 0)
+    dist = sorted(
+        tuple(r) for r in dedup.dedup_cluster_components(spark, SF_DIR).collect()
+    )
+    assert local == dist
+    assert len(local) > 0
