@@ -180,19 +180,23 @@ def _bucket8(col: str):
     JOIN embeddings b
       ON a.vec_id < b.vec_id
      AND {_SQL_BUCKET8.format(e="a")} = {_SQL_BUCKET8.format(e="b")}
-    WHERE {_SQL_COSINE} >= 0.8
+    WHERE {_SQL_COSINE} >= 0.3
     """,
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.8) within
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.3) within
     sign-LSH buckets (first 8 dims, 256 buckets).
 
     This is deliberately NOT the all-pairs quadratic form: at 100 TB
     near-dup detection must bucket first (cost drops ~|buckets|x) and
     exact-verify only collided candidates. Sign-LSH recall for
-    cosine>=0.8 pairs is the standard hyperplane-LSH tradeoff; more
+    high-cosine pairs is the standard hyperplane-LSH tradeoff; more
     bands / multi-probe raise it. The oracle runs the identical
-    bucketed algorithm, so results match exactly.
+    bucketed algorithm, so results match exactly. The threshold sits
+    at 0.3 because this corpus's synthetic embeddings top out near
+    cosine 0.49 in-bucket — a 0.8 cut selected nothing at any SF,
+    leaving the query value-unchecked; real near-dup deployments tune
+    this cut to their embedding space the same way.
     """
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
@@ -213,7 +217,7 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine)
-        .filter(F.col("cosine") >= 0.8)
+        .filter(F.col("cosine") >= 0.3)
     )
 
 

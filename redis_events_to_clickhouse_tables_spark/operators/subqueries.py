@@ -266,15 +266,25 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
     FROM customer
     WHERE c_acctbal > (SELECT a FROM avg_bal)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar AVG subquery + anti join."""
+    """TPC-H Q22 shape: scalar AVG subquery + anti join.
+
+    The anti join excludes customers with an URGENT order rather than
+    any order: every customer in this corpus has orders, so the
+    original form returned 0 rows at every SF and verified nothing;
+    the priority filter keeps ~6% of customers surviving at all SFs.
+    """
     tune(spark)
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(dec("c_acctbal", 12)).cast("double") / F.count(F.lit(1))).alias("a")
     )
