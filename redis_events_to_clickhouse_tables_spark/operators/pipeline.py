@@ -1,0 +1,373 @@
+"""Training-data pipeline operators: contamination checks, sequence
+packing, repetition filtering, corpus composition, and embedding
+outlier removal.
+
+These are the curation stages a large-scale LLM data pipeline runs
+between raw dedup and tokenized shards — north-star additions beyond
+the reference's ingestion surface (the reference, a Redis→ClickHouse
+ETL bridge, has no analytics layer; see SURVEY.md §2.9). Everything
+here is JVM-side (higher-order functions + hash-groupBy), so the hot
+path stays inside whole-stage codegen at any corpus size.
+
+Determinism follows the registry doctrine: integer/decimal sums,
+md5-derived hashes, 1e-7 fixed-point embedding aggregation, single
+final IEEE division — every query hash-matches its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..registry import query
+from ..session import tune
+from ..sources.tables import fanout, table
+
+# contamination: 5-gram collision against the held-out benchmark slice
+_CONTAM_N = 5
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark ("eval") document
+# flagged when >=1% of a doc's 5-grams hit the bench set. The cut is
+# tuned to this corpus the way every decontamination deployment tunes
+# its own: clean docs here sit at exactly 0 overlap, exact-dup cluster
+# members of a bench doc near 1.0, and light collisions at ~0.02, so
+# 0.01 separates the classes at every SF (a 0.05 cut left the flag
+# single-valued at sf<=0.01 — value-unchecked).
+_CONTAM_CUT = 0.01
+
+# packing: target context-window length in (whitespace) tokens
+_PACK_LEN = 4096
+
+# repetition: max tolerated duplicate-bigram fraction (Gopher-style).
+# This corpus's duplicate-bigram share ranges 0..0.18 with p80 ~= 0.05,
+# so the cut keeps ~80% and flags a real tail at every SF.
+_REP_CUT = 0.05
+
+_FP = 10_000_000  # fixed-point quantum (see embedding_label_centroids)
+
+
+def _fivegram_hashes() -> Column:
+    """Distinct md5-hashed 5-grams of the space-tokenized text."""
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (_CONTAM_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + k) for k in range(_CONTAM_N)]
+        ),
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    )
+
+
+_SQL_FIVEGRAMS = f"""
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]")} AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {_CONTAM_N}) s,
+           UNNEST(range(1, len(t) - {_CONTAM_N - 2})) AS u(i)
+"""
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH g AS ({_SQL_FIVEGRAMS}),
+    bench AS (SELECT DISTINCT h FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT doc_id, h FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_hits
+      FROM train t JOIN bench b ON b.h = t.h
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_ngrams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.n_ngrams AS overlap_share,
+           COALESCE(h.n_hits, 0) >= {_CONTAM_CUT} * s.n_ngrams AS contaminated
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents whose
+    5-grams collide with a held-out benchmark slice (doc_id % 97 == 0
+    stands in for the eval suite).
+
+    The standard decontamination pass (GPT-3 appendix C / PaLM-style
+    n-gram overlap): build the benchmark's n-gram set once, stream the
+    training corpus against it, flag docs above an overlap share. The
+    benchmark n-gram set is tiny relative to the corpus — a broadcast
+    — so the scan stays shuffle-free on the training side except one
+    hash-groupBy per doc; at 100 TB this is a single pass. Comparing
+    md5-hashed grams (not strings) keeps the broadcast and the
+    group-by keys fixed-width.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents")).filter(
+        F.size(F.split(F.col("text"), " ")) >= _CONTAM_N
+    )
+    g = d.select("doc_id", F.explode(_fivegram_hashes()).alias("h"))
+    bench = g.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
+    train = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            n_hits.alias("n_hits"),
+            (n_hits.cast("double") / F.col("n_ngrams")).alias("overlap_share"),
+            (n_hits >= _CONTAM_CUT * F.col("n_ngrams")).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "pack_sequences_contiguous",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM n)
+    SELECT lang,
+           CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS seq_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_LEN} AS fill_ratio
+    FROM c
+    GROUP BY lang, CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT)
+    """,
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget training
+    sequences (4096 tokens) by contiguous cumulative fill, reporting
+    per-sequence document count and fill ratio.
+
+    The tokenize-and-pack stage that turns a curated corpus into
+    training shards. A document starts in the sequence its running
+    token total (exclusive of itself) falls in — the deterministic
+    streaming-fill rule. Partitioning the running sum BY LANG is the
+    scale design: each partition's window is independent, so at 100 TB
+    packing parallelizes over the shard key (here language; in
+    production, any bounded shard column) instead of forcing one
+    global ordered window. Token counts are integers, so every
+    aggregate is exact.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = n.select("lang", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
+    seq = F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_LEN).alias("seq_id")
+    return c.groupBy("lang", seq).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        (F.sum("n_tokens").cast("double") / _PACK_LEN).alias("fill_ratio"),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 2) s)
+    SELECT doc_id,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
+           CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             AS dup_fraction,
+           CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             <= {_REP_CUT} AS keep
+    FROM b
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter: duplicate-bigram fraction per
+    document, Gopher-style (Rae et al. 2021 repetition heuristics).
+
+    Boilerplate and template spam repeat phrases; a high duplicate
+    n-gram share is the cheap signal. Entirely per-row higher-order
+    functions (no shuffle at all, no explode — the bigram list lives
+    and dies inside one projection), so the filter runs at scan speed
+    over 100 TB and composes with any downstream stage.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    dup_frac = (
+        (F.size(bg) - F.size(F.array_distinct(bg))).cast("double") / F.size(bg)
+    )
+    return (
+        d.filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            F.size(bg).alias("n_bigrams"),
+            F.size(F.array_distinct(bg)).alias("n_distinct"),
+            dup_frac.alias("dup_fraction"),
+            (dup_frac <= _REP_CUT).alias("keep"),
+        )
+    )
+
+
+@query(
+    "corpus_composition_stats",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+             AS dup_ratio
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_composition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, language) document,
+    token, and byte volume plus the exact-duplicate ratio.
+
+    The mixture table every dataset card publishes and every sampling-
+    weight decision reads. One hash-groupBy; the duplicate ratio
+    counts distinct md5 digests so the distinct-aggregation state is
+    fixed-width (32-byte digests, never document bodies) — the same
+    trick as dedup_exact_documents, and the whole report is one
+    shuffle at any corpus size.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n_docs = F.count(F.lit(1))
+    n_uniq = F.count_distinct(F.md5(F.col("text")))
+    return d.groupBy("source", "lang").agg(
+        n_docs.alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        n_uniq.alias("n_unique_texts"),
+        (F.lit(1.0) - n_uniq.cast("double") / n_docs).alias("dup_ratio"),
+    )
+
+
+_SQL_CENTROID_ARR = f"""
+    cent AS (
+      SELECT label, p.pos,
+             CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * {_FP})
+                  AS BIGINT) AS xi
+      FROM embeddings, UNNEST(range(len(embedding))) AS p(pos)),
+    cmean AS (
+      SELECT label, pos,
+             CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * {_FP}.0) AS x
+      FROM cent GROUP BY label, pos),
+    carr AS (
+      SELECT label, list(x ORDER BY pos) AS c FROM cmean GROUP BY label)
+"""
+
+
+def _ddot(a: Column, b: Column) -> Column:
+    """Left-to-right fold dot product (bit-equal to list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+@query(
+    "embedding_outlier_filter",
+    oracle=f"""
+    WITH {_SQL_CENTROID_ARR.strip()},
+    d AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+               + list_dot_product(c.c, c.c) AS dist2
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) e
+      JOIN carr c ON c.label = e.label),
+    m AS (
+      SELECT label,
+             CAST(SUM(CAST(ROUND(dist2 * {_FP}) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * {_FP}.0) AS mean_d2
+      FROM d GROUP BY label)
+    SELECT d.vec_id, d.label, d.dist2, m.mean_d2,
+           d.dist2 > 1.04 * m.mean_d2 AS is_outlier
+    FROM d JOIN m ON m.label = d.label
+    """,
+)
+def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filter: distance of each vector to its
+    label centroid, flagged when above 1.04x the label's mean squared
+    distance — the standard mislabeled/noise-sample sweep before
+    training on labeled embeddings. (These synthetic embeddings are
+    near-uniform around their centroids — dist2/mean tops out at ~1.12
+    — so the cut sits just inside that tail; a real embedding space
+    would use a looser multiplier the same way.)
+
+    Centroids come from the 1e-7 fixed-point integer sums (exact,
+    associative — map-side partials; see embedding_label_centroids),
+    collapse to one small array-of-structs frame, and broadcast onto
+    the vectors: the per-vector distance pass is shuffle-free and
+    embarrassingly parallel. Distances use the |v|^2 - 2v.c + |c|^2
+    three-dot form whose left-to-right folds are bit-equal to DuckDB's
+    list_dot_product, and the per-label mean re-quantizes dist2 so the
+    second aggregation is exact too. Two tiny shuffles total
+    ((label,pos) partials, (label) means) regardless of corpus size.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * _FP).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label", "pos",
+            (F.col("s").cast("double") / (F.col("n") * float(_FP))).alias("x"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+            ).alias("c")
+        )
+    )
+    v = e.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dist2 = (
+        _ddot(F.col("v"), F.col("v"))
+        - F.lit(2) * _ddot(F.col("v"), F.col("c"))
+        + _ddot(F.col("c"), F.col("c"))
+    )
+    d = v.join(F.broadcast(cents), "label").select("vec_id", "label", dist2.alias("dist2"))
+    m = d.groupBy("label").agg(
+        (
+            F.sum(F.round(F.col("dist2") * _FP).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * float(_FP))
+        ).alias("mean_d2")
+    )
+    return d.join(F.broadcast(m), "label").select(
+        "vec_id", "label", "dist2", "mean_d2",
+        (F.col("dist2") > 1.04 * F.col("mean_d2")).alias("is_outlier"),
+    )

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         grouped,
         multimodal,
+        pipeline,
         relational,
         similarity,
         skew,
