@@ -137,6 +137,8 @@ def main() -> None:
         "sim_ivf_kmeans_topk",
         "sim_embedding_neardup",
         "text_tf_idf",
+        "contamination_ngram_overlap",
+        "pack_sequences_contiguous",
         "multimodal_frame_sample",
         "layer_a_ingest",
     ]

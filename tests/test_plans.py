@@ -104,3 +104,28 @@ def test_semi_and_anti_joins_planned(spark):
     distinct+inner rewrite)."""
     assert "LeftSemi" in _plan(spark, "join_semi_urgent_customers")
     assert "LeftAnti" in _plan(spark, "join_anti_inactive_customers")
+
+
+def test_contamination_broadcasts_bench_set(spark):
+    """The benchmark n-gram set must reach the training scan as a
+    broadcast (it's tiny relative to the corpus); a shuffled join here
+    would re-shuffle every training n-gram at 100 TB."""
+    plan = _plan(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_repetition_filter_is_shuffle_free(spark):
+    """The duplicate-bigram filter is per-row arithmetic — it must
+    plan as a pure scan+project with no exchange at all, so it runs at
+    scan speed over any corpus."""
+    plan = _plan(spark, "text_repetition_filter")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_outlier_filter_broadcasts_centroids(spark):
+    """Label centroids and per-label means are labels x dims small;
+    both must broadcast onto the vector scan, keeping the distance
+    pass shuffle-free per vector."""
+    plan = _plan(spark, "embedding_outlier_filter")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
