@@ -1,0 +1,377 @@
+"""Time-series analytics over ``events``: retention, interpolation,
+histograms, anomaly detection, and LTV deciles.
+
+The dashboard layer a user of the reference pipeline runs over its
+ClickHouse tables (the reference itself only ingests; SURVEY.md §2.9)
+— rebuilt as declarative Spark so Catalyst owns the physical plan.
+
+Cross-engine exactness doctrine (registry.py): every continuous
+aggregate here derives from integer cent/fixed-point sums (exact,
+associative, map-side-combinable) with a fixed tail of IEEE ops that
+both engines execute identically — so even z-scores and interpolated
+values hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+# value histogram: fixed-width buckets over the observed 0..500 range
+_HIST_WIDTH = 25
+_HIST_MAX_BUCKET = 19
+
+# anomaly detection: trailing window length (days) and z-score cut
+_ANOM_WINDOW = 7
+_ANOM_Z = 2.0
+
+_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+@query(
+    "events_retention_rolling",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           COUNT(DISTINCT b.user_id) AS n_retained,
+           CAST(COUNT(DISTINCT b.user_id) AS DOUBLE)
+             / COUNT(DISTINCT a.user_id) AS retention
+    FROM act a
+    LEFT JOIN act b
+      ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+    """,
+)
+def events_retention_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling next-day retention: of the users active on day D, the
+    share also active on D+1 — the product-analytics retention curve.
+
+    One distinct (day, user) projection feeds both sides of a
+    self-join on user_id (equi key; the +1-day predicate rides along
+    as a join filter), so the plan is a single co-partitioned shuffle
+    on user_id however large the event log is. Counts are exact
+    integers; retention is one IEEE division.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    act = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    a, b = act.alias("a"), act.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+        "left",
+    )
+    n_active = F.countDistinct("a.user_id")
+    n_ret = F.countDistinct("b.user_id")
+    return joined.groupBy(F.col("a.day").cast("timestamp").alias("day")).agg(
+        n_active.alias("n_active"),
+        n_ret.alias("n_retained"),
+        (n_ret.cast("double") / n_active).alias("retention"),
+    )
+
+
+@query(
+    "timeseries_interpolate_hourly",
+    oracle=f"""
+    WITH actual AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             SUM({_CENTS}) AS cents
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events),
+    grid AS (
+      SELECT t.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+            FROM bounds) g),
+    joined AS (
+      SELECT g.event_type, g.hr, a.cents,
+             CASE WHEN a.cents IS NOT NULL THEN g.hr END AS obs_hr
+      FROM grid g LEFT JOIN actual a
+        ON a.event_type = g.event_type AND a.hr = g.hr),
+    ctx AS (
+      SELECT event_type, hr, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER w_prev AS prev_c,
+             LAST_VALUE(obs_hr IGNORE NULLS) OVER w_prev AS prev_hr,
+             FIRST_VALUE(cents IGNORE NULLS) OVER w_next AS next_c,
+             FIRST_VALUE(obs_hr IGNORE NULLS) OVER w_next AS next_hr
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hr,
+           cents IS NOT NULL AS observed,
+           CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+             WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+               CAST(prev_c AS DOUBLE) / 100.0
+               + (CAST(next_c - prev_c AS DOUBLE) / 100.0)
+                 * (CAST(date_diff('hour', prev_hr, hr) AS DOUBLE)
+                    / CAST(date_diff('hour', prev_hr, next_hr) AS DOUBLE))
+             WHEN prev_c IS NOT NULL THEN CAST(prev_c AS DOUBLE) / 100.0
+             ELSE CAST(next_c AS DOUBLE) / 100.0
+           END AS value_filled
+    FROM ctx
+    """,
+)
+def timeseries_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type with LINEAR interpolation
+    across missing hours (the hypertable ``interpolate()`` analog;
+    zero-fill lives in rollup_daily_gapfill).
+
+    The hour scaffold explodes from a 1-row min/max aggregate and
+    cross-joins the distinct type set — both broadcast-sized at any
+    scale — so the fact table is scanned once. Previous/next observed
+    points come from IGNORE NULLS running windows partitioned by type
+    (each partition independent — parallel at scale). All numerators/
+    denominators are exact integers (cent sums, whole-hour gaps); the
+    interpolation is a fixed 4-op IEEE tail both engines execute
+    identically, so values hash-match. Boundary gaps (no observation
+    on one side) fall back to forward/backward fill, keeping the
+    series total — every grid row carries a value.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    actual = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(cents).alias("cents"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    joined = grid.join(F.broadcast(actual), ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        "cents",
+        F.when(F.col("cents").isNotNull(), F.col("hr")).alias("obs_hr"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last("obs_hr", ignorenulls=True).over(w_prev).alias("prev_hr"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first("obs_hr", ignorenulls=True).over(w_next).alias("next_hr"),
+    )
+    hrs = lambda a, b: (  # noqa: E731 — whole-hour timestamp diff, exact
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("double")
+    interp = (
+        F.col("prev_c").cast("double") / 100.0
+        + ((F.col("next_c") - F.col("prev_c")).cast("double") / 100.0)
+        * (hrs(F.col("prev_hr"), F.col("hr")) / hrs(F.col("prev_hr"), F.col("next_hr")))
+    )
+    return ctx.select(
+        "event_type",
+        "hr",
+        F.col("cents").isNotNull().alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double") / 100.0)
+        .when(F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(), interp)
+        .when(F.col("prev_c").isNotNull(), F.col("prev_c").cast("double") / 100.0)
+        .otherwise(F.col("next_c").cast("double") / 100.0)
+        .alias("value_filled"),
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT),
+                   {_HIST_MAX_BUCKET}) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, bucket,
+           CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+           n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)
+             AS share
+    FROM b
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (width 25, top bucket
+    open-ended) with within-type shares.
+
+    The distribution profile behind dashboard sparklines and data-
+    quality drift checks. One hash-groupBy on (type, bucket) — at most
+    types x 20 groups regardless of event count — then a tiny window
+    for the shares. Counts are exact; the share is one IEEE division
+    (the window SUM re-aggregates exact integer counts).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / _HIST_WIDTH).cast("long"), F.lit(_HIST_MAX_BUCKET)
+    )
+    b = e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    return b.select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             SUM({_CENTS}) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, c,
+             SUM(c) OVER t AS s1, SUM(c * c) OVER t AS s2,
+             COUNT(c) OVER t AS n
+      FROM d
+      WINDOW t AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_ANOM_WINDOW} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, CAST(c AS DOUBLE) / 100.0 AS daily_value,
+           (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / SQRT((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS zscore,
+           ABS((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))
+             > {_ANOM_Z} AS is_anomaly
+    FROM w
+    WHERE n >= 2 AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each (type, day) total scored
+    against the mean/stddev of the preceding 7 days, flagged at |z|>2.
+
+    The alerting query behind every ops dashboard. Determinism is the
+    point of the shape: the trailing frame aggregates exact integer
+    cent sums (s1, s2, n) — never floating partials — and the z-score
+    is a fixed IEEE tail over those integers, so Spark and DuckDB
+    produce identical bits even though stddev is involved (their
+    built-in STDDEV implementations differ; this power-sums form is
+    engine-neutral). Windows partition by event type — independent,
+    parallel, and the state per partition is three running integers.
+    Days with under 2 trailing observations or zero variance are
+    filtered out (identically in both engines) rather than emitted
+    with NULL flags: NULL in a *boolean* column crosses to pandas as
+    Python None from Spark but NaN from DuckDB, and an object-dtype
+    canonicalizer may hash those differently (NULL floats/timestamps
+    are safe — both engines land on the NaN/NaT dtype sentinels).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    t = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ANOM_WINDOW, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(t).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(t).alias("s2"),
+        F.count("c").over(t).alias("n"),
+    )
+    s1d = F.col("s1").cast("double")
+    ss = F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n")
+    z = (F.col("c").cast("double") - s1d / F.col("n")) / F.sqrt(
+        ss / (F.col("n") - 1)
+    )
+    ok = (F.col("n") >= 2) & (ss > 0)
+    return w.filter(ok).select(
+        "event_type",
+        "day",
+        (F.col("c").cast("double") / 100.0).alias("daily_value"),
+        z.alias("zscore"),
+        (F.abs(z) > _ANOM_Z).alias("is_anomaly"),
+    )
+
+
+@query(
+    "user_ltv_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    ranked AS (
+      SELECT user_id, c,
+             NTILE(10) OVER (ORDER BY c DESC, user_id) AS decile
+      FROM spend)
+    SELECT decile,
+           COUNT(*) AS n_users,
+           CAST(SUM(c) AS DOUBLE) / 100.0 AS total_spend,
+           CAST(SUM(c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_spend
+    FROM ranked GROUP BY decile
+    """,
+)
+def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifetime-value deciles: purchase spend per user, NTILE(10)
+    by spend (user_id tiebreak for a total order), then per-decile
+    volume — the table behind 'top 10% of users drive X% of revenue'.
+
+    Spend aggregates as exact cents (shuffle on user_id, map-side
+    partials); the NTILE runs over the *user* aggregate, which is
+    orders of magnitude smaller than the event log. The single-
+    partition ordered window is the honest cost of exact global
+    deciles at this cardinality; at 100-TB user counts the swap is
+    approx_percentile range boundaries + a broadcast bucket join,
+    trading exactness for parallelism explicitly.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    ranked = spend.select(
+        "c",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("c"), "user_id"))
+        .alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("c").cast("double") / 100.0).alias("total_spend"),
+        (F.sum("c").cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_spend"),
+    )

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         temporal,
         text,
+        timeseries,
         tpch_extra,
     )
 

@@ -64,6 +64,8 @@ def test_fixed_dims_broadcast(spark, name):
         "dedup_jaccard_verify_candidates",
         "sim_ivf_kmeans_topk",
         "range_join_error_context",
+        "events_retention_rolling",
+        "timeseries_interpolate_hourly",
     ],
 )
 def test_no_cartesian_products(spark, name):
