@@ -103,15 +103,35 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by keys fixed-width.
     """
     tune(spark)
-    d = fanout(table(spark, sf_dir, "documents")).filter(
-        F.size(F.split(F.col("text"), " ")) >= _CONTAM_N
+    d = fanout(table(spark, sf_dir, "documents"))
+    bench = bench_ngram_set(d)
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return contamination_scores(train, bench)
+
+
+def bench_ngram_set(docs: DataFrame) -> DataFrame:
+    """(h): the distinct 5-gram hash set of the benchmark slice — the
+    static side every contamination check (batch query or streaming
+    micro-batch) probes against."""
+    return (
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .filter(F.size(F.split(F.col("text"), " ")) >= _CONTAM_N)
+        .select(F.explode(_fivegram_hashes()).alias("h"))
+        .distinct()
     )
-    g = d.select("doc_id", F.explode(_fivegram_hashes()).alias("h"))
-    bench = g.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
-    train = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+
+
+def contamination_scores(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-document contamination verdict of ``docs`` against a
+    benchmark n-gram set. Shared by the registered batch query and the
+    streaming curation log (streaming/curation.py), so stream and
+    batch agree exactly by construction."""
+    g = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= _CONTAM_N
+    ).select("doc_id", F.explode(_fivegram_hashes()).alias("h"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
     hits = (
-        train.join(F.broadcast(bench), "h")
+        g.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -211,7 +231,13 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 100 TB and composes with any downstream stage.
     """
     tune(spark)
-    d = table(spark, sf_dir, "documents")
+    return repetition_scores(table(spark, sf_dir, "documents"))
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Per-document duplicate-bigram metrics. Stateless per-row
+    expressions — shared by the registered batch query and the
+    streaming curation log (streaming/curation.py)."""
     t = F.split(F.col("text"), " ")
     bg = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
@@ -221,7 +247,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(bg) - F.size(F.array_distinct(bg))).cast("double") / F.size(bg)
     )
     return (
-        d.filter(F.size(t) >= 2)
+        docs.filter(F.size(t) >= 2)
         .select(
             "doc_id",
             F.size(bg).alias("n_bigrams"),
