@@ -125,26 +125,27 @@ def contamination_scores(docs: DataFrame, bench: DataFrame) -> DataFrame:
     """Per-document contamination verdict of ``docs`` against a
     benchmark n-gram set. Shared by the registered batch query and the
     streaming curation log (streaming/curation.py), so stream and
-    batch agree exactly by construction."""
+    batch agree exactly by construction.
+
+    Single-pass shape: the gram stream broadcast-LEFT-joins the bench
+    set and ONE doc_id aggregation counts grams and hits together —
+    the expensive part (tokenize + md5 per gram) runs once, the only
+    shuffle is the per-doc count pair, and nothing scans the corpus
+    twice (the first formulation fed separate sizes/hits aggregates
+    from the same gram stream and doubled the gram computation)."""
     g = docs.filter(
         F.size(F.split(F.col("text"), " ")) >= _CONTAM_N
     ).select("doc_id", F.explode(_fivegram_hashes()).alias("h"))
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        g.join(F.broadcast(bench), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    marked = g.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "h", "left"
     )
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_ngrams",
-            n_hits.alias("n_hits"),
-            (n_hits.cast("double") / F.col("n_ngrams")).alias("overlap_share"),
-            (n_hits >= _CONTAM_CUT * F.col("n_ngrams")).alias("contaminated"),
-        )
+    n_hits = F.count("hit")  # count() skips NULLs: non-bench grams
+    n_ngrams = F.count(F.lit(1))
+    return marked.groupBy("doc_id").agg(
+        n_ngrams.alias("n_ngrams"),
+        n_hits.alias("n_hits"),
+        (n_hits.cast("double") / n_ngrams).alias("overlap_share"),
+        (n_hits >= _CONTAM_CUT * n_ngrams).alias("contaminated"),
     )
 
 
