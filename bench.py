@@ -49,6 +49,16 @@ def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
     )
     raw.persist()
     n = raw.count()  # materialize input outside the timed window
+    # steady-state measurement (matching the reference's derived
+    # steady-state ceiling): run a small batch first so one-time JSON
+    # reader/codegen JIT doesn't land in the timed window
+    warm = tempfile.mkdtemp(prefix="ingest-warm-")
+    try:
+        IngestEngine(spark, TableStore(spark, warm)).process_raw_batch(
+            raw.limit(2000), 0
+        )
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix="ingest-bench-")
     try:
         engine = IngestEngine(spark, TableStore(spark, tmp))
