@@ -380,3 +380,42 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(sketch, 4).alias("p95"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_mode_priority",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent order priority per status),
+    written as count + ROW_NUMBER rather than the engines' mode()
+    builtins: their tie-breaking is unspecified, while the explicit
+    (count DESC, value) ordering is total — the same determinism
+    doctrine as every top-k here. Two bounded shuffles (group count,
+    then a keys-sized window)."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -398,3 +398,48 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "dist2", "mean_d2",
         (F.col("dist2") > 1.04 * F.col("mean_d2")).alias("is_outlier"),
     )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+    SELECT {DUCKDB_MD5_LONG("CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
+             AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reshard manifest: every document hash-assigned to
+    one of 16 training shards, with per-shard volume stats — the
+    manifest a distributed tokenizer/loader consumes.
+
+    Hash sharding (md5 of the id, not monotonic ranges) is the scale
+    choice: shards stay balanced under any doc_id distribution, the
+    assignment is reproducible run-to-run and engine-to-engine (same
+    md5-derived integer on both sides), and appending new corpus
+    batches never reshuffles old shards. The manifest itself is one
+    hash-groupBy with integer sums — a 16-row result at any corpus
+    size, and the same expression doubles as the write-path partition
+    key (repartition(shard) before the sharded write).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    shard = md5_long(F.col("doc_id").cast("string")) % _N_SHARDS
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "total_tokens"
+        ),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
