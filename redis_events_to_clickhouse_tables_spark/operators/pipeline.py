@@ -443,3 +443,92 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@query(
+    "curation_keep_mask",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+               AS is_canonical
+      FROM documents),
+    rep AS (
+      SELECT doc_id,
+             CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               <= {_REP_CUT} AS keep_repetition
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1]) AS bg
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 2) s1) s2),
+    g AS ({_SQL_FIVEGRAMS}),
+    bench AS (SELECT DISTINCT h FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    contam AS (
+      SELECT t.doc_id,
+             COUNT(b.h) >= {_CONTAM_CUT} * COUNT(*) AS contaminated
+      FROM (SELECT doc_id, h FROM g WHERE doc_id % {_BENCH_MOD} <> 0) t
+      LEFT JOIN bench b ON b.h = t.h
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           c.is_canonical,
+           r.keep_repetition,
+           NOT m.contaminated AS not_contaminated,
+           c.is_canonical AND r.keep_repetition AND NOT m.contaminated
+             AS final_keep
+    FROM documents d
+    JOIN canon c ON c.doc_id = d.doc_id
+    JOIN rep r ON r.doc_id = d.doc_id
+    JOIN contam m ON m.doc_id = d.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+def curation_keep_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision: which training documents
+    survive exact dedup (canonical copy only), repetition filtering,
+    and benchmark decontamination — the keep mask the sharding stage
+    consumes.
+
+    Composes the registered stages rather than re-deriving them:
+    canonicality is a window-min over the content hash (fixed-width
+    md5 keys), repetition and contamination reuse the shared scorers
+    (repetition_scores / contamination_scores — the same functions the
+    streaming curation log runs), and the final mask is one boolean
+    conjunction. Three bounded shuffles total; every input is scanned
+    once per stage. Benchmark-slice documents are excluded up front —
+    they are eval data, never training candidates.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    canon = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+        ).alias("is_canonical"),
+    )
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    rep = repetition_scores(train).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    contam = contamination_scores(train, bench_ngram_set(d)).select(
+        "doc_id", (~F.col("contaminated")).alias("not_contaminated")
+    )
+    return (
+        train.select("doc_id")
+        .join(canon, "doc_id")
+        .join(rep, "doc_id")
+        .join(contam, "doc_id")
+        .select(
+            "doc_id",
+            "is_canonical",
+            "keep_repetition",
+            "not_contaminated",
+            (
+                F.col("is_canonical")
+                & F.col("keep_repetition")
+                & F.col("not_contaminated")
+            ).alias("final_keep"),
+        )
+    )
