@@ -299,12 +299,20 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         "event_type", F.to_date("ts").cast("timestamp").alias("day")
     ).agg(F.sum(cents).alias("c"))
+    return zscore_daily(d)
+
+
+def zscore_daily(daily_cents: DataFrame) -> DataFrame:
+    """Score a (event_type, day, c=cents) daily series against its
+    trailing window. Shared by the registered batch query and the
+    continuous aggregate's ``anomalies()`` view (streaming/rollup.py),
+    so alerts off the streamed rollup match the batch query exactly."""
     t = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(-_ANOM_WINDOW, -1)
     )
-    w = d.select(
+    w = daily_cents.select(
         "event_type",
         "day",
         "c",

@@ -96,6 +96,21 @@ class ContinuousAggregate:
         """The rollup as of the last completed batch (merge-on-read)."""
         return merge_partials(self._raw())
 
+    def anomalies(self) -> DataFrame:
+        """Trailing-window z-score alerts computed off the maintained
+        rollup — the alerting view a dashboard polls. Reuses the batch
+        anomaly scorer (operators/timeseries.py zscore_daily) over the
+        merged partials, so an alert raised here is exactly the alert
+        the batch query would raise on the full event log: the rollup
+        carries exact integer cents, and merged partials equal the
+        batch aggregate by the monoid laws the tests pin."""
+        from ..operators.timeseries import zscore_daily
+
+        merged = self._raw().groupBy("event_type", "event_day").agg(
+            F.sum("cents").alias("c")
+        )
+        return zscore_daily(merged.withColumnRenamed("event_day", "day"))
+
     def process_batch(self, events: DataFrame, batch_id: int | None = None) -> None:
         tag = f"b{batch_id}" if batch_id is not None else "adhoc"
         _partials(events).write.mode("overwrite").parquet(str(self.root / tag))

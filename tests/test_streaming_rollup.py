@@ -67,3 +67,21 @@ def test_rollup_replay_and_compaction(spark, tmp_path):
     agg.compact()
     assert _rows(agg.current()) == before
     assert agg._raw().count() == len(before)
+
+
+def test_rollup_anomalies_match_batch_query(spark, tmp_path):
+    """Alerts off the streamed rollup == the registered batch anomaly
+    query on the same events."""
+    from redis_events_to_clickhouse_tables_spark.operators.timeseries import (
+        events_anomaly_zscore,
+    )
+
+    ev = _events(spark)
+    agg = ContinuousAggregate(spark, tmp_path / "rollup")
+    # ingest in three uneven slices
+    agg.process_batch(ev.filter(F.dayofmonth("ts") <= 9), 0)
+    agg.process_batch(ev.filter(F.dayofmonth("ts").between(10, 20)), 1)
+    agg.process_batch(ev.filter(F.dayofmonth("ts") > 20), 2)
+    got = _rows(agg.anomalies())
+    expected = _rows(events_anomaly_zscore(spark, SF_DIR))
+    assert got == expected
