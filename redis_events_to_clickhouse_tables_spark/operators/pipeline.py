@@ -164,7 +164,7 @@ def contamination_scores(docs: DataFrame, bench: DataFrame) -> DataFrame:
     SELECT lang,
            CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS seq_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_LEN} AS fill_ratio
     FROM c
     GROUP BY lang, CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT)
@@ -264,8 +264,9 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT md5(text)) AS n_unique_texts,
            1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
              AS dup_ratio
@@ -409,8 +410,9 @@ _N_SHARDS = 16
     SELECT {DUCKDB_MD5_LONG("CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
              AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id
     FROM documents
