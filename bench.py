@@ -94,22 +94,36 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(0, par, 1, par).mapInPandas(lambda it: it, "id long").count()
 
+    # One failing query must never zero out the whole benchmark (the
+    # BENCH_r02/r03 records were lost to a single AnalysisException):
+    # record the failure per-query and keep timing the rest.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in registry.items():
         start = time.perf_counter()
-        df = spec.build(spark, sf_dir)
-        n = df.count()
+        try:
+            df = spec.build(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - start, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
-    ingest_sec, ingest_events = bench_layer_a_ingest(spark, sf_dir)
-    timings["layer_a_ingest"] = round(ingest_sec, 4)
-    events_per_sec = round(ingest_events / ingest_sec, 1)
-    print(
-        f"# layer_a_ingest: {ingest_sec:.3f}s for {ingest_events} events "
-        f"({events_per_sec:,.0f} events/s; reference ceiling 20/s/table)",
-        file=sys.stderr,
-    )
+    try:
+        ingest_sec, ingest_events = bench_layer_a_ingest(spark, sf_dir)
+        timings["layer_a_ingest"] = round(ingest_sec, 4)
+        events_per_sec = round(ingest_events / ingest_sec, 1)
+        print(
+            f"# layer_a_ingest: {ingest_sec:.3f}s for {ingest_events} events "
+            f"({events_per_sec:,.0f} events/s; reference ceiling 20/s/table)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["layer_a_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# layer_a_ingest: FAILED {errors['layer_a_ingest']}", file=sys.stderr)
+        ingest_events, events_per_sec = 0, 0.0
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -120,6 +134,8 @@ def main() -> None:
         "layer_a_ingest_events": ingest_events,
         "layer_a_ingest_events_per_sec": events_per_sec,
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors,
         "queries": timings,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -159,6 +175,7 @@ def main() -> None:
             {
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "full_timings": "BENCH_FULL.json",
                 "layer_a_ingest_events": ingest_events,
                 "layer_a_ingest_events_per_sec": events_per_sec,

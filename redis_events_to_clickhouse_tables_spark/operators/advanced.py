@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
+from ..functions.temporal import epoch_us
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -286,7 +287,7 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-30 * 60 * 1_000_000, Window.currentRow)
     )
     return ev.select(

@@ -712,3 +712,47 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     stars.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5(text) AS dig FROM documents),
+    old AS (SELECT DISTINCT dig FROM d WHERE doc_id % 5 < 3),
+    new_docs AS (SELECT doc_id, dig FROM d WHERE doc_id % 5 >= 3)
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM new_docs
+    WHERE dig NOT IN (SELECT dig FROM old)
+    GROUP BY dig
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an arriving batch against a corpus
+    snapshot: new documents whose content digest already exists in the
+    snapshot are dropped, and duplicates *within* the batch collapse to
+    their lowest doc_id (with the copy count kept for curation stats).
+
+    The snapshot membership test is a hash anti-join on fixed-width
+    digests — at 100 TB the snapshot digest set shuffles once on the
+    digest (never the text), and when the arriving batch is small AQE
+    demotes its side to a broadcast. This is the batch image of the
+    streaming neardup index (streaming/neardup.py): same digest
+    contract, so a corpus can switch between the two without rescoring.
+    (Snapshot membership here is the deterministic doc_id % 5 < 3
+    slice — 60% of the corpus — standing in for "already ingested".)
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dig")
+    )
+    old = d.filter((F.col("doc_id") % 5) < 3).select("dig").distinct()
+    new_docs = d.filter((F.col("doc_id") % 5) >= 3)
+    return (
+        new_docs.join(old, "dig", "left_anti")
+        .groupBy("dig")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
+from ..functions.temporal import epoch_us
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -122,7 +123,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > 1_800_000_000),
             1,
         )
         .otherwise(0)

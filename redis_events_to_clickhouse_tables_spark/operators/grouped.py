@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.temporal import epoch_us
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -102,7 +103,7 @@ def grouped_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python path oracle-checkable either way."""
     tune(spark)
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_id", epoch_us("ts").alias("ts_us")
     )
     cores = spark.sparkContext.defaultParallelism
     return ev.repartition(cores, "user_id").mapInPandas(

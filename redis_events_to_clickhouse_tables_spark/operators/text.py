@@ -315,7 +315,7 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
     """,
 )
@@ -333,4 +333,170 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (rational-idf variant)
+#
+# Classic BM25 needs ln(), which is not correctly-rounded IEEE and can
+# differ in the last ulp between the JVM and DuckDB's libm — so the
+# oracle-checked variant keeps Robertson's idf *ratio* un-logged:
+#   idf_t = (N - df_t + 0.5) / (df_t + 0.5)
+# Every remaining operation is +|-|*|/ on doubles (correctly rounded,
+# bit-identical across engines when evaluated in the same order), so
+# the score hash-matches exactly. Ranking order equals log-BM25's
+# per-term monotonicity for single-term queries and tracks it closely
+# for short queries — and a production deployment can re-apply ln()
+# at the very end without touching the distributed plan.
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_K1P1 = "CAST(2.2 AS DOUBLE)"
+# 1 - b and b for b = 0.75 (both exactly representable)
+_BM25_1MB = "CAST(0.25 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(((CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {_BM25_K1P1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * ({_BM25_1MB}"
+        f" + ({_BM25_B} * CAST(dl AS DOUBLE)) / avgdl))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tf AS (SELECT doc_id,
+             {tf_cols},
+             CAST(len(tk) AS BIGINT) AS dl
+           FROM toks),
+    g AS (SELECT COUNT(*) AS n,
+             {df_cols},
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avgdl
+          FROM tf)
+    SELECT doc_id, {terms} AS bm25
+    FROM tf, g
+    WHERE {any_tf} > 0
+    """
+
+
+def _eq_term(t: str):
+    # arity-1 closure: a `lambda x, t=t` default-arg form has arity 2,
+    # which F.filter interprets as the (element, index) variant
+    return lambda x: x == F.lit(t)
+
+
+@query("text_bm25_score", oracle=_bm25_sql())
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every matching document for a fixed query.
+
+    Two distributed passes over one scan shape: (1) a global 1-row
+    aggregate of document frequencies and average length (map-side
+    partials, ~24 bytes shuffled per partition), broadcast back; (2) a
+    per-row score — tf via JVM higher-order ``filter`` inside codegen,
+    no explode and no shuffle of the corpus. At 100 TB the corpus
+    never repartitions; only the 1-row stats frame moves.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    per_doc = d.select(
+        "doc_id",
+        *[
+            F.size(F.filter(tk, _eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        F.size(tk).cast("long").alias("dl"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        (
+            F.sum("dl").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    k1 = F.lit(1.2)
+    k1p1 = F.lit(2.2)
+    one_m_b = F.lit(0.25)
+    b = F.lit(0.75)
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf_d = F.col(f"tf{i}").cast("double")
+        idf = ((F.col("n") - F.col(f"df{i}")).cast("double") + F.lit(0.5)) / (
+            F.col(f"df{i}").cast("double") + F.lit(0.5)
+        )
+        norm = (tf_d * k1p1) / (
+            tf_d + k1 * (one_m_b + (b * F.col("dl").cast("double")) / F.col("avgdl"))
+        )
+        term = idf * norm
+        score = term if score is None else score + term
+    any_tf = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"tf{i}")
+        any_tf = c if any_tf is None else any_tf + c
+    return (
+        per_doc.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", score.alias("bm25"))
+    )
+
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           CAST(s AS INTEGER) AS chunk_start,
+           array_to_string(list_slice(tk, s + 1, s + {_CHUNK_LEN}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, s + 1, s + {_CHUNK_LEN})) AS INTEGER)
+             AS n_chunk_tokens
+    FROM toks, UNNEST(generate_series(0, len(tk) - 1, {_CHUNK_STRIDE}))
+           AS u(s)
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 32-token chunks at a 24-token stride
+    (context-window packing / RAG-index prep). The start-offset list is
+    generated per row (``sequence``) and exploded JVM-side; the slice +
+    concat stay inside codegen. Output grows ~len/stride x input,
+    partitioned exactly like the source scan — no shuffle at any scale.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    exploded = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(
+            F.sequence(F.lit(0), F.size(tk) - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_start"),
+    )
+    sliced = F.slice(F.col("tk"), F.col("chunk_start") + 1, _CHUNK_LEN)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+        F.size(sliced).alias("n_chunk_tokens"),
     )

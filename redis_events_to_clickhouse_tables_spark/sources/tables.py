@@ -31,11 +31,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as int64 via nanosAsLong (session.py);
-        # floor-divide to microseconds — the same truncation DuckDB
-        # applies when reading nanos into its us-precision TIMESTAMP.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read as int64 via nanosAsLong (session.py);
+            # floor-divide to microseconds — the same truncation DuckDB
+            # applies when reading nanos into its us-precision TIMESTAMP.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Micros parquet with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ, which the strict temporal builtins
+            # (unix_micros, withWatermark) reject. Sessions run in UTC
+            # (session.py), so the cast to the LTZ type is
+            # value-identical to DuckDB's naive read — one normalized
+            # timestamp type for the whole engine regardless of how
+            # the file was written.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
