@@ -131,3 +131,30 @@ def test_outlier_filter_broadcasts_centroids(spark):
     plan = _plan(spark, "embedding_outlier_filter")
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Sliding-window chunking is generate+explode per row — it must
+    plan with no exchange so output stays partitioned like the scan."""
+    plan = _plan(spark, "text_chunk_sliding")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bm25_never_shuffles_the_corpus(spark):
+    """BM25's only exchanges are the 1-row stats aggregate (a
+    SinglePartition gather of ~32-byte partials) and its broadcast
+    back; the corpus itself must never repartition — no sort-merge
+    join and no hash-partitioned exchange anywhere."""
+    plan = _plan(spark, "text_bm25_score")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "hashpartitioning" not in plan, plan[:3000]
+
+
+def test_incremental_snapshot_dedup_is_digest_anti_join(spark):
+    """The snapshot membership test must plan as a hash anti-join on
+    the digest (broadcast or shuffled-hash — never sort-merge, and
+    never a join on the text itself)."""
+    plan = _plan(spark, "dedup_incremental_snapshot")
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
