@@ -7,7 +7,7 @@ the hot path), and each stage is also SQL-expressible, so the DuckDB
 oracle verifies values, not just row counts.
 
 Scale design:
-- MinHash/LSH is the 100-TB path: cost is O(docs x tokens x K) map-side
+- MinHash/LSH is the 100-TB path: cost is O(docs x shingles x K) map-side
   plus a shuffle on (band, signature) whose groups are tiny by
   construction. Corpus-wide Jaccard (``dedup_ngram_jaccard``) uses the
   same skew-safe bucket-collect/explode/rebalance shape as LSH pair
@@ -38,10 +38,17 @@ _BAND_ROWS = 4  # 16 hashes -> 4 bands of 4
 _M58 = 1 << 58
 _P60 = 1 << 60
 
-# shared CTE fragments for the oracle SQL
+# shared CTE fragments for the oracle SQL.
+# MinHash/SimHash features are the SAME distinct 3-gram shingle sets
+# the exact-Jaccard stage uses — the textbook formulation (MinHash
+# estimates shingle-set Jaccard), and essential on low-vocabulary
+# corpora: unigram features collapse every signature onto a handful
+# of values and LSH proposes a third of the cross product as
+# "candidates" (observed: 7.4M pairs from 5k docs before the switch).
 _SQL_TOKS = (
-    "SELECT DISTINCT doc_id, t.tok"
-    " FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)"
+    "SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tok"
+    " FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+    " UNNEST(range(1, len(t) - 1)) AS u(i)"
 )
 _SQL_MINHASH = f"""
     WITH toks AS ({_SQL_TOKS}),
@@ -60,30 +67,42 @@ _SQL_MINHASH = f"""
 """
 
 
-def _distinct_tokens(d: DataFrame) -> DataFrame:
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+_SHINGLE_EXPR = (
+    "CASE WHEN size(t) >= 3 THEN"
+    " transform(sequence(1, size(t) - 2),"
+    "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+    " ELSE array() END"
+)
+
+
+def _shingle_toks(d: DataFrame) -> DataFrame:
+    """(doc_id, tok): the distinct 3-gram shingle strings per document
+    — the feature set for MinHash and SimHash (see _SQL_TOKS note)."""
+    return (
+        fanout(d)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_SHINGLE_EXPR))).alias("tok"),
+        )
     )
 
 
 def _minhash_sig_array(d: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>[16]) — the full MinHash signature.
 
-    Two md5s per token (the Kirsch-Mitzenmacher two-hash trick), then
+    Two md5s per shingle (the Kirsch-Mitzenmacher two-hash trick), then
     the 16 functions h_i(t) = (x1 + i*x2) mod 2^60 are integer mixing
     over the precomputed pair — NOT 16 fresh md5s. Shape: explode to
-    one row per (doc, token), hash once, then 16 ``min`` aggregates.
+    one row per (doc, shingle), hash once, then 16 ``min`` aggregates.
     Map-side partial aggregation reduces each partition to 16 longs
     per doc before the shuffle, so shuffle volume is ~docs x 128 bytes
-    regardless of corpus size — the token explosion never crosses the
+    regardless of corpus size — the shingle explosion never crosses the
     wire. (A pure higher-order-function formulation was tried first;
-    CollapseProject inlines the per-token hash array into the 16-way
-    outer lambda and recomputes it per hash function, 32 md5s/token.)
+    CollapseProject inlines the per-shingle hash array into the 16-way
+    outer lambda and recomputes it per hash function, 32 md5s/shingle.)
     """
-    toks = fanout(d).select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
-    )
+    toks = _shingle_toks(d)
     hx = toks.select(
         "doc_id",
         md5_long("tok", salt="1").alias("x1"),
@@ -143,15 +162,9 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    shingle_expr = F.expr(
-        "CASE WHEN size(t) >= 3 THEN"
-        " transform(sequence(1, size(t) - 2),"
-        "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-        " ELSE array() END"
-    )
     hashes = F.array_distinct(
         F.transform(
-            shingle_expr,
+            F.expr(_SHINGLE_EXPR),
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
     )
@@ -236,8 +249,8 @@ def dedup_jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     shingle join exists anywhere: the candidate pairs join to doc_a's
     shingle set (shuffle on doc_a), then match doc_b's shingles on
     (doc_b, h) — both joins linear in |candidates| x shingles/doc.
-    Pairs whose docs share no 3-gram (LSH banding uses unigram minhash,
-    so a collision does not guarantee a shared shingle) survive with
+    Pairs whose docs share no 3-gram (a band collision makes a shared
+    shingle overwhelmingly likely but not guaranteed) survive with
     jaccard 0.0 via the left join + coalesce.
     """
     tune(spark)
@@ -465,8 +478,8 @@ _SQL_SIMHASH = f"""
 
 
 def _simhash_df(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash from the distinct-token set."""
-    toks = _distinct_tokens(d).withColumn("hv", md5_long(F.col("tok")))
+    """(doc_id, simhash): 32-bit SimHash over the 3-gram shingle set."""
+    toks = _shingle_toks(d).withColumn("hv", md5_long(F.col("tok")))
     bits = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
@@ -496,7 +509,7 @@ def _simhash_df(d: DataFrame) -> DataFrame:
     oracle=_SQL_SIMHASH + "SELECT doc_id, simhash FROM sh",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from the distinct-token set:
+    """32-bit SimHash per document over the 3-gram shingle set:
     bit b of the hash votes +1/-1, the sign of the vote sum sets bit b."""
     tune(spark)
     return _simhash_df(table(spark, sf_dir, "documents"))
