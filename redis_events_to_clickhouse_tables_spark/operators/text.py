@@ -500,3 +500,127 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", sliced).alias("chunk_text"),
         F.size(sliced).alias("n_chunk_tokens"),
     )
+
+
+@query(
+    "sample_temperature_by_lang",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n) AS n_min FROM counts),
+    rates AS (
+      SELECT lang, n,
+             SQRT(CAST((SELECT n_min FROM mn) AS DOUBLE) / CAST(n AS DOUBLE))
+               AS rate
+      FROM counts)
+    SELECT d.lang, r.n AS n_docs,
+           CAST(COUNT(CASE WHEN {DUCKDB_MD5_LONG("CAST(d.doc_id AS VARCHAR)", salt="temp")}
+                     % 1000000 < r.rate * CAST(1000000 AS DOUBLE)
+                     THEN 1 END) AS BIGINT) AS n_kept,
+           r.rate
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    GROUP BY d.lang, r.n, r.rate
+    """,
+)
+def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (T = 2): downsample each
+    language at rate sqrt(n_min / n_lang), so the sampled corpus's
+    language shares are proportional to sqrt of the raw shares — the
+    standard multilingual-LLM recipe for damping high-resource
+    dominance without upsampling. T is fixed at 2 so the rate is a
+    single SQRT (correctly-rounded IEEE — bit-identical across
+    engines); arbitrary temperatures would need pow(), which is not.
+
+    Membership is a salted id-hash threshold: deterministic,
+    replayable, and stable as the corpus grows. The per-lang rate
+    table is a broadcast (|languages| rows); the corpus is scanned
+    once with no shuffle of document rows — only the final per-lang
+    count aggregation moves data.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n").cast("double")).alias(
+            "rate"
+        ),
+    )
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="temp") % 1_000_000
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", F.col("n").alias("n_docs"), "rate")
+        .agg(
+            F.count(F.when(bucket < F.col("rate") * F.lit(1000000.0), 1))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select("lang", "n_docs", "n_kept", "rate")
+    )
+
+
+_UNK_MIN_DF = 3
+
+
+@query(
+    "text_unk_rare_tokens",
+    oracle=f"""
+    WITH pos_toks AS (
+      SELECT doc_id, u.i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) + 1)) AS u(i)),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM pos_toks GROUP BY tok)
+    SELECT p.doc_id,
+           string_agg(CASE WHEN f.df >= {_UNK_MIN_DF} THEN p.tok
+                           ELSE '<unk>' END, ' ' ORDER BY p.pos) AS redacted_text,
+           CAST(COUNT(CASE WHEN f.df < {_UNK_MIN_DF} THEN 1 END) AS BIGINT)
+             AS n_unk
+    FROM pos_toks p JOIN df f ON f.tok = p.tok
+    GROUP BY p.doc_id
+    """,
+)
+def text_unk_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary thresholding: tokens appearing in fewer than 3
+    documents are replaced with ``<unk>`` and the text is rebuilt in
+    token order — the classic rare-token scrub before tokenizer
+    training (and the same plumbing a PII scrubber uses, with the df
+    table swapped for a denylist).
+
+    The document-frequency table is vocabulary-sized, not corpus-
+    sized; rebuilding shuffles (doc_id, pos, tok) triples once and
+    reassembles each document with an order-pinned aggregate
+    (sort_array over (pos, tok) structs), so output text is
+    deterministic under any partitioning.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    pos_toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    df_tab = pos_toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    mapped = pos_toks.join(df_tab, "tok").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("df") >= _UNK_MIN_DF, F.col("tok"))
+        .otherwise("<unk>")
+        .alias("out_tok"),
+        (F.col("df") < _UNK_MIN_DF).alias("is_unk"),
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "out_tok"))
+                    ),
+                    lambda s: s["out_tok"],
+                ),
+            ).alias("redacted_text"),
+            F.count(F.when(F.col("is_unk"), 1)).cast("long").alias("n_unk"),
+        )
+    )

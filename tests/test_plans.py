@@ -158,3 +158,11 @@ def test_incremental_snapshot_dedup_is_digest_anti_join(spark):
     plan = _plan(spark, "dedup_incremental_snapshot")
     assert "LeftAnti" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_temperature_sampling_broadcasts_rates(spark):
+    """The per-lang rate table is |languages| rows — it must broadcast
+    onto the corpus scan; the only shuffles are lang-count aggregates."""
+    plan = _plan(spark, "sample_temperature_by_lang")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
