@@ -769,3 +769,92 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_copies")
     )
+
+
+# stop-shingle cap: shingles present in more than this fraction of the
+# corpus carry no discriminative signal (boilerplate); dropping them
+# bounds every bucket at cap*N members, which bounds the pair blow-up
+# of ANY shingle-bucket join at (cap*N)^2 per bucket — the knob that
+# keeps corpus-wide Jaccard viable at 100 TB. Relative (not absolute)
+# so the semantics are scale-free.
+_STOP_SHINGLE_FRAC = 0.10
+
+
+@query(
+    "dedup_jaccard_stop_shingles",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh0),
+    keep AS (
+      SELECT h FROM sh0 GROUP BY h
+      HAVING COUNT(*) <= {_STOP_SHINGLE_FRAC} * (SELECT n_docs FROM n)
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep ON keep.h = sh0.h),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    """,
+)
+def dedup_jaccard_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide Jaccard with the production stop-shingle cap: drop
+    shingles present in more than 10% of shingled documents before
+    pair generation (the docstring promise of ``dedup_ngram_jaccard``
+    made concrete). Jaccard is then computed over the capped shingle
+    universe on both engines, so values still hash-match.
+
+    The cap is the scale guarantee the uncapped query lacks: bucket
+    membership is bounded at cap*N, so the worst-case pair output of
+    a bucket is (cap*N)^2 spread across the cluster — no boilerplate
+    shingle can serialize the corpus into one quadratic task. The
+    shingle-frequency table needed for the cap is one extra
+    fixed-width aggregate reused from the same scan.
+    """
+    tune(spark)
+    sh0 = _hashed_shingles(spark, sf_dir)
+    n_docs = sh0.agg(F.countDistinct("doc_id").alias("n_docs"))
+    keep = (
+        sh0.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.lit(_STOP_SHINGLE_FRAC) * F.col("n_docs"))
+        .select("h")
+    )
+    sh = sh0.join(keep, "h")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    lhs = fanout(buckets.select(F.explode("ids").alias("doc_a"), "ids"))
+    inter = (
+        lhs.select(
+            "doc_a",
+            F.explode(F.filter("ids", lambda i: i > F.col("doc_a"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )

@@ -201,3 +201,66 @@ def stringagg_custkeys_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set(F.col("o_custkey").cast("string"))), ","
         ).alias("custkeys_sample")
     )
+
+
+@query(
+    "layout_zorder_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_custkey % 65536 AS ck,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               % 65536 AS dd
+      FROM orders),
+    bits AS (
+      SELECT o_orderkey,
+             SUM((((ck >> i) & 1) << (2 * i))
+                 + (((dd >> i) & 1) << (2 * i + 1))) AS zkey
+      FROM src, UNNEST(range(0, 16)) AS u(i)
+      GROUP BY o_orderkey)
+    SELECT o_orderkey,
+           CAST(zkey AS BIGINT) AS zkey,
+           CAST(zkey >> 22 AS BIGINT) AS zbucket
+    FROM bits
+    """,
+)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (customer, order date): the
+    16-bit images of both dimensions bit-interleave into one 32-bit
+    key whose sort order keeps rows that are close in EITHER dimension
+    physically adjacent.
+
+    This is the write-side locality optimization for 100-TB tables
+    read by 2-D predicate boxes (customer range x date range): write
+    with repartitionByRange(zkey).sortWithinPartitions(zkey) and
+    parquet min-max zone maps prune files for both predicates at
+    once, where a single-column sort favors one dimension and
+    scatters the other. The key is pure per-row bit arithmetic inside
+    codegen (a 16-step ``aggregate`` fold — no shuffle, no join);
+    zbucket (top 10 bits) is the 1024-way range-partition assignment.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("ck"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            % 65536
+        ).alias("dd"),
+    )
+    # SQL-expr form: the Python F.shiftleft/shiftright API only takes
+    # literal shift amounts, but the SQL functions accept expressions
+    zkey = F.expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc"
+        " + shiftleft(shiftright(ck, i) % 2, 2 * i)"
+        " + shiftleft(shiftright(dd, i) % 2, 2 * i + 1))"
+    )
+    return src.select(
+        "o_orderkey",
+        zkey.alias("zkey"),
+        F.shiftright(zkey, 22).alias("zbucket"),
+    )

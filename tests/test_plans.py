@@ -166,3 +166,27 @@ def test_temperature_sampling_broadcasts_rates(spark):
     plan = _plan(spark, "sample_temperature_by_lang")
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_zorder_key_is_shuffle_free(spark):
+    """The Morton key is per-row bit arithmetic — pure scan+project,
+    no exchange, so layout keys compute at scan speed at any scale."""
+    plan = _plan(spark, "layout_zorder_orders")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_stop_shingle_jaccard_has_no_shingle_self_join(spark):
+    """The capped Jaccard must keep the bucket-collect/explode shape:
+    the only joins are the broadcast df-cap filter join plus the two
+    doc-size joins on the (linear) pair aggregate — never a self-join
+    of the exploded shingle table."""
+    plan = _plan(spark, "dedup_jaccard_stop_shingles")
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # cap-keep join + n_docs broadcast + pair/size joins; the shingle
+    # table itself only ever joins the (broadcast, vocabulary-sized)
+    # keep set — never another shingle explosion
+    assert n_joins <= 5, plan[:3000]
+    assert "collect_list" in plan, plan[:3000]
