@@ -158,11 +158,17 @@ def main() -> None:
         "dedup_minhash_lsh_candidates",
         "dedup_ngram_jaccard",
         "dedup_jaccard_verify_candidates",
+        "dedup_jaccard_stop_shingles",
+        "dedup_incremental_snapshot",
         "dedup_cluster_components",
         "sim_bruteforce_topk",
         "sim_ivf_kmeans_topk",
         "sim_embedding_neardup",
         "text_tf_idf",
+        "text_bm25_score",
+        "text_chunk_sliding",
+        "sample_temperature_by_lang",
+        "layout_zorder_orders",
         "contamination_ngram_overlap",
         "pack_sequences_contiguous",
         "multimodal_frame_sample",
