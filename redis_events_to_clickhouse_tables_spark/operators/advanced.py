@@ -420,3 +420,41 @@ def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_bitwise_line_masks",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(bit_or(CAST(1 << ((l_linenumber - 1) % 63) AS BIGINT))
+                AS BIGINT) AS slot_mask,
+           CAST(bit_and(CAST(1 << ((l_linenumber - 1) % 63) AS BIGINT))
+                AS BIGINT) AS all_mask,
+           CAST(bit_xor(CAST(1 << ((l_linenumber - 1) % 63) AS BIGINT))
+                AS BIGINT) AS parity_mask,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_bitwise_line_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family: per-order occupancy bitmask of line
+    slots (bit i set = a line with l_linenumber i+1 exists), plus the
+    AND/XOR variants — the compact-bitmap shape used for feature-flag
+    rollups and bitmap-index style membership at scale. One
+    hash-aggregate with 8-byte partials; map-side combine makes the
+    shuffle per-order constant-width regardless of line count.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), (l_linenumber - 1) % 63)")
+    return (
+        li.select("l_orderkey", bit.alias("b"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.bit_or("b").alias("slot_mask"),
+            F.bit_and("b").alias("all_mask"),
+            F.bit_xor("b").alias("parity_mask"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
