@@ -521,3 +521,79 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TRUNC_DIMS = 16  # head-dimension retrieval budget (of 64)
+
+_SQL_COSINE_TRUNC = (
+    f"list_dot_product(list_slice(a.embedding::DOUBLE[], 1, {_TRUNC_DIMS}),"
+    f"                 list_slice(b.embedding::DOUBLE[], 1, {_TRUNC_DIMS}))"
+    f" / (sqrt(list_dot_product(list_slice(a.embedding::DOUBLE[], 1, {_TRUNC_DIMS}),"
+    f"                          list_slice(a.embedding::DOUBLE[], 1, {_TRUNC_DIMS})))"
+    f"    * sqrt(list_dot_product(list_slice(b.embedding::DOUBLE[], 1, {_TRUNC_DIMS}),"
+    f"                            list_slice(b.embedding::DOUBLE[], 1, {_TRUNC_DIMS}))))"
+)
+
+
+@query(
+    "sim_truncated_dims_recall",
+    oracle=f"""
+    WITH ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= {_TOP_K}),
+    tr AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE_TRUNC} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= {_TOP_K})
+    SELECT ex.q_id, CAST(COUNT(tr.q_id) AS DOUBLE) / {_TOP_K} AS recall_at_5
+    FROM ex LEFT JOIN tr ON tr.q_id = ex.q_id AND tr.c_id = ex.c_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_truncated_dims_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-dimension (matryoshka-style) retrieval quality: recall@5 of
+    cosine top-k computed on only the first 16 of 64 dimensions,
+    against the full-dimension ground truth.
+
+    The measurement behind dimension-truncated serving: if head-dim
+    recall holds, the index stores and scans a quarter of the vector
+    bytes. The truncated pass reuses the brute-force shape (broadcast
+    query side, one corpus stream, no shuffle) with ``slice`` applied
+    before the dot product, so scan bytes genuinely shrink — column
+    pruning can't do this (one array column), slicing inside the
+    kernel is the array analog.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    tr = e.select("vec_id", F.slice("embedding", 1, _TRUNC_DIMS).alias("emb"))
+    q = tr.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qe")
+    )
+    c = tr.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("ce"))
+    cos = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    trunc5 = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    ex = sim_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    return (
+        ex.join(trunc5, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            (F.count("hit").cast("double") / F.lit(_TOP_K)).alias("recall_at_5")
+        )
+    )
