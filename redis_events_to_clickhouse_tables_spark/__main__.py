@@ -129,13 +129,25 @@ def run_worker(
                     pass            # rethrows its error; handled below
             if compact_due and not shutdown.is_set() and not stalled.is_set():
                 # maintenance window: the query is STOPPED while
-                # compacting — compaction swaps each table's data dir,
-                # which must never race a concurrent micro-batch append
-                # into that dir. Crash-safe (swap_dirs) and lossless;
+                # compacting — a rewrite must never race a concurrent
+                # micro-batch append into the same table. Each compact
+                # writes a new data version and flips the CURRENT
+                # pointer (concurrent READERS keep their snapshot);
                 # the rebuilt query resumes from the checkpoint, and
-                # the batch-id commit log absorbs any replay.
+                # the batch-id commit log absorbs any replay. The same
+                # window replays the DLQ (E2's unitary retry): events
+                # demoted by transient faults re-enter their tables
+                # while poison events age out at the attempt cap.
                 for t in store.tables():
                     store.compact(t)
+                try:
+                    from .streaming.ingest import IngestEngine
+
+                    IngestEngine(
+                        spark, store, IngestConfig.from_env(e)
+                    ).retry_dead_letters()
+                except Exception:  # noqa: BLE001 — maintenance must not
+                    pass           # kill the worker; next window retries
                 last_compact = time.monotonic()
                 continue
             if stalled.is_set() and not shutdown.is_set():

@@ -858,3 +858,100 @@ def dedup_jaccard_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
+
+
+_PR_FP = 1_000_000_000  # 1e-9 fixed-point quantum for exact rank sums
+_PR_ITERS = 3
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT e.d AS v,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * (CAST(SUM(CAST(ROUND({prev}.r / deg.deg * {_PR_FP})
+                               AS BIGINT)) AS DOUBLE) / {_PR_FP})
+        AS r
+      FROM edges e
+      JOIN deg ON deg.v = e.s
+      JOIN {prev} ON {prev}.v = e.s
+      GROUP BY e.d)
+    """
+
+
+@query(
+    "graph_pagerank_neardup",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + f""",
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+    deg AS (SELECT s AS v, COUNT(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM deg),
+    {_pagerank_iter_sql("r0", "r1")},
+    {_pagerank_iter_sql("r1", "r2")},
+    {_pagerank_iter_sql("r2", "r3")}
+    SELECT v AS doc_id, r AS pagerank FROM r3
+    """,
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup candidate graph (3 fixed
+    power iterations, damping 0.85): high-rank documents sit at the
+    center of duplication families — the canonical-template detector
+    that complements connected components (which finds the families
+    but not their hubs).
+
+    Iterative-algorithm doctrine: per-node neighbor sums of doubles
+    are summation-order-dependent, so each contribution quantizes to
+    1e-9 fixed-point longs before the aggregate (exact, associative —
+    same trick as embedding_label_centroids) and only the final
+    damping arithmetic runs in double, identically on both engines.
+    Every iteration is one shuffle on the destination node; edges are
+    fixed-width id pairs. Fixed iteration count (not convergence
+    polling) keeps the plan static and the oracle SQL-expressible.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    # materialize the edge list once: every iteration joins it, and
+    # without the persist each round re-executes the whole LSH lineage
+    # (the same round-caching discipline as sim_ivf_kmeans_topk and
+    # dedup_cluster_components). Edge rows are two longs — at any
+    # corpus size this is the candidate graph, not the corpus.
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .persist()
+    )
+    edges.count()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("s").alias("v"), "deg"
+    )
+    r = deg.select("v", F.lit(1.0).alias("r"))
+    deg_s = deg.select(F.col("v").alias("s"), "deg")
+    prev = None
+    for i in range(_PR_ITERS):
+        r_s = r.select(F.col("v").alias("s"), "r")
+        quant = F.round((F.col("r") / F.col("deg")) * _PR_FP).cast("long")
+        r = (
+            edges.join(deg_s, "s")
+            .join(r_s, "s")
+            .select("d", quant.alias("q"))
+            .groupBy("d")
+            .agg(
+                (
+                    F.lit(0.15)
+                    + F.lit(0.85) * (F.sum("q").cast("double") / F.lit(_PR_FP))
+                ).alias("r")
+            )
+            .select(F.col("d").alias("v"), "r")
+        )
+        if i < _PR_ITERS - 1:
+            # node-cardinality rank vector: persist each round so the
+            # next iteration's plan starts from materialized ranks
+            # instead of replaying every earlier round
+            r = r.persist()
+            r.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = r
+    return r.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))

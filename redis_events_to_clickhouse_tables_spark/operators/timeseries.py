@@ -383,3 +383,58 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c").cast("double") / 100.0).alias("total_spend"),
         (F.sum("c").cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_spend"),
     )
+
+
+@query(
+    "events_cohort_matrix",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    coh AS (SELECT user_id, MIN(d) AS c FROM ud GROUP BY user_id),
+    sizes AS (SELECT c, COUNT(*) AS cohort_size FROM coh GROUP BY c),
+    mat AS (
+      SELECT coh.c, date_diff('day', coh.c, ud.d) AS age,
+             COUNT(DISTINCT ud.user_id) AS n_active
+      FROM ud JOIN coh ON coh.user_id = ud.user_id
+      GROUP BY 1, 2)
+    SELECT CAST(mat.c AS TIMESTAMP) AS cohort_day,
+           CAST(age AS BIGINT) AS age_days,
+           n_active,
+           CAST(n_active AS DOUBLE) / sizes.cohort_size AS retention
+    FROM mat JOIN sizes ON sizes.c = mat.c
+    """,
+)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cohort-retention matrix: users grouped by first-seen day,
+    tracked by activity at every day-age — the (cohort x age) grid
+    behind every retention dashboard (the rolling next-day query is
+    its first off-diagonal).
+
+    Three bounded shuffles on (user, day) / user / (cohort, age); the
+    cohort map is user-cardinality with fixed-width rows and joins
+    back on user_id — at scale AQE picks broadcast vs shuffle by its
+    actual size. Retention is one IEEE division of exact counts.
+    """
+    tune(spark)
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    coh = ud.groupBy("user_id").agg(F.min("d").alias("c"))
+    sizes = coh.groupBy("c").agg(F.count(F.lit(1)).alias("cohort_size"))
+    mat = (
+        ud.join(coh, "user_id")
+        .groupBy("c", F.datediff("d", "c").cast("long").alias("age_days"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        mat.join(sizes, "c")
+        .select(
+            F.col("c").cast("timestamp").alias("cohort_day"),
+            "age_days",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

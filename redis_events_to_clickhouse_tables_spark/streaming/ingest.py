@@ -42,6 +42,23 @@ from .store import TableStore, swap_dirs
 
 DLQ_TABLE = "_dlq"
 
+# Spark failure text that signals an interrupted/cancelled job (query
+# stop, context shutdown) rather than a bad batch — see the E1 catch.
+_INTERRUPTION_MARKERS = (
+    "InterruptedException",
+    "cancelled",
+    "canceled",
+    "TaskKilled",
+    "killed",
+    "SparkContext was shut down",
+    "Py4JNetworkError",
+)
+
+
+def _is_interruption(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}"
+    return any(m in text for m in _INTERRUPTION_MARKERS)
+
 
 class StoreUnavailableError(RuntimeError):
     """B4: raised when the destination health probe fails — the batch
@@ -270,6 +287,19 @@ class IngestEngine:
                         {"event": "insert", "batch": batch_id, "table": etype, "rows": n}
                     )
                 except Exception as exc:  # noqa: BLE001 — E1: dead-letter path
+                    if _is_interruption(exc):
+                        # A stop()/shutdown interrupt mid-flush is NOT a
+                        # bad batch: demoting it would let the micro-batch
+                        # "succeed", commit its offsets, and strand the
+                        # events in the DLQ (observed: a maintenance
+                        # restart racing an in-flight batch silently
+                        # dropped a row to the DLQ forever). Re-raise so
+                        # the batch aborts uncommitted and replays on
+                        # restart — the idempotent batch-id log absorbs
+                        # any partial table writes. The detection errs
+                        # toward re-raise: a false positive only costs
+                        # one replay, a false negative loses data.
+                        raise
                     with self._lock:
                         report.errors[etype] = str(exc)[:500]
                     self._dead_letter(sub, etype, str(exc)[:500], report)

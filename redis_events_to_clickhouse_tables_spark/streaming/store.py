@@ -43,6 +43,7 @@ from ..plans.evolution import merge_schemas
 
 _SCHEMA_FILE = "_schema.json"
 _META_FILE = "_meta.json"
+_CURRENT_FILE = "CURRENT"
 _MAX_TRACKED_BATCHES = 10_000
 
 
@@ -88,12 +89,53 @@ class TableStore:
             if d.is_dir() and (d / _SCHEMA_FILE).exists()
         )
 
+    # -- versioned data layout -------------------------------------------
+    # Rewrites (compact, widening) produce a NEW data directory and flip
+    # an atomically-replaced CURRENT pointer, keeping the immediately
+    # previous version on disk as a grace window. This is the reader
+    # snapshot-isolation contract of a table format (Delta/Iceberg keep
+    # old files until vacuum for the same reason): a reader that planned
+    # its scan against version N keeps valid file paths while the flip
+    # to N+1 happens, for at least one full maintenance interval. The
+    # earlier rename-aside swap invalidated in-flight readers' paths at
+    # the instant of the swap (observed: FileNotFoundException in a
+    # monitor query racing compact()).
+
+    def data_dir(self, table: str) -> Path:
+        """The ACTIVE data directory (resolve before every scan)."""
+        p = self.table_path(table)
+        cur = p / _CURRENT_FILE
+        name = cur.read_text().strip() if cur.exists() else "data"
+        return p / name
+
+    def _next_version_dir(self, table: str) -> Path:
+        cur = self.data_dir(table).name
+        n = 0 if cur == "data" else int(cur.rsplit("-v", 1)[1])
+        return self.table_path(table) / f"data-v{n + 1:06d}"
+
+    def _flip_version(self, table: str, new_dir: Path) -> None:
+        """Point readers at ``new_dir`` atomically; retain the version
+        being replaced for in-flight readers; GC anything older."""
+        p = self.table_path(table)
+        prev = self.data_dir(table).name
+        tmp = p / f".current-{uuid.uuid4().hex[:8]}"
+        tmp.write_text(new_dir.name)
+        os.replace(tmp, p / _CURRENT_FILE)
+        keep = {new_dir.name, prev}
+        for d in p.iterdir():
+            if (
+                d.is_dir()
+                and (d.name == "data" or d.name.startswith("data-v"))
+                and d.name not in keep
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+
     # -- read -------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
         schema = self.table_schema(table)
         if schema is None:
             raise KeyError(f"no such table: {table}")
-        data = self.table_path(table) / "data"
+        data = self.data_dir(table)
         if not data.exists() or not any(data.rglob("*.parquet")):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(str(data))
@@ -164,7 +206,7 @@ class TableStore:
         sort_cols = [c for c in meta["sort_by"] if c in set(target.fieldNames())]
         if sort_cols:
             aligned = aligned.sortWithinPartitions(*sort_cols)
-        data_dir = self.table_path(table) / "data"
+        data_dir = self.data_dir(table)
         data_dir.mkdir(parents=True, exist_ok=True)
         writer = aligned.write.mode("append")
         part_cols = [c for c in meta["partition_by"] if c in set(target.fieldNames())]
@@ -186,10 +228,12 @@ class TableStore:
         thousands of KB-sized parquet files per table per day, and scan
         planning cost grows with file count. Rewrite the table into
         ~``target_file_bytes`` files (per partition directory when
-        partitioned), atomically (write to a temp dir, swap). Returns
+        partitioned) as a NEW data version, then atomically flip the
+        CURRENT pointer (concurrent readers keep their version's files
+        — see the versioned-layout note above). Returns
         (files_before, files_after).
         """
-        data_dir = self.table_path(table) / "data"
+        data_dir = self.data_dir(table)
         files = list(data_dir.rglob("*.parquet")) if data_dir.exists() else []
         if not files:
             return (0, 0)
@@ -208,13 +252,13 @@ class TableStore:
         sort_cols = [c for c in meta["sort_by"] if c in df.columns]
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
-        tmp = self.table_path(table) / f".compact-{uuid.uuid4().hex[:8]}"
+        new_dir = self._next_version_dir(table)
         writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(str(tmp))
-        swap_dirs(tmp, data_dir)
-        n_after = len(list(data_dir.rglob("*.parquet")))
+        writer.parquet(str(new_dir))
+        self._flip_version(table, new_dir)
+        n_after = len(list(new_dir.rglob("*.parquet")))
         return (n_before, n_after)
 
     def _save_schema(self, table: str, schema: T.StructType) -> None:
@@ -223,17 +267,17 @@ class TableStore:
         (p / _SCHEMA_FILE).write_text(json.dumps(schema.jsonValue()))
 
     def _rewrite(self, table: str, old: T.StructType, new: T.StructType) -> None:
-        data_dir = self.table_path(table) / "data"
+        data_dir = self.data_dir(table)
         if not data_dir.exists() or not any(data_dir.rglob("*.parquet")):
             return
         meta = self._load_meta(table)
-        tmp = self.table_path(table) / f".rewrite-{uuid.uuid4().hex[:8]}"
+        new_dir = self._next_version_dir(table)
         old_df = self.spark.read.schema(old).parquet(str(data_dir))
         writer = _align(old_df, new).write.mode("overwrite")
         if meta["partition_by"]:
             writer = writer.partitionBy(*meta["partition_by"])
-        writer.parquet(str(tmp))
-        swap_dirs(tmp, data_dir)
+        writer.parquet(str(new_dir))
+        self._flip_version(table, new_dir)
 
 
 def swap_dirs(tmp: Path, live: Path) -> None:

@@ -181,3 +181,18 @@ def test_concurrent_multi_table_failures_keep_all_dead_letters(
     dlq = engine.read_dlq()
     assert dlq.count() == 6
     assert {r["target_table"] for r in dlq.collect()} == {f"t{i}" for i in range(6)}
+
+
+def test_interruption_errors_are_not_demoted():
+    """Stop()-induced Spark failures must abort the batch (replay on
+    restart), never dead-letter it — demotion would commit the batch's
+    offsets with its rows stranded in the DLQ."""
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        _is_interruption,
+    )
+
+    assert _is_interruption(RuntimeError("Job 7 cancelled because of stop"))
+    assert _is_interruption(Exception("java.lang.InterruptedException: sleep"))
+    assert _is_interruption(Exception("TaskKilled (Stage cancelled)"))
+    assert not _is_interruption(ValueError("CAST_INVALID_INPUT: bad row"))
+    assert not _is_interruption(Exception("schema mismatch for column x"))

@@ -34,7 +34,7 @@ def test_partitioned_layout_and_pruning(spark, tmp_path):
     store = _store(spark, tmp_path)
     df = _df(spark, [(1, "d1"), (2, "d2"), (3, "d2")])
     store.write(df, "t", partition_by=("day",))
-    root = store.table_path("t") / "data"
+    root = store.data_dir("t")
     assert (root / "day=d1").exists() and (root / "day=d2").exists()
     back = store.read("t")
     assert back.count() == 3
@@ -59,7 +59,7 @@ def test_sort_within_files(spark, tmp_path):
     # one file, rows sorted by k inside it
     import pyarrow.parquet as pq
 
-    files = list((store.table_path("t") / "data").rglob("*.parquet"))
+    files = list(store.data_dir("t").rglob("*.parquet"))
     vals = pq.read_table(str(files[0])).column("k").to_pylist()
     assert vals == sorted(vals)
 
@@ -68,7 +68,7 @@ def test_compaction_merges_small_files(spark, tmp_path):
     store = _store(spark, tmp_path)
     for i in range(5):  # 5 micro-batches -> many small files
         store.write(_df(spark, [(i, "d")]), "t", batch_id=i)
-    before = len(list((store.table_path("t") / "data").rglob("*.parquet")))
+    before = len(list(store.data_dir("t").rglob("*.parquet")))
     assert before >= 5
     n_before, n_after = store.compact("t")
     assert n_before == before and n_after < before
@@ -82,7 +82,7 @@ def test_compaction_preserves_partitions(spark, tmp_path):
             _df(spark, [(i, "d1"), (i, "d2")]), "t", batch_id=i, partition_by=("day",)
         )
     store.compact("t")
-    root = store.table_path("t") / "data"
+    root = store.data_dir("t")
     assert (root / "day=d1").exists() and (root / "day=d2").exists()
     assert store.read("t").count() == 6
 
@@ -151,3 +151,38 @@ def test_widened_schema_persists_even_if_append_fails(spark, tmp_path, monkeypat
     # rewritten data files, so the table still reads cleanly
     assert store.table_schema("t")["a"].dataType.simpleString() == "string"
     assert {r["a"] for r in store.read("t").collect()} == {"1"}
+
+
+def test_readers_survive_concurrent_compaction(spark, tmp_path):
+    """Snapshot isolation: a DataFrame planned against version N must
+    stay executable after compact() flips to N+1 (the previous version
+    is retained as a grace window) — the monitor-query-vs-maintenance
+    race that crashed with FileNotFoundException under the rename-aside
+    layout."""
+    store = _store(spark, tmp_path)
+    for i in range(4):
+        store.write(_df(spark, [(i, "d")]), "t", batch_id=i)
+    snapshot = store.read("t")  # plans (and lists files) lazily
+    snapshot.count()            # pin the file listing in this plan
+    store.compact("t")
+    assert snapshot.count() == 4      # old version still readable
+    assert store.read("t").count() == 4  # new resolves to the compacted dir
+
+
+def test_version_gc_keeps_exactly_two(spark, tmp_path):
+    """The version chain never grows unboundedly: each flip retains the
+    immediately previous version and garbage-collects older ones."""
+    store = _store(spark, tmp_path)
+    for i in range(3):
+        store.write(_df(spark, [(i, "d")]), "t", batch_id=i)
+    store.compact("t")
+    store.write(_df(spark, [(9, "d")]), "t", batch_id=9)
+    store.compact("t")
+    p = store.table_path("t")
+    versions = sorted(
+        d.name for d in p.iterdir()
+        if d.is_dir() and (d.name == "data" or d.name.startswith("data-v"))
+    )
+    assert len(versions) == 2, versions
+    assert store.data_dir("t").name == versions[-1]
+    assert store.read("t").count() == 4

@@ -236,18 +236,25 @@ def test_worker_periodic_compaction_reduces_files(spark, tmp_path):
     )
     th.start()
     store = TableStore(spark, tmp_path / "wh")
-    data_dir = tmp_path / "wh" / "ct" / "data"
     deadline = _time.time() + 150
     ok = False
+    timeline: list[tuple[float, object]] = []
     while _time.time() < deadline:
-        if store.table_exists("ct") and store.read("ct").count() == 4:
-            n_files = len(list(data_dir.rglob("*.parquet")))
-            if n_files <= 2:  # 4 single-row appends compacted down
-                ok = True
-                break
+        state = None
+        if store.table_exists("ct"):
+            state = (
+                store.read("ct").count(),
+                len(list(store.data_dir("ct").rglob("*.parquet"))),
+                store.data_dir("ct").name,
+            )
+        if not timeline or timeline[-1][1] != state:
+            timeline.append((_time.monotonic(), state))
+        if state is not None and state[0] == 4 and state[1] <= 2:
+            ok = True
+            break
         _time.sleep(2)
     shutdown.set()
     th.join(timeout=90)
     assert not th.is_alive()
-    assert ok, "compaction never reduced the file count"
+    assert ok, f"compaction never reduced the file count; timeline={timeline}"
     assert {r["x"] for r in store.read("ct").collect()} == {0, 1, 2, 3}
