@@ -458,3 +458,47 @@ def agg_bitwise_line_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "agg_exact_p90_rank",
+    oracle="""
+    WITH n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+               GROUP BY l_returnflag),
+    r AS (SELECT l_returnflag, l_extendedprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS rn
+          FROM lineitem)
+    SELECT r.l_returnflag, v AS p90_price
+    FROM r JOIN n ON n.l_returnflag = r.l_returnflag
+    WHERE rn = (n * 9 + 9) // 10
+    """,
+)
+def agg_exact_p90_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group P90 by rank selection: the value at sorted
+    position ceil(0.9*n) — computed as (9n+9) div 10 in INTEGER
+    arithmetic on both engines, because ceil(0.9*n) in doubles rounds
+    differently than in DuckDB's decimal literals.
+
+    This is the distributed-exact-quantile shape for when a group is
+    too large to buffer: one count aggregate plus the per-group sort
+    Spark already performs for any window — no percentile UDAF holding
+    the whole group in executor memory (the trade the approx sketch
+    family avoids paying at all). The selected VALUE is deterministic
+    under ties even though row_number's tie order isn't: position k of
+    the sorted multiset is the same value under any tie permutation.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        r.join(F.broadcast(n), "l_returnflag")
+        .filter(F.col("rn") == F.expr("(n * 9 + 9) div 10"))
+        .select("l_returnflag", F.col("v").alias("p90_price"))
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from redis_events_to_clickhouse_tables_spark.streaming.ingest import IngestEngine
 from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
 from redis_events_to_clickhouse_tables_spark.streaming.stream import start_file_ingest
@@ -258,3 +260,54 @@ def test_worker_periodic_compaction_reduces_files(spark, tmp_path):
     assert not th.is_alive()
     assert ok, f"compaction never reduced the file count; timeline={timeline}"
     assert {r["x"] for r in store.read("ct").collect()} == {0, 1, 2, 3}
+
+
+def test_worker_maintenance_replays_dlq(spark, tmp_path):
+    """The maintenance window replays the DLQ: an event demoted by a
+    transient fault re-enters its table without operator action."""
+    import threading as _threading
+    import time as _time
+
+    from redis_events_to_clickhouse_tables_spark.__main__ import run_worker
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        IngestEngine,
+        IngestReport,
+    )
+
+    store = TableStore(spark, tmp_path / "wh")
+    engine = IngestEngine(spark, store)
+    # seed one dead-lettered (but perfectly valid) event, as a
+    # transient store fault would have left it
+    seeded = spark.createDataFrame([(7,)], "x long").withColumn(
+        "event_type", F.lit("ct")
+    )
+    engine._dead_letter(seeded, "ct", "transient: seeded by test",
+                        IngestReport(batch_id=-1))
+
+    inbox = tmp_path / "inbox"
+    _write_jsonl(inbox / "b0.jsonl", [{"event_type": "ct", "x": 1}])
+    env = {
+        "INGEST_INPUT_PATH": str(inbox),
+        "INGEST_WAREHOUSE": str(tmp_path / "wh"),
+        "BULK_REPEAT_INTERVAL_SEC": "1",
+        "COMPACT_EVERY_SEC": "6",
+        "WATCH_DOG_MAX_INACTIVITY_SEC": "0",
+    }
+    shutdown = _threading.Event()
+    th = _threading.Thread(
+        target=lambda: run_worker(spark, env, shutdown), daemon=True
+    )
+    th.start()
+    deadline = _time.time() + 120
+    ok = False
+    while _time.time() < deadline:
+        if store.table_exists("ct"):
+            xs = {r["x"] for r in store.read("ct").select("x").collect()}
+            if xs == {1, 7}:
+                ok = True
+                break
+        _time.sleep(2)
+    shutdown.set()
+    th.join(timeout=90)
+    assert not th.is_alive()
+    assert ok, "DLQ event never replayed into its table"
