@@ -190,3 +190,28 @@ def test_stop_shingle_jaccard_has_no_shingle_self_join(spark):
     # keep set — never another shingle explosion
     assert n_joins <= 5, plan[:3000]
     assert "collect_list" in plan, plan[:3000]
+
+
+# Queries whose build() runs jobs (iterative persist/count rounds) —
+# plan-audited by their own dedicated tests, skipped in the bulk sweep
+# to keep it planning-only.
+_BULK_SKIP = {
+    "sim_ivf_kmeans_topk",
+    "sim_ivf_recall",
+    "graph_pagerank_neardup",
+    "dedup_cluster_components",
+    # deliberate cartesian: the explicit CROSS JOIN family
+    "join_cross_region_nation",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n not in _BULK_SKIP]
+)
+def test_no_accidental_cartesian_anywhere(spark, name):
+    """Bulk physical-plan audit: NO registered query may plan a
+    CartesianProduct (the one intentional CROSS JOIN is whitelisted).
+    BroadcastNestedLoopJoin is allowed — the small-side-broadcast
+    shapes (BM25 stats, brute-force query set) use it deliberately."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan[:2000]
