@@ -351,3 +351,52 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type, next_type, COUNT(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+          FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS p
+    FROM c JOIN t ON t.event_type = c.event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for each user's
+    time-ordered event sequence, count (type -> next type) pairs and
+    normalize per source type — the behavioral-model input behind
+    next-action prediction and anomalous-flow detection.
+
+    One per-user window (lead) over the (user, time) sort Spark
+    already shuffles for any sessionization, then two bounded
+    aggregates whose keys are |event_types|^2 — constant-size results
+    at any corpus scale. Probability is one IEEE division of exact
+    counts.
+    """
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p"),
+    )

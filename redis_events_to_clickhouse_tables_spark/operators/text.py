@@ -624,3 +624,37 @@ def text_unk_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("is_unk"), 1)).cast("long").alias("n_unk"),
         )
     )
+
+
+@query(
+    "scalar_array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(tk)), ' ') AS vocab_sorted,
+           CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct,
+           tk[1] AS head_tok,
+           tk[-1] AS tail_tok,
+           array_to_string(list_reverse(list_slice(tk, 1, 5)), ' ')
+             AS head5_reversed,
+           CAST(list_contains(tk, 'spark') AS BOOLEAN) AS has_spark
+    FROM t
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/list function family sweep: sort, distinct, slice,
+    reverse, element access (head/tail), membership — all JVM
+    higher-order/collection functions inside whole-stage codegen (the
+    list-manipulation layer every tokenized pipeline builds on)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tk))).alias("vocab_sorted"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        F.element_at(tk, 1).alias("head_tok"),
+        F.element_at(tk, -1).alias("tail_tok"),
+        F.concat_ws(" ", F.reverse(F.slice(tk, 1, 5))).alias("head5_reversed"),
+        F.array_contains(tk, "spark").alias("has_spark"),
+    )
