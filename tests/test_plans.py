@@ -215,3 +215,32 @@ def test_no_accidental_cartesian_anywhere(spark, name):
     shapes (BM25 stats, brute-force query set) use it deliberately."""
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def _global_windows(df) -> list[str]:
+    """Every logical Window node with an EMPTY partitionSpec — the
+    'Moving all data to a single partition' shape Spark warns about."""
+    hits: list[str] = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.toString())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n not in _BULK_SKIP]
+)
+def test_no_global_window_anywhere(spark, name):
+    """Bulk logical-plan audit (VERDICT r4 item 1): NO registered query
+    may plan a Window without partitionBy — a global ordered window
+    serializes the whole input through one task at 100 TB. The one
+    prior offender (user_ltv_deciles' global NTILE) was rewritten as
+    range-bucketed exact ranks; this gate keeps the registry clean."""
+    df = REGISTRY[name].build(spark, SF_DIR)
+    hits = _global_windows(df)
+    assert not hits, hits[0][:2000]
