@@ -61,3 +61,78 @@ def test_cluster_components_phases_agree(spark, monkeypatch):
     )
     assert local == dist
     assert len(local) > 0
+
+
+def test_chunked_pairs_bounded_and_exact_under_hostile_skew(spark, tmp_path):
+    """VERDICT r4 item 4: a corpus where ONE shingle appears in 50% of
+    documents. chunked_pairs must (a) never materialize a bucket slice
+    beyond ~2x the chunk size (binomial concentration of the xxhash64
+    slice assignment), and (b) emit exactly the all-pairs multiset of
+    every bucket — the memory bound cannot cost a single pair."""
+    from redis_events_to_clickhouse_tables_spark.operators.dedup import (
+        chunked_pairs,
+        chunked_slices,
+    )
+
+    n_docs, hot_frac, chunk = 2_000, 0.5, 64
+    # membership table directly: bucket 0 is the hot shingle (50% of
+    # docs), buckets 1.. are benign (2 members each)
+    rows = [(0, d) for d in range(int(n_docs * hot_frac))]
+    rows += [(1 + d // 2, d) for d in range(int(n_docs * hot_frac), n_docs)]
+    members = spark.createDataFrame(rows, "h LONG, doc_id LONG")
+
+    slices = chunked_slices(members, ["h"], chunk=chunk)
+    sizes = slices.select(F.size("ids").alias("s"))
+    agg = sizes.agg(F.max("s").alias("mx"), F.sum("s").alias("total")).first()
+    assert agg["mx"] <= 2 * chunk, f"hot slice leaked: {agg['mx']} ids"
+    assert agg["total"] == n_docs  # every member lands in exactly one slice
+
+    got = sorted(
+        tuple(r) for r in chunked_pairs(members, ["h"], chunk=chunk).collect()
+    )
+    a, b = members.alias("a"), members.alias("b")
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    )
+    assert got == want  # exact multiset, including one row per shared bucket
+
+
+def test_dedup_family_completes_on_hostile_corpus(spark, tmp_path, ddb_factory=None):
+    """End-to-end at the documents level: 400 docs, 50% sharing one
+    boilerplate 3-gram, must still hash-match the DuckDB oracle for
+    the whole Jaccard/SimHash/LSH family (the benign FIXTURES never
+    stressed the hot-bucket path)."""
+    import duckdb
+
+    from redis_events_to_clickhouse_tables_spark.registry import load_all
+
+    reg = load_all()
+    docs = []
+    for d in range(400):
+        if d % 2 == 0:
+            # shared boilerplate prefix = one hot shingle in 50% of docs
+            docs.append((d, f"terms of service apply w{d} x{d % 7} y{d % 13} z{d % 3}"))
+        else:
+            docs.append((d, f"u{d} v{d % 11} w{d % 5} unique body {d} tail{d % 17}"))
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_stop_shingles",
+        "dedup_simhash_neardup",
+        "dedup_minhash_lsh_candidates",
+    ):
+        spec = reg[name]
+        got = sorted(tuple(r) for r in spec.build(spark, sf).collect())
+        want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
+        assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
+        assert len(got) > 0, f"{name}: hostile corpus produced no pairs"

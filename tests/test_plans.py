@@ -97,8 +97,12 @@ def test_ngram_jaccard_has_no_shingle_self_join(spark):
     doc-size joins on the (linear) pair aggregate."""
     plan = _plan(spark, "dedup_ngram_jaccard")
     n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
-    assert n_joins <= 2, plan[:3000]
+    # chunked_pairs shape: the bucket-frequency join appears once per
+    # consumer branch (intra / probe / partner = 3, no ReusedExchange
+    # at this scale) + the slice-partner join + the two doc-size joins
+    assert n_joins <= 6, plan[:3000]
     assert "collect_list" in plan, plan[:3000]
+    assert "xxhash64" in plan, plan[:3000]  # slice assignment reached the plan
 
 
 def test_semi_and_anti_joins_planned(spark):
@@ -185,11 +189,13 @@ def test_stop_shingle_jaccard_has_no_shingle_self_join(spark):
         plan.count(j)
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    # cap-keep join + n_docs broadcast + pair/size joins; the shingle
-    # table itself only ever joins the (broadcast, vocabulary-sized)
-    # keep set — never another shingle explosion
-    assert n_joins <= 5, plan[:3000]
+    # cap-keep join (x3 chunked_pairs branches + the sizes branch) +
+    # n_docs broadcast + slice-partner join + two doc-size joins; the
+    # shingle table itself only ever joins the vocabulary-sized keep
+    # set — never another shingle explosion
+    assert n_joins <= 8, plan[:3000]
     assert "collect_list" in plan, plan[:3000]
+    assert "xxhash64" in plan, plan[:3000]  # slice assignment reached the plan
 
 
 # Queries whose build() runs jobs (iterative persist/count rounds) —
