@@ -1006,13 +1006,18 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("d").alias("v"), "r")
         )
-        if i < _PR_ITERS - 1:
-            # node-cardinality rank vector: persist each round so the
-            # next iteration's plan starts from materialized ranks
-            # instead of replaying every earlier round
-            r = r.persist()
-            r.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = r
+        # node-cardinality rank vector: persist each round so the
+        # next iteration's plan starts from materialized ranks
+        # instead of replaying every earlier round
+        r = r.persist()
+        r.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = r
+    # the final (persisted, materialized) rank vector no longer needs
+    # its inputs: release the edge list and intermediate ranks so a
+    # bench sweep doesn't accumulate cached blocks across queries
+    # (ADVICE r4; same discipline as dedup_cluster_components). If the
+    # executor later evicts the final vector, lineage recomputes it.
+    edges.unpersist()
     return r.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))

@@ -25,6 +25,7 @@ this is N filtered scans of one cached batch.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import time
 import uuid
@@ -42,22 +43,95 @@ from .store import TableStore, swap_dirs
 
 DLQ_TABLE = "_dlq"
 
-# Spark failure text that signals an interrupted/cancelled job (query
+# Spark failure shapes that signal an interrupted/cancelled job (query
 # stop, context shutdown) rather than a bad batch — see the E1 catch.
-_INTERRUPTION_MARKERS = (
+# Classification is structural (ADVICE r4: the old blind substring
+# match over str(exc) also scanned offending ROW VALUES that Spark
+# quotes in data errors, so a poison value containing "cancelled"
+# would re-raise forever and stall ingestion):
+#  - exception CLASS names along the python AND java cause chains;
+#  - scheduler-generated cancellation phrases, anchored, and only
+#    from exceptions that carry NO Spark error condition (data errors
+#    like CAST_INVALID_INPUT always carry one, and only their
+#    messages embed row data);
+#  - a per-(batch, table) replay cap as the final backstop: even a
+#    perfectly disguised poison batch is demoted to the DLQ after
+#    _INTERRUPTION_REPLAY_CAP interruption-shaped replays.
+_INTERRUPTION_CLASS_MARKERS = (
     "InterruptedException",
-    "cancelled",
-    "canceled",
+    "InterruptedError",
     "TaskKilled",
-    "killed",
-    "SparkContext was shut down",
     "Py4JNetworkError",
+    "KeyboardInterrupt",
 )
+_CANCEL_MSG_RE = re.compile(
+    r"\bJob \d+ cancelled\b"
+    r"|\bSparkContext was shut down\b"
+    r"|\bjava\.lang\.InterruptedException\b"
+    r"|\bTaskKilled\b"
+)
+_INTERRUPTION_REPLAY_CAP = 3
+
+
+def _error_condition(exc) -> str | None:
+    """The Spark error condition (e.g. CAST_INVALID_INPUT) if the
+    exception carries one — works for pyspark CapturedException
+    (getCondition/getErrorClass) and, via py4j, for any SparkThrowable."""
+    for probe in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, probe, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:  # noqa: BLE001 — non-SparkThrowable java obj
+                continue
+            if cond:
+                return str(cond)
+    return None
 
 
 def _is_interruption(exc: BaseException) -> bool:
-    text = f"{type(exc).__name__}: {exc}"
-    return any(m in text for m in _INTERRUPTION_MARKERS)
+    chain: list[BaseException] = []
+    e: BaseException | None = exc
+    seen: set[int] = set()
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        chain.append(e)
+        e = e.__cause__ or e.__context__
+    names: list[str] = []
+    messages: list[str] = []
+    for e in chain:
+        names.append(type(e).__name__)
+        jt = getattr(e, "java_exception", None) or getattr(
+            getattr(e, "_origin", None), "java_exception", None
+        )
+        if jt is None:
+            # plain python exception: its message is scanned only when
+            # no data-error condition marks it as value-quoting
+            if _error_condition(e) is None:
+                messages.append(str(e))
+        while jt is not None:
+            try:
+                cls = jt.getClass().getName()
+            except Exception:  # noqa: BLE001 — gateway gone == interruption
+                names.append("Py4JNetworkError")
+                break
+            names.append(cls)
+            # scheduler cancellations surface as condition-less
+            # SparkExceptions; their messages are Spark-generated and
+            # never embed row data (data errors carry a condition and
+            # are excluded here)
+            if cls.endswith(".SparkException") and _error_condition(jt) is None:
+                try:
+                    messages.append(jt.getMessage() or "")
+                except Exception:  # noqa: BLE001
+                    pass
+            try:
+                jt = jt.getCause()
+            except Exception:  # noqa: BLE001
+                break
+    if any(m in n for n in names for m in _INTERRUPTION_CLASS_MARKERS):
+        return True
+    return any(_CANCEL_MSG_RE.search(m or "") for m in messages)
 
 
 class StoreUnavailableError(RuntimeError):
@@ -98,6 +172,11 @@ class IngestEngine:
         # Also taken for the whole retry replay+swap so a concurrent
         # dead-letter can't append into a dir about to be swapped away.
         self._dlq_lock = threading.Lock()
+        # interruption replay cap (see _is_interruption): counts
+        # interruption-shaped re-raises per (batch_id, table) so a
+        # disguised poison batch can't replay forever. Bounded by the
+        # number of distinct failing batches in this process lifetime.
+        self._interruption_replays: dict[tuple[int, str], int] = {}
 
     # -- K4: trace side-output -------------------------------------------
     def _trace(self, payload: dict) -> None:
@@ -297,9 +376,28 @@ class IngestEngine:
                         # the batch aborts uncommitted and replays on
                         # restart — the idempotent batch-id log absorbs
                         # any partial table writes. The detection errs
-                        # toward re-raise: a false positive only costs
-                        # one replay, a false negative loses data.
-                        raise
+                        # toward re-raise: a false positive costs one
+                        # replay — and only up to the replay cap, so a
+                        # deterministic poison batch whose error text
+                        # mimics a cancellation still reaches the DLQ
+                        # instead of stalling ingestion (ADVICE r4).
+                        capped = False
+                        if batch_id is not None:
+                            key = (batch_id, etype)
+                            with self._lock:
+                                n = self._interruption_replays.get(key, 0) + 1
+                                self._interruption_replays[key] = n
+                            capped = n > _INTERRUPTION_REPLAY_CAP
+                        if not capped:
+                            raise
+                        self._trace(
+                            {
+                                "event": "interruption_replay_cap",
+                                "batch": batch_id,
+                                "table": etype,
+                                "replays": self._interruption_replays[(batch_id, etype)],
+                            }
+                        )
                     with self._lock:
                         report.errors[etype] = str(exc)[:500]
                     self._dead_letter(sub, etype, str(exc)[:500], report)

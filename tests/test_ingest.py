@@ -194,5 +194,110 @@ def test_interruption_errors_are_not_demoted():
     assert _is_interruption(RuntimeError("Job 7 cancelled because of stop"))
     assert _is_interruption(Exception("java.lang.InterruptedException: sleep"))
     assert _is_interruption(Exception("TaskKilled (Stage cancelled)"))
+    assert _is_interruption(InterruptedError())  # class, not message
     assert not _is_interruption(ValueError("CAST_INVALID_INPUT: bad row"))
     assert not _is_interruption(Exception("schema mismatch for column x"))
+
+
+def test_data_errors_quoting_hostile_values_are_demoted():
+    """ADVICE r4: Spark data errors quote the offending row value in
+    the message. A value that mimics a cancellation phrase must NOT be
+    classified as an interruption — that would replay the same poison
+    batch forever and stall ingestion."""
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        _is_interruption,
+    )
+
+    class FakeCastError(Exception):
+        """Shape of pyspark CapturedException for CAST_INVALID_INPUT."""
+
+        def getCondition(self):
+            return "CAST_INVALID_INPUT"
+
+    hostile = "[CAST_INVALID_INPUT] The value 'Job 5 cancelled' cannot be cast"
+    assert not _is_interruption(FakeCastError(hostile))
+    # a condition-less message mentioning cancellation incidentally
+    # (old substring matcher tripped on bare "cancelled"/"killed")
+    assert not _is_interruption(ValueError("user field was 'order cancelled'"))
+    assert not _is_interruption(ValueError("process killed the budget"))
+
+
+def test_interruption_replay_cap_demotes_disguised_poison(spark, tmp_path, monkeypatch):
+    """Backstop for a poison batch whose failure is interruption-shaped
+    every time: after _INTERRUPTION_REPLAY_CAP re-raises for the same
+    (batch_id, table), the events go to the DLQ instead of stalling
+    the stream forever."""
+    import pytest
+
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        _INTERRUPTION_REPLAY_CAP,
+    )
+
+    engine, store = _engine(spark, tmp_path)
+    original = store.write
+
+    def interrupted_write(df, table, **kw):
+        if table == "p":
+            raise RuntimeError("Job 3 cancelled as part of shutdown")
+        return original(df, table, **kw)
+
+    monkeypatch.setattr(store, "write", interrupted_write)
+    batch = _raw(spark, [{"event_type": "p", "x": 1}])
+    for _ in range(_INTERRUPTION_REPLAY_CAP):
+        with pytest.raises(RuntimeError):
+            engine.process_raw_batch(batch, batch_id=41)
+    # replay past the cap: demoted to the DLQ, batch completes
+    report = engine.process_raw_batch(batch, batch_id=41)
+    assert report.n_dead_lettered == 1
+    assert engine.read_dlq().count() == 1
+    trace = (store.root / "_trace.jsonl").read_text()
+    assert "interruption_replay_cap" in trace
+    # batch_id-less (direct) calls never consume the cap
+    with pytest.raises(RuntimeError):
+        engine.process_raw_batch(batch)
+
+
+def test_dlq_replay_races_live_ingest(spark, tmp_path, monkeypatch):
+    """VERDICT r4 item 5: retry_dead_letters replay racing a live
+    process_raw_batch on the SAME table must lose no row and duplicate
+    no row (the versioned store + dlq lock make this hold)."""
+    import threading
+
+    engine, store = _engine(spark, tmp_path)
+    original = store.write
+    fail = {"on": True}
+
+    def flaky_write(df, table, **kw):
+        if fail["on"] and table == "t":
+            raise RuntimeError("sink exploded")
+        return original(df, table, **kw)
+
+    monkeypatch.setattr(store, "write", flaky_write)
+    engine.process_raw_batch(_raw(spark, [{"event_type": "t", "x": 1}]))
+    assert engine.read_dlq().count() == 1
+    fail["on"] = False
+
+    errs: list[Exception] = []
+
+    def replay():
+        try:
+            engine.retry_dead_letters()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def live():
+        try:
+            for i in range(2, 5):
+                engine.process_raw_batch(_raw(spark, [{"event_type": "t", "x": i}]))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=replay), threading.Thread(target=live)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    xs = sorted(r["x"] for r in store.read("t").select("x").collect())
+    assert xs == [1, 2, 3, 4]  # every row exactly once
+    assert engine.read_dlq().count() == 0
