@@ -146,8 +146,15 @@ def run_worker(
                     IngestEngine(
                         spark, store, IngestConfig.from_env(e)
                     ).retry_dead_letters()
-                except Exception:  # noqa: BLE001 — maintenance must not
-                    pass           # kill the worker; next window retries
+                except Exception as exc:  # noqa: BLE001 — maintenance
+                    # must not kill the worker; next window retries.
+                    # But a persistently failing replay (bad config,
+                    # unreadable DLQ) has to be VISIBLE, not silent.
+                    print(
+                        f"[maintenance] DLQ replay failed: {exc!r}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
                 last_compact = time.monotonic()
                 continue
             if stalled.is_set() and not shutdown.is_set():

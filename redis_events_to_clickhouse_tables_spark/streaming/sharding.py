@@ -41,9 +41,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import types as T
+
 from ..functions.hashing import md5_long
 
 N_SHARDS = 16  # matches operators/pipeline.py _N_SHARDS
+
+# Canonical corpus schema (the driver's documents table) plus the two
+# layout columns this store appends. Used only to answer reads before
+# the first batch lands; once files exist the on-disk schema wins.
+EMPTY_LAYOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("batch_tag", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+    ]
+)
 
 
 def shard_of(doc_id_col) -> F.Column:
@@ -81,7 +98,15 @@ class ShardStore:
         )
 
     def documents(self) -> DataFrame:
-        """All sharded documents (merge-on-read over batch partitions)."""
+        """All sharded documents (merge-on-read over batch partitions).
+
+        Before the first batch has been written there are no parquet
+        files to infer a schema from, so (like ``TableStore.read``)
+        return an empty frame with the canonical layout schema instead
+        of letting the reader throw ``Unable to infer schema``.
+        """
+        if not any(self.root.rglob("*.parquet")):
+            return self.spark.createDataFrame([], EMPTY_LAYOUT_SCHEMA)
         return self.spark.read.parquet(str(self.root))
 
     def manifest(self) -> DataFrame:

@@ -48,9 +48,20 @@ _MAX_TRACKED_BATCHES = 10_000
 
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | os.PathLike,
+        retain_versions: int = 1,
+    ):
         self.spark = spark
         self.root = Path(root)
+        # Grace window for in-flight readers: how many SUPERSEDED data
+        # versions survive a flip. 1 (default) keeps exactly the version
+        # being replaced; raise it when readers may lag more than one
+        # maintenance interval behind (Delta/Iceberg vacuum-retention
+        # analog).
+        self.retain_versions = max(1, int(retain_versions))
         self.root.mkdir(parents=True, exist_ok=True)
 
     # -- catalog ----------------------------------------------------------
@@ -118,17 +129,30 @@ class TableStore:
         being replaced for in-flight readers; GC anything older."""
         p = self.table_path(table)
         prev = self.data_dir(table).name
+        # Sweep orphaned pointer temp files from a flip that died
+        # between write_text and os.replace (they are inert — readers
+        # only follow _CURRENT_FILE — but would otherwise accumulate).
+        for stale in p.glob(".current-*"):
+            stale.unlink(missing_ok=True)
         tmp = p / f".current-{uuid.uuid4().hex[:8]}"
         tmp.write_text(new_dir.name)
         os.replace(tmp, p / _CURRENT_FILE)
-        keep = {new_dir.name, prev}
-        for d in p.iterdir():
-            if (
-                d.is_dir()
+        # Version names sort lexicographically (data < data-v000001 <
+        # …), so "newest retain_versions superseded dirs" is a sort.
+        superseded = sorted(
+            (
+                d.name
+                for d in p.iterdir()
+                if d.is_dir()
                 and (d.name == "data" or d.name.startswith("data-v"))
-                and d.name not in keep
-            ):
-                shutil.rmtree(d, ignore_errors=True)
+                and d.name != new_dir.name
+            ),
+            reverse=True,
+        )
+        keep = {new_dir.name, prev, *superseded[: self.retain_versions]}
+        for name in superseded:
+            if name not in keep:
+                shutil.rmtree(p / name, ignore_errors=True)
 
     # -- read -------------------------------------------------------------
     def read(self, table: str) -> DataFrame:

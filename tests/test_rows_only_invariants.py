@@ -1,0 +1,114 @@
+"""Real invariants for the 5 registered queries that have no DuckDB
+oracle (VERDICT r4 item 3). "Ran and produced rows" is not a check;
+each query here gets the strongest property its semantics admit:
+
+- approx_distinct_users: HLL++ estimate within its error bound of the
+  exact count computed IN THE SAME RESULT.
+- approx_percentile_prices: every sketch percentile is an actual data
+  value whose empirical rank brackets the requested quantile.
+- text_tf_idf_scores: equals the oracle-checked integer-form sibling
+  (text_tf_idf) after recomputing tf*ln(N/df) in Python, to 1e-12.
+- multimodal_fake_decode / multimodal_resize: byte-deterministic
+  (two independent builds are row-for-row identical) and structurally
+  consistent with the stub's documented arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from redis_events_to_clickhouse_tables_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def _build(spark, name):
+    return REGISTRY[name].build(spark, SF_DIR)
+
+
+def test_approx_distinct_within_hll_error(spark):
+    rows = _build(spark, "approx_distinct_users").collect()
+    assert rows
+    for r in rows:
+        # Spark's approx_count_distinct default rsd is 0.05; allow 3x
+        # the nominal relative standard deviation plus a small absolute
+        # floor for tiny groups.
+        tol = max(3 * 0.05 * r.exact_users, 2)
+        assert abs(r.approx_users - r.exact_users) <= tol, (
+            f"{r.event_type}: approx {r.approx_users} vs exact "
+            f"{r.exact_users} exceeds HLL error bound {tol}"
+        )
+
+
+def test_approx_percentiles_bracket_true_quantiles(spark, ddb):
+    rows = _build(spark, "approx_percentile_prices").collect()
+    assert rows
+    prices = {}
+    for pri, vals in ddb.sql(
+        "SELECT o_orderpriority, LIST(o_totalprice ORDER BY o_totalprice) "
+        "FROM orders GROUP BY 1"
+    ).fetchall():
+        prices[pri] = vals
+    for r in rows:
+        vals = prices[r.o_orderpriority]
+        n = len(vals)
+        assert n == r.n_orders
+        for q, p in [(0.25, r.p25), (0.5, r.p50), (0.75, r.p75), (0.95, r.p95)]:
+            # percentile_approx returns an actual element of the group
+            assert p in vals, f"{r.o_orderpriority} q{q}: {p} not a data value"
+            below = sum(1 for v in vals if v < p)
+            at_or_below = sum(1 for v in vals if v <= p)
+            # rank-error bound: n/accuracy (accuracy=10000) plus one
+            # discrete step; expressed as a fraction of the group
+            tol = 1 / 10000 + 2 / n
+            assert below / n <= q + tol, f"q{q} rank too high"
+            assert at_or_below / n >= q - tol, f"q{q} rank too low"
+
+
+def test_tf_idf_scores_match_integer_form(spark):
+    ints = {
+        (r.doc_id, r.tok): (r.tf, r.df, r.n_docs)
+        for r in _build(spark, "text_tf_idf").collect()
+    }
+    scores = _build(spark, "text_tf_idf_scores").collect()
+    assert len(scores) == len(ints)
+    for r in scores:
+        tf, df, n_docs = ints[(r.doc_id, r.tok)]
+        expect = tf * math.log(n_docs / df)
+        assert math.isclose(r.tf_idf, expect, rel_tol=1e-12, abs_tol=1e-12), (
+            f"({r.doc_id},{r.tok}): {r.tf_idf} != {expect}"
+        )
+
+
+def _collect_sorted(df):
+    key_cols = [f.name for f in df.schema.fields]
+    return df.orderBy(*key_cols).collect()
+
+
+def test_fake_decode_deterministic_and_consistent(spark):
+    a = _collect_sorted(_build(spark, "multimodal_fake_decode"))
+    b = _collect_sorted(_build(spark, "multimodal_fake_decode"))
+    assert a == b  # stub byte-determinism, explicitly
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(a) == n_docs  # decode is 1 row out per document in
+    for r in a:
+        # the stub's documented arithmetic, re-derived from n_bytes
+        assert r.n_bytes > 0
+        assert r.width == r.n_bytes % 640
+        assert r.height == (r.n_bytes * 7) % 480
+        assert r.format == ("png" if r.n_bytes % 2 == 0 else "jpeg")
+
+
+def test_fake_resize_deterministic_and_consistent(spark):
+    a = _collect_sorted(_build(spark, "multimodal_resize"))
+    b = _collect_sorted(_build(spark, "multimodal_resize"))
+    assert a == b
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(a) == n_docs
+    for r in a:
+        # fake_resize_batches contract: thumbnails are exactly 64px
+        # wide with positive height, and thumb_bytes = 3 * w * h (RGB)
+        assert r.thumb_w == 64 and r.thumb_h >= 1
+        assert r.thumb_bytes == 3 * r.thumb_w * r.thumb_h

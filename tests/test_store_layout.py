@@ -186,3 +186,46 @@ def test_version_gc_keeps_exactly_two(spark, tmp_path):
     assert len(versions) == 2, versions
     assert store.data_dir("t").name == versions[-1]
     assert store.read("t").count() == 4
+
+
+def test_flip_sweeps_stale_pointer_temps(spark, tmp_path):
+    """A flip that died between write_text and os.replace leaves an
+    inert .current-* temp; the next flip must sweep it (ADVICE r4)."""
+    store = _store(spark, tmp_path)
+    store.write(_df(spark, [(1, "d")]), "t")
+    p = store.table_path("t")
+    (p / ".current-deadbeef").write_text("data-v999999")  # orphan
+    store.compact("t")
+    assert list(p.glob(".current-*")) == []
+    assert store.read("t").count() == 1
+
+
+def test_version_retention_config(spark, tmp_path):
+    """retain_versions widens the reader grace window: with 2, a flip
+    keeps the active dir plus the two newest superseded versions."""
+    store = TableStore(spark, tmp_path / "warehouse", retain_versions=2)
+    for i in range(3):
+        store.write(_df(spark, [(i, "d")]), "t", batch_id=i)
+    store.compact("t")  # data -> data-v000001 (keep data)
+    store.compact("t")  # -> data-v000002 (keep v1 + data)
+    store.compact("t")  # -> data-v000003 (keep v2 + v1; GC data)
+    p = store.table_path("t")
+    versions = sorted(
+        d.name for d in p.iterdir()
+        if d.is_dir() and (d.name == "data" or d.name.startswith("data-v"))
+    )
+    assert versions == ["data-v000001", "data-v000002", "data-v000003"]
+    assert store.read("t").count() == 3
+
+
+def test_empty_shard_store_reads_cleanly(spark, tmp_path):
+    """ShardStore before any batch: documents()/manifest() must return
+    empty frames with the canonical schema, not throw Unable-to-infer
+    (ADVICE r4)."""
+    from redis_events_to_clickhouse_tables_spark.streaming.sharding import ShardStore
+
+    store = ShardStore(spark, tmp_path / "shards")
+    docs = store.documents()
+    assert docs.count() == 0
+    assert "doc_id" in docs.columns and "shard" in docs.columns
+    assert store.manifest().count() == 0
