@@ -71,6 +71,89 @@ def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
     return elapsed, n
 
 
+_SCALE_FACTOR = 2.5
+_SCALE_FAMILY_PREFIXES = ("dedup_", "graph_")
+
+
+def build_scaled_corpus(spark, sf_dir: str, factor: float) -> str:
+    """Materialize a ``factor``-times-larger documents corpus for the
+    scaling sweep (VERDICT r4 item 6): full replicas of the base corpus
+    plus a half replica for the fractional part, each with new doc_ids
+    and a per-replica word-level token perturbation.
+
+    The perturbation (suffix every whitespace token with the replica
+    tag) matters: a plain text copy would make every replica a
+    near-duplicate of its source, growing candidate PAIRS
+    quadratically with the factor and masking whether the operators
+    themselves scale linearly. With disjoint token spaces each replica
+    reproduces the base corpus's internal duplicate structure and
+    nothing collides across replicas — the honest linear-scaling
+    fixture. All other tables are symlinked unchanged.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="bench-scale-")
+    for t in os.listdir(sf_dir):
+        if t != "documents.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(out, t))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_n = docs.count()
+    replicas = []
+    r = 0
+    remaining = factor
+    while remaining > 1e-9:
+        rep = docs if remaining >= 1 else docs.filter(
+            (F.col("doc_id") % round(1 / remaining)) == 0
+        )
+        if r > 0:
+            tag = f"x{r}"
+            rep = rep.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(tag)),
+                    ),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        replicas.append(rep.withColumn("doc_id", F.col("doc_id") + F.lit(r * base_n)))
+        remaining -= 1
+        r += 1
+    scaled = replicas[0]
+    for rep in replicas[1:]:
+        scaled = scaled.unionByName(rep)
+    scaled.coalesce(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def bench_scaling_sweep(spark, registry, sf_dir: str) -> dict:
+    """Time the dedup/graph family on the scaled corpus. Linear-scaling
+    evidence: scaled wall / base wall should track the corpus factor,
+    not its square."""
+    import shutil
+
+    scaled_dir = build_scaled_corpus(spark, sf_dir, _SCALE_FACTOR)
+    sweep: dict[str, float] = {}
+    try:
+        for name, spec in registry.items():
+            if not name.startswith(_SCALE_FAMILY_PREFIXES):
+                continue
+            start = time.perf_counter()
+            try:
+                spec.build(spark, scaled_dir).count()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                print(f"# scale:{name}: FAILED {exc}"[:300], file=sys.stderr)
+                continue
+            sweep[name] = round(time.perf_counter() - start, 4)
+            print(f"# scale:{name}: {sweep[name]:.3f}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+    return {"corpus_factor": _SCALE_FACTOR, "queries": sweep}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -125,12 +208,28 @@ def main() -> None:
         print(f"# layer_a_ingest: FAILED {errors['layer_a_ingest']}", file=sys.stderr)
         ingest_events, events_per_sec = 0, 0.0
 
+    # scaling sweep (dedup/graph family on a 2.5x corpus): runs on the
+    # per-round sf0.1 invocation; skipped for quick low-SF iteration
+    # loops unless forced. SPARK_GRAFT_SCALE_BENCH=0 disables, =1 forces.
+    scale_flag = os.environ.get("SPARK_GRAFT_SCALE_BENCH", "")
+    run_scale = scale_flag == "1" or (
+        scale_flag != "0" and isinstance(sf_val, float) and sf_val >= 0.1
+    )
+    scaling: dict = {}
+    if run_scale:
+        try:
+            scaling = bench_scaling_sweep(spark, registry, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors["scaling_sweep"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# scaling_sweep: FAILED {errors['scaling_sweep']}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        "scaling": scaling,
         "layer_a_ingest_events": ingest_events,
         "layer_a_ingest_events_per_sec": events_per_sec,
         "n_queries": len(timings),
@@ -179,6 +278,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "scaling": scaling,
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
                 "n_errors": len(errors),

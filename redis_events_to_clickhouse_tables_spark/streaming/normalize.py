@@ -108,7 +108,11 @@ def _flatten_exprs(
                 # P5: positional columns k_0..k_{max-1}
                 elem = dt.elementType
                 for i in range(max_lens.get(tmp, 0)):
-                    item = qcol.getItem(i)
+                    # F.get, not getItem/[]: max_lens is the BATCH max,
+                    # so a row whose (non-null) array is shorter must
+                    # yield NULL for the missing positions — under ANSI
+                    # mode arr[i] throws INVALID_ARRAY_INDEX instead
+                    item = F.get(qcol, F.lit(i))
                     if isinstance(elem, T.StructType):
                         if cfg.split_records_as_columns and _splittable(elem):
                             for sub in elem.fields:

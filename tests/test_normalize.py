@@ -253,3 +253,29 @@ def test_deep_nesting_stringifies_to_flat_table(spark):
     row = out.select("a_deep", "a_arr").first()
     assert json.loads(row["a_deep"]) == {"x": 1}
     assert json.loads(row["a_arr"]) == [1, 2]
+
+
+def test_ragged_arrays_null_fill_positions(spark):
+    """P5 regression (hypothesis-found): positional split over a batch
+    where one row's array is EMPTY (not null) and another's is longer.
+    Under ANSI mode arr[i] throws INVALID_ARRAY_INDEX for the short
+    row; the split must instead null-fill the missing positions."""
+    events = _events(
+        spark,
+        [
+            {"event_type": "t", "r": [], "tags": ["a", "b"]},
+            {"event_type": "t", "r": [{"x": 1.5}, {"x": 2.5}]},
+        ],
+    )
+    rows = normalize_events(
+        events,
+        IngestConfig(
+            split_array_items_as_columns=True, split_records_as_columns=True
+        ),
+    ).collect()
+    assert len(rows) == 2
+    by_tag0 = {r["tags_0"]: r for r in rows}
+    # short/empty arrays null-fill every missing position
+    assert by_tag0["a"]["r_0_x"] is None and by_tag0["a"]["r_1_x"] is None
+    assert by_tag0[None]["r_0_x"] == 1.5 and by_tag0[None]["r_1_x"] == 2.5
+    assert by_tag0[None]["tags_1"] is None
