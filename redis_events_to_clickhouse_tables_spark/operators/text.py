@@ -658,3 +658,175 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.reverse(F.slice(tk, 1, 5))).alias("head5_reversed"),
         F.array_contains(tk, "spark").alias("has_spark"),
     )
+
+
+# -- PII scan / redaction ---------------------------------------------------
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences, explicit ASCII classes.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def _pii_log_line() -> Column:
+    """Deterministic contact-bearing log line derived from events rows.
+
+    The synthetic corpus contains no real PII, so the scan operates on
+    a composed column (uid + synthetic email/IP/phone) — the REGEX
+    machinery (detect counts + redaction rewrite) is the operator under
+    test; a production deployment points the same expressions at its
+    raw text column.
+    """
+    uid = F.col("user_id").cast("string")
+    return F.concat(
+        F.lit("uid="), uid,
+        F.lit(" mail=user"), uid, F.lit("@example.com"),
+        F.lit(" ip=10."), (F.col("user_id") % 250 + 1).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 250 + 1).cast("string"),
+        F.lit(" tel=+1-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" note="), F.col("props"),
+    )
+
+
+_PII_LOG_SQL = (
+    "concat('uid=', CAST(user_id AS VARCHAR), "
+    "' mail=user', CAST(user_id AS VARCHAR), '@example.com', "
+    "' ip=10.', CAST(user_id % 250 + 1 AS VARCHAR), "
+    "'.0.', CAST(event_id % 250 + 1 AS VARCHAR), "
+    "' tel=+1-555-', lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'), "
+    "' note=', props)"
+)
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+    WITH t AS (SELECT event_id, {_PII_LOG_SQL} AS log_line FROM events)
+    SELECT event_id,
+           CAST(len(regexp_extract_all(log_line, '{_PII_EMAIL}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(log_line, '{_PII_IPV4}')) AS INTEGER)
+             AS n_ips,
+           CAST(len(regexp_extract_all(log_line, '{_PII_PHONE}')) AS INTEGER)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(log_line,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-row pattern counts (email, IPv4,
+    phone) and a fully-redacted rewrite — the scrub pass every
+    training-data pipeline runs before release.
+
+    Scale: pure regexp_count/regexp_replace projections inside
+    whole-stage codegen — map-only, no shuffle, no Python. Redaction
+    order is email -> IP -> phone so earlier rewrites can't create or
+    destroy later matches (the placeholder alphabet is disjoint from
+    every pattern).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    line = _pii_log_line()
+    red = F.regexp_replace(line, _PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, _PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, _PII_PHONE, "<PHONE>")
+    return e.select(
+        "event_id",
+        F.regexp_count(line, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(line, F.lit(_PII_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_count(line, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+# -- Gopher-style quality rules --------------------------------------------
+# Published heuristic thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", public paper): word-count band, mean-word-length
+# band, minimum alphabetic-word fraction, minimum stopword hits. The
+# line-level rules (bullet/ellipsis line ratios) degenerate on this
+# single-line corpus and are omitted.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOP_HITS = 2
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_letters,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN {_sql_in(_STOPWORDS)})) AS BIGINT)
+               AS n_stop_hits
+      FROM documents)
+    SELECT doc_id, n_words,
+           CAST(n_letters AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+           n_stop_hits,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AS INTEGER) AS rule_word_count,
+           CAST(CAST(n_letters AS DOUBLE) / n_words
+                  BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+                AS INTEGER) AS rule_mean_word_len,
+           CAST(CAST(n_alpha_words AS DOUBLE) / n_words
+                  >= {_GOPHER_MIN_ALPHA_FRAC} AS INTEGER) AS rule_alpha_words,
+           CAST(n_stop_hits >= {_GOPHER_MIN_STOP_HITS} AS INTEGER)
+             AS rule_stopwords,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND CAST(n_letters AS DOUBLE) / n_words
+                      BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+                AND CAST(n_alpha_words AS DOUBLE) / n_words
+                      >= {_GOPHER_MIN_ALPHA_FRAC}
+                AND n_stop_hits >= {_GOPHER_MIN_STOP_HITS}
+                AS INTEGER) AS keep
+    FROM t
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter: per-doc word count,
+    mean word length, alphabetic-word fraction, and stopword hits,
+    each thresholded per the published rules, plus the AND of all four
+    as the keep decision.
+
+    Determinism: every ratio is one IEEE division of two exact integer
+    aggregates, identical in both engines. Scale: map-only higher-order
+    functions over the text column — no shuffle, no Python; at 100 TB
+    this runs at parquet scan speed and the keep flag feeds the same
+    downstream mask as curation_keep_mask.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    n_words = F.size(tk).cast("long")
+    n_letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    n_alpha = F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    mwl = n_letters.cast("double") / n_words
+    alpha_frac = n_alpha.cast("double") / n_words
+    r_wc = n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_mwl = mwl.between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+    r_alpha = alpha_frac >= _GOPHER_MIN_ALPHA_FRAC
+    r_stop = n_stop >= _GOPHER_MIN_STOP_HITS
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_hits"),
+        r_wc.cast("int").alias("rule_word_count"),
+        r_mwl.cast("int").alias("rule_mean_word_len"),
+        r_alpha.cast("int").alias("rule_alpha_words"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).cast("int").alias("keep"),
+    )
