@@ -972,30 +972,48 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     polling) keeps the plan static and the oracle SQL-expressible.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    # materialize the candidate pairs BEFORE the symmetrizing union:
+    # both union branches read the same lineage, so without this
+    # persist the whole LSH pipeline (shingle -> minhash -> band ->
+    # bucket join) executes twice inside the edges job (~2x the
+    # query's cost, measured). Pair rows are two longs.
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
     # materialize the edge list once: every iteration joins it, and
     # without the persist each round re-executes the whole LSH lineage
     # (the same round-caching discipline as sim_ivf_kmeans_topk and
     # dedup_cluster_components). Edge rows are two longs — at any
     # corpus size this is the candidate graph, not the corpus.
-    edges = (
+    edges_raw = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .persist()
     )
+    # Pregel-style invariant state: bake each source's out-degree INTO
+    # the persisted edge list once, repartitioned by source node. The
+    # per-iteration join then shuffles only the (node, rank) vector to
+    # meet the edges' existing partitioning — at 100-TB edge counts
+    # that's the difference between re-shuffling the edge list every
+    # iteration and never moving it after setup.
+    deg = edges_raw.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    edges = edges_raw.join(deg, "s").repartition(F.col("s")).persist()
     edges.count()
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("s").alias("v"), "deg"
+    pairs.unpersist()
+    r = edges.select(F.col("s").alias("v")).distinct().select(
+        "v", F.lit(1.0).alias("r")
     )
-    r = deg.select("v", F.lit(1.0).alias("r"))
-    deg_s = deg.select(F.col("v").alias("s"), "deg")
-    prev = None
-    for i in range(_PR_ITERS):
+    # FIXED iteration count => chain all rounds into ONE lazy plan and
+    # materialize once. Each round is a shuffle stage whose map output
+    # Spark keeps in shuffle files, so nothing recomputes within the
+    # job and a lost task replays only its stage — per-round
+    # persist+count (the previous shape) added a full job's scheduling
+    # latency per iteration (~10x the actual compute, measured) and
+    # bought nothing at ANY scale for a 3-round loop. Convergence-
+    # POLLING loops (dedup_cluster_components) still materialize per
+    # round because they must inspect a scalar between rounds.
+    for _ in range(_PR_ITERS):
         r_s = r.select(F.col("v").alias("s"), "r")
         quant = F.round((F.col("r") / F.col("deg")) * _PR_FP).cast("long")
         r = (
-            edges.join(deg_s, "s")
-            .join(r_s, "s")
+            edges.join(r_s, "s")
             .select("d", quant.alias("q"))
             .groupBy("d")
             .agg(
@@ -1006,18 +1024,11 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("d").alias("v"), "r")
         )
-        # node-cardinality rank vector: persist each round so the
-        # next iteration's plan starts from materialized ranks
-        # instead of replaying every earlier round
-        r = r.persist()
-        r.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = r
-    # the final (persisted, materialized) rank vector no longer needs
-    # its inputs: release the edge list and intermediate ranks so a
-    # bench sweep doesn't accumulate cached blocks across queries
-    # (ADVICE r4; same discipline as dedup_cluster_components). If the
-    # executor later evicts the final vector, lineage recomputes it.
+    # materialize the final rank vector, then release the edge list so
+    # a bench sweep doesn't accumulate cached blocks across queries
+    # (ADVICE r4). If the executor later evicts the final vector,
+    # lineage recomputes it.
+    r = r.persist()
+    r.count()
     edges.unpersist()
     return r.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))
