@@ -830,3 +830,130 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.cast("int").alias("rule_stopwords"),
         (r_wc & r_mwl & r_alpha & r_stop).cast("int").alias("keep"),
     )
+
+
+# -- bigram language-model scoring -------------------------------------------
+# The CCNet/KenLM-style perplexity filter re-expressed in an
+# oracle-exact rational form: per-bigram "branching cost"
+# C(w1)/C(w1 w2) (how many continuations w1 has relative to this one —
+# 1 for a deterministic continuation, large for a surprising one),
+# averaged per document. ln-based perplexity is float-divergent across
+# engines (see text_tf_idf_scores), so each ratio is computed as an
+# exact integer floor((C(w1) * PREC) / C(w1w2)); the sum of longs is
+# associative and the single final division is IEEE-identical in both
+# engines — same doctrine as text_bm25_score's rational idf.
+_BIGRAM_PREC = 1_000_000  # 1e-6 ratio quantum
+
+
+_BIGRAM_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    big AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
+            FROM toks, UNNEST(list_zip(tk[1:len(tk)-1], tk[2:])) AS u(b))
+"""
+
+
+@query(
+    "text_bigram_stats",
+    oracle=_BIGRAM_SQL
+    + """
+    SELECT w1, w2, COUNT(*) AS n_occurrences,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY w1) AS p_cond
+    FROM big GROUP BY w1, w2
+    """,
+)
+def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table: occurrence counts and conditional
+    continuation probability P(w2|w1) — the statistics a bigram LM
+    trains on. The conditional is one integer-over-integer division
+    (count / window-sum of counts), IEEE-identical in both engines.
+
+    Scale: posexplode + lead is a per-document window (partitioned,
+    never global); the groupBy key space is the bigram vocabulary
+    (bounded, zipf-concentrated), so the aggregate's map-side combine
+    absorbs the corpus volume.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.withColumn("w2", F.lead("tok").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    counts = big.groupBy(F.col("tok").alias("w1"), "w2").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w1 = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "n_occurrences",
+        (
+            F.col("n_occurrences").cast("double")
+            / F.sum("n_occurrences").over(w1)
+        ).alias("p_cond"),
+    )
+
+
+@query(
+    "quality_bigram_branching",
+    oracle=_BIGRAM_SQL
+    + f""",
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM((cu.cu * {_BIGRAM_PREC}) // cb.cb) AS cost_fp,
+           CAST(SUM((cu.cu * {_BIGRAM_PREC}) // cb.cb) AS DOUBLE)
+             / (COUNT(*) * {_BIGRAM_PREC}) AS avg_branching
+    FROM big b
+    JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+    JOIN cu ON cu.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def quality_bigram_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram LM score (rational perplexity analog):
+    average of C(w1)/C(w1 w2) over the document's bigrams. Documents
+    full of corpus-typical transitions score near the corpus mean;
+    documents of improbable transitions (the noise a perplexity filter
+    removes) score high.
+
+    Scale: two corpus-level aggregates on bigram/unigram keys (bounded
+    vocabulary, map-side combined), one join of the document bigram
+    stream against them (shuffle keyed on the bigram — zipf-hot keys
+    are absorbed by the map-side combine of the FINAL per-doc
+    aggregate, not buffered), and a per-doc integer sum.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    cost = F.floor((F.col("cu") * _BIGRAM_PREC) / F.col("cb"))
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(cost).alias("cost_fp"),
+            (
+                F.sum(cost).cast("double")
+                / (F.count(F.lit(1)) * _BIGRAM_PREC)
+            ).alias("avg_branching"),
+        )
+    )
