@@ -1032,3 +1032,67 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.count()
     edges.unpersist()
     return r.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+@query(
+    "split_leakage_safe",
+    oracle=(_SQL_MINHASH + _SQL_LSH_BAND).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + f""",
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component_id
+             FROM reach GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(comp.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+    SELECT doc_id, component_id,
+           CASE WHEN {DUCKDB_MD5_LONG("'split:' || CAST(component_id AS VARCHAR)")}
+                     % 100 < 80 THEN 'train'
+                WHEN {DUCKDB_MD5_LONG("'split:' || CAST(component_id AS VARCHAR)")}
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: documents are split by
+    the salted hash of their near-dup COMPONENT id, not their own id,
+    so two near-duplicate documents can never land in different splits
+    (the train/test contamination a plain per-doc hash split allows —
+    a benchmark answer's paraphrase in train silently inflates eval).
+
+    Composition: connected components over the LSH candidate graph
+    (dedup_cluster_components' machinery) -> left join back to the
+    corpus (singletons are their own component) -> the same salted
+    80/10/10 hash-threshold as sample_train_val_test, keyed on the
+    component. Split assignment is a pure function of the component
+    id, so the no-straddle property holds by construction; the
+    singleton left-join is the only added shuffle.
+    """
+    tune(spark)
+    comps = dedup_cluster_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    assigned = d.select("doc_id").join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+    )
+    bucket = md5_long(F.col("component_id").cast("string"), salt="split") % 100
+    return assigned.select(
+        "doc_id",
+        "component_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -534,3 +534,63 @@ def curation_keep_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("final_keep"),
         )
     )
+
+
+# -- corpus mixture weights --------------------------------------------------
+# Square-root temperature reweighting of source domains (the DoReMi /
+# multilingual-sampling family's alpha=0.5 baseline): upweight small
+# domains relative to proportional sampling. SQRT is correctly-rounded
+# IEEE (bit-identical across engines); each sqrt quantizes to a 1e-6
+# fixed-point long BEFORE the normalizing sum so the total is an exact
+# integer — the same determinism doctrine as sample_temperature_by_lang.
+_MIX_FP = 1_000_000
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT *, CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * {_MIX_FP})
+                     AS BIGINT) AS w_fp
+      FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(w_fp AS DOUBLE) / (SELECT SUM(w_fp) FROM w) AS weight
+    FROM w
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source domain: token counts and
+    the sqrt-temperature sampling weight each domain gets in the
+    training mix (proportional sampling would drown the tail domains;
+    sqrt reweighting is the standard alpha=0.5 compromise).
+
+    Scale: one groupBy on source (bounded domain count) with map-side
+    combined integer sums; the normalizer is a broadcast 1-row
+    aggregate joined back (never a global window), so the plan has no
+    single-partition stage at any corpus size.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w_fp",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP).cast("long"),
+    )
+    total = w.agg(F.sum("w_fp").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("w_fp").cast("double") / F.col("w_total")).alias("weight"),
+        )
+    )
