@@ -597,3 +597,245 @@ def sim_truncated_dims_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.lit(_TOP_K)).alias("recall_at_5")
         )
     )
+
+
+# -- product quantization (PQ) ----------------------------------------------
+# The billion-scale ANN memory trick (Jegou et al. 2011, public): carve
+# the 64-dim space into _PQ_M subspaces, k-means each subspace into
+# _PQ_K codes, store every vector as _PQ_M small codes (here 4 x 3
+# bits vs 64 x 8 bytes), and answer queries with Asymmetric Distance
+# Computation — a per-query lookup table of query-to-centroid
+# distances per subspace, so candidate scoring is _PQ_M table lookups
+# + adds instead of a 64-dim dot product. Codebook training reuses the
+# fixed-point Lloyd machinery of sim_ivf_kmeans_topk; the _PQ_M
+# partial distances quantize to 1e-9 fixed-point longs before the sum
+# so the ADC total is associative and engine-exact.
+_PQ_M = 4
+_PQ_SUB = 16  # 64 dims / 4 subspaces
+_PQ_K = 8
+_PQ_ITERS = 1  # fixed Lloyd rounds per subspace (determinism > fit)
+_PQ_FP = 1_000_000_000
+
+
+def _pq_oracle_sql() -> str:
+    def dot(a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    def dist(v: str, c: str) -> str:
+        return f"({dot(v, v)} - 2*{dot(v, c)} + {dot(c, c)})"
+
+    parts = ["WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        parts.append(f"v{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v)")
+        parts.append(
+            f"pc0_{m} AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c"
+            f" FROM v{m} WHERE vec_id < {_PQ_K})"
+        )
+        prev = f"pc0_{m}"
+        for i in range(1, _PQ_ITERS + 1):
+            parts.append(
+                f"pa{i}_{m} AS (SELECT vec_id, v, cid,"
+                f" ROW_NUMBER() OVER (PARTITION BY vec_id"
+                f" ORDER BY {dist('v', 'c')}, cid) AS rk"
+                f" FROM v{m} CROSS JOIN {prev})"
+            )
+            parts.append(
+                f"pb{i}_{m} AS (SELECT vec_id, v, cid FROM pa{i}_{m} WHERE rk = 1)"
+            )
+            parts.append(
+                f"ps{i}_{m} AS (SELECT cid, p.pos,"
+                f" CAST(ROUND(v[p.pos + 1] * {_KM_FP}) AS BIGINT) AS xi"
+                f" FROM pb{i}_{m}, UNNEST(range(len(v))) AS p(pos))"
+            )
+            parts.append(
+                f"pm{i}_{m} AS (SELECT cid, pos,"
+                f" CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * {_KM_FP}.0) AS x"
+                f" FROM ps{i}_{m} GROUP BY cid, pos)"
+            )
+            parts.append(
+                f"pc{i}_{m} AS (SELECT cid, list(x ORDER BY pos) AS c"
+                f" FROM pm{i}_{m} GROUP BY cid)"
+            )
+            prev = f"pc{i}_{m}"
+        parts.append(
+            f"enc_{m} AS (SELECT vec_id, cid FROM"
+            f" (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f"  ORDER BY {dist('v', 'c')}, cid) AS rk"
+            f"  FROM v{m} CROSS JOIN {prev}) t WHERE rk = 1)"
+        )
+        parts.append(
+            f"lut_{m} AS (SELECT q.vec_id AS q_id, c.cid,"
+            f" CAST(ROUND({dist('q.v', 'c.c')} * {_PQ_FP}) AS BIGINT) AS d_fp"
+            f" FROM v{m} q CROSS JOIN {prev} c WHERE q.vec_id < {_N_QUERIES})"
+        )
+        parts.append(
+            f"p_{m} AS (SELECT l.q_id, e.vec_id AS c_id, l.d_fp"
+            f" FROM enc_{m} e JOIN lut_{m} l ON l.cid = e.cid)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p_{m}" for m in range(_PQ_M))
+    return (
+        ",\n".join(parts)
+        + f""",
+    allp AS ({union})
+    SELECT q_id, c_id, adc_dist, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT q_id, c_id,
+             CAST(SUM(d_fp) AS DOUBLE) / {_PQ_FP} AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY SUM(d_fp), c_id) AS rk
+      FROM allp WHERE q_id <> c_id GROUP BY q_id, c_id) t
+    WHERE rk <= 3
+    """
+    )
+
+
+def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
+    """(codebook, codes): per-subspace centroids (m, cid, c) and the
+    per-vector code words (vec_id, m, code) in long form."""
+    vectors = _km_vectors(spark, sf_dir)
+    books = []
+    codes = []
+    for m in range(_PQ_M):
+        sub = vectors.select(
+            "vec_id", F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        cents = sub.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+        )
+        for _ in range(_PQ_ITERS):
+            cents = _km_update(_km_assign(sub, cents))
+        books.append(cents.select(F.lit(m).alias("m"), "cid", "c"))
+        codes.append(
+            _km_assign(sub, cents).select(
+                "vec_id", F.lit(m).alias("m"), F.col("cid").alias("code")
+            )
+        )
+    book = books[0]
+    for b in books[1:]:
+        book = book.unionByName(b)
+    code = codes[0]
+    for c in codes[1:]:
+        code = code.unionByName(c)
+    return book, code
+
+
+@query("sim_pq_adc_topk", oracle=_pq_oracle_sql())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-3 per query vector via Asymmetric Distance Computation.
+
+    Scale shape: codebooks are _PQ_M x _PQ_K tiny rows (broadcast);
+    encoding is the shuffle-free broadcast-argmin of sim_ivf_kmeans;
+    the per-query LUT is |queries| x _PQ_M x _PQ_K rows built against
+    the broadcast codebook; candidate scoring joins the corpus's code
+    words (fixed-width ints — the compressed index IS the shuffle
+    payload, ~log2(K)*M bits/vector) against the LUT on (m, code) and
+    sums _PQ_M fixed-point partials per (query, candidate). No stage
+    ever touches the raw vectors after encoding — that's the PQ
+    memory story.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    book, code = _pq_codebook_and_codes(spark, sf_dir)
+    vectors = _km_vectors(spark, sf_dir)
+    qsubs = []
+    for m in range(_PQ_M):
+        qsubs.append(
+            vectors.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("q_id"),
+                F.lit(m).alias("m"),
+                F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("qv"),
+            )
+        )
+    qsub = qsubs[0]
+    for q in qsubs[1:]:
+        qsub = qsub.unionByName(q)
+    lut = qsub.join(F.broadcast(book), "m").select(
+        "q_id",
+        "m",
+        "cid",
+        F.round(_dist2(F.col("qv"), F.col("c")) * _PQ_FP)
+        .cast("long")
+        .alias("d_fp"),
+    )
+    lut_j = lut.select(
+        "q_id", F.col("m").alias("lm"), F.col("cid").alias("lcid"), "d_fp"
+    )
+    scored = (
+        code.join(
+            F.broadcast(lut_j),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lcid")),
+        )
+        .select(F.col("vec_id").alias("c_id"), "q_id", "d_fp")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d_fp").alias("fp"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("fp").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            (F.col("fp").cast("double") / _PQ_FP).alias("adc_dist"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+_SQL_L2 = (
+    "(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])"
+    " - 2*list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " + list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))"
+)
+
+
+@query(
+    "sim_pq_recall",
+    oracle=f"""
+    WITH ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_L2}, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3),
+    pq AS (SELECT q_id, c_id FROM ({_pq_oracle_sql()}) s)
+    SELECT ex.q_id, CAST(COUNT(pq.c_id) AS DOUBLE) / 3 AS recall_at_3
+    FROM ex LEFT JOIN pq ON pq.q_id = ex.q_id AND pq.c_id = ex.c_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PQ/ADC index against exact L2 top-3 — the
+    compression-loss measurement a PQ deployment monitors (ADC
+    approximates L2, so the ground truth here is L2, not cosine).
+    Composes the two registered pipelines unchanged."""
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    d2 = (
+        _dot("q_emb", "q_emb")
+        - F.lit(2) * _dot("q_emb", "c_emb")
+        + _dot("c_emb", "c_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(d2.asc(), F.col("c_id").asc())
+    ex = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id")
+    )
+    pq = sim_pq_adc_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        ex.join(pq, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg((F.count("hit").cast("double") / F.lit(3)).alias("recall_at_3"))
+    )
