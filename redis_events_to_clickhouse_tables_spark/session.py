@@ -65,5 +65,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # long-session hygiene: the ContextCleaner only unpersists
+        # orphaned broadcast/cache blocks after a JVM GC notices the
+        # references died; in a many-query session (the bench sweep,
+        # a long-lived worker) full GCs are rare and cleanup lags,
+        # degrading later queries. Force a periodic GC far below the
+        # 30min default so reclamation keeps pace with query churn.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     return tune(builder.getOrCreate(), shuffle_partitions)
