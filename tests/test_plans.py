@@ -250,3 +250,38 @@ def test_no_global_window_anywhere(spark, name):
     df = REGISTRY[name].build(spark, SF_DIR)
     hits = _global_windows(df)
     assert not hits, hits[0][:2000]
+
+
+def test_pii_scan_is_map_only(spark):
+    """PII detect/redact is a pure projection: no Exchange anywhere —
+    at 100 TB it must run at parquet scan speed."""
+    plan = _plan(spark, "text_pii_scan")
+    assert "Exchange" not in plan, plan
+
+
+def test_gopher_rules_are_map_only(spark):
+    """The Gopher quality filter is per-document arithmetic: no
+    Exchange anywhere."""
+    plan = _plan(spark, "quality_gopher_rules")
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_lut_joins_are_broadcast(spark):
+    """PQ's ADC scoring joins the code words against the per-query
+    lookup table; the LUT side (|queries| x M x K rows) must broadcast
+    — a shuffled join here would move the whole code table per query
+    batch."""
+    plan = _plan(spark, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    # the corpus code words must never appear on a BroadcastExchange:
+    # every broadcast input in this plan is centroid/LUT-sized
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_weights_normalizer_is_broadcast_scalar(spark):
+    """corpus_mixture_weights divides by the total weight via a
+    broadcast 1-row aggregate — never a global (partition-less)
+    window."""
+    plan = _plan(spark, "corpus_mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
