@@ -215,3 +215,60 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionizer_evicts_on_event_time_timeout(spark, tmp_path):
+    """State EVICTION: a user whose last activity falls behind the
+    watermark by more than the session gap must have their session
+    CLOSED and emitted by the event-time timeout path, and the state
+    removed — the property that bounds state-store memory at scale."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    # file 1: user 1's session — 3 events inside one 30-min gap
+    write_file("f1", [(1, t0), (1, t0 + dt.timedelta(minutes=5)),
+                      (1, t0 + dt.timedelta(minutes=10))])
+    # file 2: user 2 three hours later — advances the watermark past
+    # user 1's last event + gap
+    write_file("f2", [(2, t0 + dt.timedelta(hours=3))])
+    # file 3: another late event so a further micro-batch runs under
+    # the advanced watermark and fires user 1's timeout
+    write_file("f3", [(3, t0 + dt.timedelta(hours=3, minutes=1))])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize_with_timeout(stream)
+        .writeStream.format("memory")
+        .queryName("sess_evict_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["user_id"]: r
+        for r in spark.sql("SELECT * FROM sess_evict_out").collect()
+    }
+    assert 1 in rows, rows  # user 1's session was closed by timeout
+    s = rows[1]
+    assert s["session_start_s"] == int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert s["session_end_s"] == s["session_start_s"] + 600
+    assert s["n_events"] == 3
