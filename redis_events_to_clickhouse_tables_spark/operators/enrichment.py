@@ -264,3 +264,101 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zkey.alias("zkey"),
         F.shiftright(zkey, 22).alias("zbucket"),
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_non_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile statistics (row/non-null/distinct counts,
+    min/max) for a set of columns — the catalog-statistics scan a
+    cost-based optimizer (or a data-quality monitor) runs per table.
+
+    One aggregate pass per profiled column family, unioned; each is a
+    map-side-combined global aggregate, so the profile costs one scan
+    per column group at any scale (a production run would fold all
+    columns into a single agg; the per-column rows here mirror the
+    oracle's UNION shape for value comparison).
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(col)).alias("n_non_null"),
+            F.countDistinct(F.col(col)).alias("n_distinct"),
+            F.min(F.col(col)).cast("string").alias("min_val"),
+            F.max(F.col(col)).cast("string").alias("max_val"),
+        )
+
+    out = prof("o_custkey")
+    for c in ("o_orderstatus", "o_totalprice"):
+        out = out.unionByName(prof(c))
+    return out
+
+
+@query(
+    "skew_key_diagnostics",
+    oracle="""
+    WITH f AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM f)
+    SELECT f.user_id, f.n,
+           CAST(f.n AS DOUBLE) / tot.total AS frac_of_rows,
+           CAST(f.n AS DOUBLE) * tot.n_keys / tot.total AS skew_factor
+    FROM f, tot
+    ORDER BY f.n DESC, f.user_id
+    LIMIT 10
+    """,
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest join/aggregation keys with their share of rows and
+    skew factor (count relative to the uniform expectation) — the
+    diagnostic that decides whether a key needs salting or AQE skew
+    handling before a 100-TB join.
+
+    Shape: one map-side-combined count per key, a broadcast 1-row
+    total, and a top-10 (total ordering with tiebreak). The frequency
+    table is key-cardinality, never row-cardinality.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = f.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("frac_of_rows"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
