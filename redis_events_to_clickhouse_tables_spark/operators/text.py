@@ -852,6 +852,28 @@ _BIGRAM_SQL = """
             FROM toks, UNNEST(list_zip(tk[1:len(tk)-1], tk[2:])) AS u(b))
 """
 
+# Spark-side bigram formation stays inside the token ARRAY (adjacent
+# pairs via a transform over positions, exploded) — NO per-document
+# window: a posexplode + lead() formulation would shuffle the whole
+# exploded token stream on doc_id, a full-corpus shuffle at 100 TB,
+# where this is a pure map. Spark's `[]` subscript is 0-based (same
+# convention as the 3-gram _SHINGLE_EXPR in operators/dedup.py).
+_BIGRAM_EXPR = (
+    "CASE WHEN size(t) >= 2 THEN"
+    " transform(sequence(1, size(t) - 1),"
+    "           i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    " ELSE array() END"
+)
+
+
+def _bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): one row per adjacent token pair, map-only."""
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+
 
 @query(
     "text_bigram_stats",
@@ -869,24 +891,20 @@ def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     trains on. The conditional is one integer-over-integer division
     (count / window-sum of counts), IEEE-identical in both engines.
 
-    Scale: posexplode + lead is a per-document window (partitioned,
-    never global); the groupBy key space is the bigram vocabulary
-    (bounded, zipf-concentrated), so the aggregate's map-side combine
-    absorbs the corpus volume.
+    Scale: bigram formation is a map-only array transform (see
+    _BIGRAM_EXPR — no per-document window, no token-stream shuffle);
+    the groupBy key space is the bigram vocabulary (bounded,
+    zipf-concentrated), so the aggregate's map-side combine absorbs
+    the corpus volume. The w1-partitioned window runs over the
+    aggregated vocabulary table, not the corpus.
     """
     tune(spark)
     from pyspark.sql import Window
 
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.posexplode(_toks()).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.withColumn("w2", F.lead("tok").over(w)).filter(
-        F.col("w2").isNotNull()
-    )
-    counts = big.groupBy(F.col("tok").alias("w1"), "w2").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
+    counts = (
+        _bigrams(fanout(table(spark, sf_dir, "documents")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     w1 = Window.partitionBy("w1")
     return counts.select(
@@ -924,23 +942,16 @@ def quality_bigram_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents of improbable transitions (the noise a perplexity filter
     removes) score high.
 
-    Scale: two corpus-level aggregates on bigram/unigram keys (bounded
-    vocabulary, map-side combined), one join of the document bigram
+    Scale: bigram formation is map-only (see _BIGRAM_EXPR); two
+    corpus-level aggregates on bigram/unigram keys (bounded
+    vocabulary, map-side combined); one join of the document bigram
     stream against them (shuffle keyed on the bigram — zipf-hot keys
     are absorbed by the map-side combine of the FINAL per-doc
-    aggregate, not buffered), and a per-doc integer sum.
+    aggregate, not buffered); and a per-doc integer sum.
     """
     tune(spark)
-    from pyspark.sql import Window
 
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("w2", F.lead("tok").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("tok").alias("w1"), "w2")
-    )
+    big = _bigrams(fanout(table(spark, sf_dir, "documents")))
     cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     cost = F.floor((F.col("cu") * _BIGRAM_PREC) / F.col("cb"))

@@ -285,3 +285,16 @@ def test_mixture_weights_normalizer_is_broadcast_scalar(spark):
     plan = _plan(spark, "corpus_mixture_weights")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_bigram_formation_never_shuffles_the_token_stream(spark):
+    """Bigrams come from an in-array transform, not a per-document
+    lead() window — the branching score must plan zero Windows, and
+    the stats query's only Window runs over the aggregated vocabulary
+    table (after the groupBy), never the exploded corpus."""
+    assert "Window" not in _plan(spark, "quality_bigram_branching")
+    plan = _plan(spark, "text_bigram_stats")
+    # the single window sits ABOVE the bigram aggregate in the plan
+    # (plans print top-down: parents appear before children)
+    assert plan.count("Window") == 1
+    assert plan.index("Window") < plan.index("HashAggregate")
