@@ -136,3 +136,51 @@ def test_dedup_family_completes_on_hostile_corpus(spark, tmp_path, ddb_factory=N
         want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
         assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
         assert len(got) > 0, f"{name}: hostile corpus produced no pairs"
+
+
+# -- chunked pair emission: property-based equivalence ----------------------
+# chunked_pairs is the memory-bounding rewrite of per-bucket all-pairs
+# (hash-sliced buckets, intra-slice explode + cross-slice equi-join).
+# The hostile-corpus tests above pin the BOUND; this pins the VALUE:
+# for random membership tables the emitted (doc_a, doc_b) multiset
+# must equal naive per-bucket all-pairs exactly.
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+memberships = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 40)),  # (bucket, doc_id)
+    min_size=0,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(memberships)
+def test_chunked_pairs_equal_naive_all_pairs(spark, rows):
+    from redis_events_to_clickhouse_tables_spark.operators.dedup import (
+        chunked_pairs,
+    )
+
+    expected: Counter = Counter()
+    by_bucket: dict[int, list[int]] = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, []).append(d)
+    for docs in by_bucket.values():
+        s = sorted(docs)
+        for i, a in enumerate(s):
+            for bdoc in s[i + 1 :]:
+                expected[(a, bdoc)] += 1
+
+    members = spark.createDataFrame(
+        rows or [(None, None)], "h int, doc_id long"
+    ).filter(F.col("h").isNotNull())
+    # chunk=3 forces multi-slice buckets even on tiny inputs, so the
+    # cross-slice join path is genuinely exercised
+    got = Counter(
+        (r["doc_a"], r["doc_b"])
+        for r in chunked_pairs(members, ["h"], chunk=3).collect()
+    )
+    assert got == expected
