@@ -805,7 +805,15 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream mask as curation_keep_mask.
     """
     tune(spark)
-    d = table(spark, sf_dir, "documents")
+    return gopher_scores(table(spark, sf_dir, "documents")).withColumnRenamed(
+        "keep_gopher", "keep"
+    )
+
+
+def gopher_scores(d: DataFrame) -> DataFrame:
+    """The Gopher rule scorer as a pure DataFrame transform (the form
+    the streaming curation log composes; keep column named
+    ``keep_gopher`` so it can sit next to other scorers' verdicts)."""
     tk = _toks()
     n_words = F.size(tk).cast("long")
     n_letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
@@ -828,7 +836,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_mwl.cast("int").alias("rule_mean_word_len"),
         r_alpha.cast("int").alias("rule_alpha_words"),
         r_stop.cast("int").alias("rule_stopwords"),
-        (r_wc & r_mwl & r_alpha & r_stop).cast("int").alias("keep"),
+        (r_wc & r_mwl & r_alpha & r_stop).cast("int").alias("keep_gopher"),
     )
 
 

@@ -3,9 +3,9 @@ arrive.
 
 The batch curation stack (operators/pipeline.py) scores a finished
 corpus; an INGEST pipeline wants the online form — every incoming
-document scored for benchmark contamination and internal repetition
-the moment it lands, so contaminated or spammy documents never reach
-the training shards. This module is that operator, composing the
+document scored for benchmark contamination, internal repetition, and
+Gopher-rule quality the moment it lands, so contaminated or spammy
+documents never reach the training shards. This module is that operator, composing the
 exact batch scoring code inside ``foreachBatch``:
 
 1. The benchmark n-gram set is built ONCE, up front, from the known
@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.pipeline import contamination_scores, repetition_scores
+from ..operators.text import gopher_scores
 
 
 class CurationLog:
@@ -58,7 +59,11 @@ class CurationLog:
                 [],
                 "doc_id long, n_ngrams long, n_hits long, overlap_share double,"
                 " contaminated boolean, n_bigrams int, n_distinct int,"
-                " dup_fraction double, keep boolean",
+                " dup_fraction double, keep boolean, n_words long,"
+                " mean_word_len double, alpha_word_frac double,"
+                " n_stop_hits long, rule_word_count int,"
+                " rule_mean_word_len int, rule_alpha_words int,"
+                " rule_stopwords int, keep_gopher int",
             )
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             str(self.root)
@@ -71,7 +76,8 @@ class CurationLog:
         yields the same union of verdicts."""
         contam = contamination_scores(docs, self.bench)
         rep = repetition_scores(docs)
-        verdict = contam.join(rep, "doc_id")
+        gopher = gopher_scores(docs)
+        verdict = contam.join(rep, "doc_id").join(gopher, "doc_id")
         tag = f"b{batch_id}" if batch_id is not None else "adhoc"
         verdict.write.mode("overwrite").parquet(str(self.root / tag))
 

@@ -16,6 +16,7 @@ from redis_events_to_clickhouse_tables_spark.operators.pipeline import (
     contamination_scores,
     repetition_scores,
 )
+from redis_events_to_clickhouse_tables_spark.operators.text import gopher_scores
 from redis_events_to_clickhouse_tables_spark.sources.tables import table
 from redis_events_to_clickhouse_tables_spark.streaming.curation import (
     CurationLog,
@@ -37,8 +38,10 @@ def _batch_expected(spark):
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
     bench = bench_ngram_set(docs)
     train = _train_docs(spark)
-    return contamination_scores(train, bench).join(
-        repetition_scores(train), "doc_id"
+    return (
+        contamination_scores(train, bench)
+        .join(repetition_scores(train), "doc_id")
+        .join(gopher_scores(train), "doc_id")
     )
 
 
