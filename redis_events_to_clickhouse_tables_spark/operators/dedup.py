@@ -1096,3 +1096,107 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "dedup_minhash_estimate_vs_exact",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + f""",
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                  AS DOUBLE) / {_N_HASHES} AS est_jaccard
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY 1, 2),
+    sw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shg AS (
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+      FROM sw, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+    pinter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      FROM pairs p
+      JOIN shg a ON a.doc_id = p.doc_a
+      JOIN shg b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           CAST(COALESCE(i.c, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.c, 0)) AS exact_jaccard,
+           ABS(e.est_jaccard
+               - CAST(COALESCE(i.c, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.c, 0))) AS abs_err
+    FROM est e
+    LEFT JOIN pinter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN ssz sa ON sa.doc_id = e.doc_a
+    JOIN ssz sb ON sb.doc_id = e.doc_b
+    """,
+)
+def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration table: for every LSH candidate pair, the
+    signature-based Jaccard estimate (fraction of agreeing minhash
+    components) next to the exact shingle Jaccard and their absolute
+    error — the measurement that picks signature length and the LSH
+    banding threshold before trusting the sketch at corpus scale.
+
+    Scale: both sides are O(candidates) — the estimate joins the
+    16-component signature matrix (docs x 128 bytes), the exact side
+    is the production verifier's candidate-restricted intersection;
+    the corpus-wide quadratic never appears.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    sig = _minhash_signature(d)
+    sa_sig = sig.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("minhash").alias("ma")
+    )
+    sb_sig = sig.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("minhash").alias("mb")
+    )
+    est = (
+        pairs.join(sa_sig, "doc_a")
+        .join(sb_sig, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / _N_HASHES
+            ).alias("est_jaccard")
+        )
+    )
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        pairs.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        F.coalesce(F.col("c"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0)))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )
