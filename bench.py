@@ -213,28 +213,35 @@ def main() -> None:
     retried: list[str] = []
     for name, spec in registry.items():
         attempts = []
-        try:
-            for _ in range(2):
+        n = -1
+        for _ in range(2):
+            try:
                 start = time.perf_counter()
                 df = spec.build(spark, sf_dir)
                 n = df.count()
                 attempts.append(time.perf_counter() - start)
-                # Iterative queries intentionally return persisted
-                # results (their lineage would otherwise replay on
-                # reuse); across a 140-query sweep those blocks
-                # accumulate and degrade later queries 2-3x (measured:
-                # 2.09s fresh vs 15.8s late in an uncleared sweep).
-                # Clearing between measurements keeps them independent
-                # — the clear itself is outside the timed window.
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                # a failed RETRY must not discard a valid first
+                # measurement; only a query with zero successful
+                # attempts is recorded as an error
+                if not attempts:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
                 spark.catalog.clearCache()
-                if attempts[0] <= retry_threshold_s:
-                    break
-                if name not in retried:
-                    retried.append(name)
-        except Exception as exc:  # noqa: BLE001 — isolate per query
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                break
+            # Iterative queries intentionally return persisted
+            # results (their lineage would otherwise replay on
+            # reuse); across a 140-query sweep those blocks
+            # accumulate and degrade later queries 2-3x (measured:
+            # 2.09s fresh vs 15.8s late in an uncleared sweep).
+            # Clearing between measurements keeps them independent
+            # — the clear itself is outside the timed window.
             spark.catalog.clearCache()
+            if attempts[0] <= retry_threshold_s:
+                break
+            if name not in retried:
+                retried.append(name)
+        if not attempts:
             continue
         timings[name] = round(min(attempts), 4)
         note = f" (min of {len(attempts)})" if len(attempts) > 1 else ""
