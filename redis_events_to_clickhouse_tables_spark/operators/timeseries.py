@@ -365,57 +365,26 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     old ``ntile(10).over(Window.orderBy(...))`` moved every user row
     into one partition — Spark itself warns — which at 100-TB user
     counts serializes 10^8+ rows through a single task). The
-    distributed-exact shape instead:
-
-    1. approx_percentile picks ~64 range boundaries on spend. The
-       approximation affects LOAD BALANCE only, never values: any set
-       of boundaries yields contiguous (c DESC, user_id) ranges.
-    2. Each user maps to a range bucket via a broadcast literal array
-       (pure codegen expression, no join, no shuffle beyond the
-       spend aggregate itself).
-    3. Per-bucket counts (one O(#buckets) scalar collect) give each
-       bucket's global rank offset.
-    4. row_number over Window.partitionBy(bucket) — a PARTITIONED
-       window, each task sorts ~N/64 users — plus the offset is the
-       exact global rank r under (c DESC, user_id).
-    5. NTILE(10)'s bucket-of-rank formula (first N%10 tiles get
-       N//10+1 rows) applied to r in integer arithmetic reproduces
-       the oracle's NTILE bit-for-bit.
-
-    At 1000-executor scale, raise _LTV_RANGE_BUCKETS to ~#cores; the
-    two driver round-trips stay O(1)/O(#buckets) scalars.
+    distributed-exact global rank comes from
+    ``functions/ranks.global_rank_desc`` (range-bucketed partitioned
+    row_number + broadcast offsets; see its docstring), and NTILE(10)'s
+    bucket-of-rank formula (first N%10 tiles get N//10+1 rows) applied
+    to that rank in integer arithmetic reproduces the oracle's NTILE
+    bit-for-bit.
     """
     tune(spark)
+    from ..functions.ranks import global_rank_desc
+
     e = table(spark, sf_dir, "events")
     spend = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
     )
-    nb = _LTV_RANGE_BUCKETS
-    qs = [i / nb for i in range(1, nb)]
-    row = spend.agg(F.percentile_approx("c", qs, 10_000).alias("bs")).first()
-    bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
-    # bucket 0 holds the largest spenders: id = #bounds >= c, so each
-    # bucket is a contiguous slice of the (c DESC) order and ties on c
-    # never straddle buckets.
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: b >= F.col("c")))
-    else:
-        bucket = F.lit(0)
-    sb = spend.withColumn("bucket", bucket)
-    cnt = {r["bucket"]: r["n"] for r in
-           sb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
-    n_total = sum(cnt.values())
+    sb, n_total = global_rank_desc(
+        spend, "c", "user_id", n_buckets=_LTV_RANGE_BUCKETS
+    )
     q, rem = divmod(n_total, 10)
-    offsets, acc = [], 0
-    for b in range(len(bounds) + 1):
-        offsets.append(acc)
-        acc += cnt.get(b, 0)
-    off = F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("bucket") + 1)
-    w = Window.partitionBy("bucket").orderBy(F.desc("c"), "user_id")
-    r = (off + F.row_number().over(w)).alias("r")
     # NTILE(10): ranks 1..rem*(q+1) fill the first rem tiles of size
     # q+1; the rest fill tiles of size q (guard q=0: branch unreached).
     big = rem * (q + 1)
@@ -423,7 +392,7 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN r <= {big} THEN (r - 1) div {q + 1} + 1 "
         f"ELSE {rem} + (r - {big} - 1) div {max(q, 1)} + 1 END"
     )
-    ranked = sb.select("c", r).select("c", decile.cast("int").alias("decile"))
+    ranked = sb.select("c", decile.cast("int").alias("decile"))
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         (F.sum("c").cast("double") / 100.0).alias("total_spend"),
@@ -483,4 +452,64 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retention"
             ),
         )
+    )
+
+
+@query(
+    "revenue_concentration_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM spend),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, user_id) AS i
+      FROM spend),
+    num AS (SELECT SUM(CAST(i AS HUGEINT) * c) AS m FROM ranked)
+    SELECT tot.n AS n_users,
+           CAST(tot.s AS DOUBLE) / 100.0 AS total_spend,
+           CAST(num.m AS DOUBLE) * 2
+             / (CAST(tot.n AS DOUBLE) * CAST(tot.s AS DOUBLE))
+             - (CAST(tot.n AS DOUBLE) + 1) / CAST(tot.n AS DOUBLE) AS gini
+    FROM tot, num
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase revenue — the one-number
+    answer to 'how concentrated is spend?' that the LTV decile table
+    expands. Formula: G = 2*SUM(i*c_i)/(n*SUM(c)) - (n+1)/n over
+    ascending-sorted spend with 1-based index i.
+
+    Distributed-exact: the global index comes from
+    ``functions/ranks.global_rank_desc`` (i = n - rank_desc + 1 — ties
+    on c make SUM(i*c_i) order-invariant, so the tiebreak direction is
+    immaterial); the weighted sum accumulates in DECIMAL(38,0) (exact,
+    associative — overflow-safe past 10^9 users x 10^9-cent spends),
+    and only the final three-operation double expression runs in
+    floating point, identically in both engines. No global window
+    anywhere.
+    """
+    tune(spark)
+    from ..functions.ranks import global_rank_desc
+
+    e = table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    sb, n = global_rank_desc(spend, "c", "user_id", n_buckets=_LTV_RANGE_BUCKETS)
+    i = (F.lit(n) - F.col("r") + 1).cast("decimal(38,0)")
+    agg = sb.agg(
+        F.sum((i * F.col("c")).cast("decimal(38,0)")).alias("m"),
+        F.sum("c").alias("s"),
+    )
+    nd = F.lit(n).cast("double")
+    return agg.select(
+        F.lit(n).alias("n_users"),
+        (F.col("s").cast("double") / 100.0).alias("total_spend"),
+        (
+            F.col("m").cast("double") * 2 / (nd * F.col("s").cast("double"))
+            - (nd + 1) / nd
+        ).alias("gini"),
     )

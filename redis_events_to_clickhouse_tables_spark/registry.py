@@ -113,6 +113,7 @@ _SAMPLE_PRIORITY = (
     "profile_orders_columns",
     "skew_key_diagnostics",
     "dedup_minhash_estimate_vs_exact",
+    "revenue_concentration_gini",
 )
 
 
