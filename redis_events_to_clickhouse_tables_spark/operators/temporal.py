@@ -167,3 +167,83 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_context"),
         )
     )
+
+
+_OVL_INC_MIN = 5  # incident half-width (minutes) around each error
+_OVL_BIN_SEC = 3600  # time-bin width for the interval-overlap join
+
+
+@query(
+    "interval_overlap_incidents",
+    oracle=f"""
+    WITH sess AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY 1, 2),
+    inc AS (
+      SELECT event_id,
+             ts - INTERVAL {_OVL_INC_MIN} MINUTE AS i_s,
+             ts + INTERVAL {_OVL_INC_MIN} MINUTE AS i_e
+      FROM events WHERE event_type = 'error')
+    SELECT sess.user_id, CAST(sess.d AS TIMESTAMP) AS day,
+           COUNT(inc.event_id) AS n_incidents
+    FROM sess LEFT JOIN inc
+      ON sess.s <= inc.i_e AND inc.i_s <= sess.e
+    GROUP BY 1, 2
+    """,
+)
+def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval x interval, NO equi key): each
+    user-day activity interval counted against every system incident
+    window (any user's error +-5 min) it overlaps — the correlation
+    query behind 'which sessions ran during an outage?'.
+
+    Scale shape: a naive overlap join is a cross product with a range
+    filter. Here BOTH interval sets explode to the hour bins they
+    cover (activity intervals span <=25 bins, incidents <=2), the join
+    is an equi hash join on the bin, the exact overlap predicate is a
+    post-filter, and a distinct collapses multi-bin matches — pair
+    candidates are bounded by per-bin occupancy, never by the full
+    cross product. The same shape as range_join_error_context one
+    dimension up (its probe side was a point, here both sides are
+    intervals).
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {_OVL_INC_MIN} MINUTES")).alias("i_s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_OVL_INC_MIN} MINUTES")).alias("i_e"),
+    )
+
+    def bins(lo, hi):
+        return F.sequence(
+            F.floor(F.unix_timestamp(lo) / _OVL_BIN_SEC),
+            F.floor(F.unix_timestamp(hi) / _OVL_BIN_SEC),
+        )
+
+    probe = sess.select(
+        "user_id", "d", "s", "e", F.explode(bins("s", "e")).alias("bin")
+    )
+    build = inc.select(
+        "inc_id", "i_s", "i_e", F.explode(bins("i_s", "i_e")).alias("bin")
+    )
+    pairs = (
+        probe.join(build, "bin")
+        .filter((F.col("s") <= F.col("i_e")) & (F.col("i_s") <= F.col("e")))
+        .select("user_id", "d", "inc_id")
+        .distinct()
+    )
+    hits = pairs.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        sess.join(hits, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_incidents"),
+        )
+    )

@@ -114,6 +114,7 @@ _SAMPLE_PRIORITY = (
     "skew_key_diagnostics",
     "dedup_minhash_estimate_vs_exact",
     "revenue_concentration_gini",
+    "interval_overlap_incidents",
 )
 
 
