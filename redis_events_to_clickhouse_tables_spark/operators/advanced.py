@@ -502,3 +502,59 @@ def agg_exact_p90_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.expr("(n * 9 + 9) div 10"))
         .select("l_returnflag", F.col("v").alias("p90_price"))
     )
+
+
+@query(
+    "scalar_map_struct_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_val,
+           2 AS n_keys,
+           'prio,status' AS keys_sorted,
+           o_custkey AS struct_custkey,
+           CAST(o_totalprice AS DOUBLE) AS struct_price,
+           1 AS n_status_keys,
+           upper(o_orderpriority) AS prio_upper,
+           3 AS n_keys_concat
+    FROM orders
+    """,
+)
+def scalar_map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct function family sweep: map construction, key lookup,
+    key enumeration, map_filter / transform_values higher-order
+    functions, map_concat, and struct field access — the complex-type
+    layer a semi-structured pipeline (Layer A's dynamic payloads)
+    leans on. All JVM-side, inside whole-stage codegen; the oracle
+    states each expected value directly from the base columns, so the
+    check verifies Spark's complex-type semantics rather than
+    mirroring them.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    s = F.struct(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").cast("double").alias("tp"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        s.getField("ck").alias("struct_custkey"),
+        s.getField("tp").alias("struct_price"),
+        F.size(F.map_filter(m, lambda k, v: k == F.lit("status"))).alias(
+            "n_status_keys"
+        ),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "prio"
+        ).alias("prio_upper"),
+        F.size(
+            F.map_concat(
+                m, F.create_map(F.lit("extra"), F.col("o_orderkey").cast("string"))
+            )
+        ).alias("n_keys_concat"),
+    )

@@ -1200,3 +1200,154 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"), re-expressed at token granularity:
+# a span of _SUB_N consecutive tokens that occurs >= 2 times anywhere
+# in the corpus (across documents OR repeated within one) is
+# "duplicated text"; each document is scored by the fraction of its
+# token positions covered by at least one duplicated span.
+#
+# The paper builds a suffix array; the Spark-native equivalent is a
+# positional-n-gram frequency join, which is embarrassingly parallel:
+#   1. one pass emits (doc, position, md5(gram)) — O(total tokens);
+#   2. a hash-groupBy counts gram occurrences corpus-wide;
+#   3. an equi-join marks duplicated positions (a boilerplate gram hits
+#      ONE frequency row, so hot grams cost nothing extra);
+#   4. covered-token count is the measure of the UNION of [i, i+N-1]
+#      intervals, computed with a doc-partitioned running-max window —
+#      no position explode, no O(N) blowup of the duplicated stream.
+# The only all-corpus shuffles are the gram count and the join back,
+# both on fixed-width hashes.
+_SUB_N = 10
+# keep = duplicated-coverage below 50% of the document (docs that are
+# mostly duplicated text get dropped; partial boilerplate survives).
+# On this corpus coverage is bimodal: exact/near-dup cluster members
+# sit at ~1.0, organic docs spread 0..~0.45.
+_SUB_CUT = 0.5
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS s, i + {_SUB_N - 1} AS e,
+             {DUCKDB_MD5_LONG(" || ' ' || ".join(f"t[i+{k}]" for k in range(10)).replace("t[i+0]", "t[i]"))} AS h
+      FROM toks, UNNEST(range(1, len(t) - {_SUB_N - 2})) AS u(i)
+    ),
+    freq AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT g.doc_id, g.s, g.e FROM g JOIN freq USING (h)),
+    cov AS (
+      SELECT doc_id,
+             GREATEST(0, e - GREATEST(COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+               s - 1)) AS c
+      FROM dup
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS covered_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')) AS dup_fraction,
+           CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')) < {_SUB_CUT} AS keep
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: fraction of each document's tokens
+    covered by a 10-token span that occurs >= 2 times anywhere in
+    the corpus (the token-level analog of Lee et al. 2022's
+    suffix-array substring dedup), with a keep verdict at 50% coverage.
+
+    Scale shape: positional grams are one codegen'd pass, the
+    frequency table is a hash-groupBy on 60-bit gram hashes, the
+    join back is a plain equi-join (hot grams hit one frequency row —
+    no bucket arrays anywhere), and span coverage is an interval-union
+    running-max window PARTITIONED BY doc_id, so no global window and
+    no 10x position explode.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", "text", F.size(t).alias("n_tokens"))
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (_SUB_N - 1)),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(t, i + k) for k in range(_SUB_N)],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    g = (
+        docs.filter(F.col("n_tokens") >= _SUB_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.s").alias("s"),
+            (F.col("g.s") + (_SUB_N - 1)).alias("e"),
+            F.col("g.h").alias("h"),
+        )
+    )
+    dup_hashes = (
+        g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2).select("h")
+    )
+    dup = g.join(dup_hashes, "h").select("doc_id", "s", "e")
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.coalesce(F.max("e").over(w), F.lit(0))
+    cov = F.greatest(F.lit(0), F.col("e") - F.greatest(prev_end, F.col("s") - 1))
+    per_doc = (
+        dup.withColumn("c", cov)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("covered_tokens"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+        )
+    )
+    frac = F.col("covered_tokens").cast("double") / F.col("n_tokens")
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+        .withColumn("dup_fraction", frac)
+        .withColumn("keep", frac < _SUB_CUT)
+    )

@@ -362,3 +362,65 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "url_canonicalize",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE user_id % 3 WHEN 0 THEN 'example.com'
+                              WHEN 1 THEN 'cdn.example.com'
+                              ELSE 'blog.example.org' END AS host_canon,
+             '/p/' || CAST(event_id % 50 AS VARCHAR) AS path_canon,
+             CAST(user_id % 7 AS VARCHAR) AS id_param
+      FROM events
+    )
+    SELECT event_id, host_canon, path_canon, id_param,
+           'https://' || host_canon || path_canon || '?id=' || id_param
+             AS url_canon
+    FROM base
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first step of every web-corpus dedup:
+    lowercase the host, strip the ``www.`` prefix, drop tracking query
+    parameters (keep only ``id``), strip fragments and trailing
+    slashes. The raw URL is synthesized deterministically from events
+    rows (mixed-case hosts, utm_* params, fragments, trailing slashes)
+    so the oracle can state the expected canonical form from the same
+    base columns — the check verifies Spark's ``parse_url`` machinery
+    produces ground truth, not a mirrored implementation.
+
+    Scale shape: pure JVM string expressions (`parse_url`, `lower`,
+    regexp) at scan speed; canonical-URL dedup downstream is then the
+    exact-dedup hash-groupBy (`dedup_exact_documents` shape).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    raw_host = (
+        F.when(uid % 3 == 0, F.lit("WWW.Example.COM"))
+        .when(uid % 3 == 1, F.lit("cdn.example.com"))
+        .otherwise(F.lit("Blog.Example.ORG"))
+    )
+    trailing = F.when(eid % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    frag = F.when(eid % 3 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), raw_host,
+        F.lit("/p/"), (eid % 50).cast("string"), trailing,
+        F.lit("?utm_source=feed&id="), (uid % 7).cast("string"),
+        F.lit("&utm_campaign=x"), frag,
+    )
+    host = F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))), "^www[.]", "")
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", "")
+    id_param = F.parse_url(url, F.lit("QUERY"), F.lit("id"))
+    return e.select(
+        "event_id",
+        host.alias("host_canon"),
+        path.alias("path_canon"),
+        id_param.alias("id_param"),
+        F.concat(
+            F.lit("https://"), host, path, F.lit("?id="), id_param
+        ).alias("url_canon"),
+    )

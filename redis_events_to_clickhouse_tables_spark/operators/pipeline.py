@@ -594,3 +594,70 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_fp").cast("double") / F.col("w_total")).alias("weight"),
         )
     )
+
+
+# token-budget corpus selection: tokens a source may contribute to the
+# training mix. ~55% of each source's supply at this corpus's shape, so
+# the cut bites on every source at every SF.
+_BUDGET_TOKENS = 800
+
+
+@query(
+    "curation_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {DUCKDB_MD5_LONG("'prio:' || CAST(doc_id AS VARCHAR)")} AS prio
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, prio,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY prio, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= {_BUDGET_TOKENS} AS selected
+    FROM ranked
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: each source domain contributes
+    documents in (deterministic) priority order until its token budget
+    is exhausted — the greedy knapsack every mixture-controlled
+    training run executes once domain weights are fixed
+    (``corpus_mixture_weights`` decides the budgets; this operator
+    spends them). Priority here is a salted hash standing in for a
+    model-based quality score (same contract: any total order works).
+
+    Scale shape: one window partitioned by ``source`` (never global),
+    running-sum frame over rows already co-partitioned by the
+    mixture key; the token count is codegen'd `size(split(...))` at
+    scan time. No joins, one shuffle on the partition key.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    prio = md5_long(F.concat(F.lit("prio:"), F.col("doc_id").cast("string")))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        prio.alias("prio"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("prio", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= _BUDGET_TOKENS).alias("selected"),
+    )

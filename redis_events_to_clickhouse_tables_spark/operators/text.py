@@ -976,3 +976,62 @@ def quality_bigram_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_branching"),
         )
     )
+
+
+# -- hashed linear quality classifier ---------------------------------------
+# fastText-style scorer: a linear model over hashed bag-of-words
+# features. Real deployments (CCNet's fastText quality filter, the
+# LLaMA "looks-like-Wikipedia" classifier) ship a trained weight
+# vector indexed by feature hash; here the weights derive
+# deterministically from the same md5 mixer both engines share, so the
+# oracle can reproduce the scores bit-for-bit. The *shape* is the
+# production shape: per-token hash -> weight lookup folded into a
+# per-document sum, one codegen'd pass, zero shuffles, no Python.
+_CLF_BUCKETS = 2001  # weight w(tok) = (h % 2001) - 1000 in [-1000, 1000]
+
+
+@query(
+    "classifier_hashed_linear",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(SUM({DUCKDB_MD5_LONG("tk[i]", salt="clf")} % {_CLF_BUCKETS} - 1000)
+                  AS BIGINT) AS score_fp
+      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+      GROUP BY doc_id, len(tk)
+    )
+    SELECT doc_id, n_tokens, score_fp,
+           CAST(score_fp AS DOUBLE) / n_tokens AS mean_weight,
+           score_fp > 0 AS keep
+    FROM scored
+    """,
+)
+def classifier_hashed_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier (the fastText-filter
+    shape): each token maps to a signed integer weight via a salted
+    hash, the document score is the exact integer sum of its token
+    weights, and the keep verdict is the sign of the score.
+
+    Scale shape: `aggregate(transform(tokens, w), 0, +)` is one
+    whole-stage-codegen expression per row — the classifier runs at
+    parquet-scan speed with no shuffle, no UDF, and no weight-table
+    join (weights are a pure function of the hash, exactly how a
+    broadcast weight array would behave at 100 TB).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    w = lambda tok: md5_long(tok, salt="clf") % _CLF_BUCKETS - 1000
+    score = F.aggregate(
+        F.transform(tk, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(tk).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("score_fp"),
+        (score.cast("double") / n).alias("mean_weight"),
+        (score > 0).alias("keep"),
+    )

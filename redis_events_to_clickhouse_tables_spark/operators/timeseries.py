@@ -513,3 +513,134 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (nd + 1) / nd
         ).alias("gini"),
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             ANY_VALUE(m.med) AS med,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.med, m.mad,
+           CASE WHEN m.mad > 0
+                THEN ABS(e.value - m.med) / (1.4826 * m.mad)
+                ELSE 0.0 END AS robust_z,
+           m.mad > 0 AND ABS(e.value - m.med) / (1.4826 * m.mad) > 3.0
+             AS is_outlier
+    FROM events e JOIN mad m USING (event_type)
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: each
+    event's value scored as a robust z (|x - median| / (1.4826 * MAD))
+    against its event-type cohort, flagged above 3. MAD is the
+    standard robust scale estimator when the value column has the
+    heavy tail real telemetry has (mean/stddev z-scores let one
+    outlier inflate its own yardstick).
+
+    Scale shape: two grouped exact medians (Spark's `median` is a
+    sort-based exact aggregate, partitioned by event_type — no global
+    sort) + one broadcast of the tiny per-type (median, MAD) table
+    back onto the event stream; the scoring pass is codegen'd
+    arithmetic at scan speed. Exact interpolated medians match DuckDB
+    `quantile_cont` bit-for-bit (precedent: agg_median_exact).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    z = F.when(F.col("mad") > 0, dev / (F.lit(1.4826) * F.col("mad"))).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+            ((F.col("mad") > 0) & (z > 3.0)).alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    spine AS (
+      SELECT d0 + p.i * INTERVAL 1 DAY AS d
+      FROM bounds, UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS p(i)
+    )
+    SELECT CAST(s.d AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+    FROM spine s
+    LEFT JOIN ud u ON u.day BETWEEN s.d - INTERVAL 6 DAY AND s.d
+    GROUP BY s.d
+    """,
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT distinct active users for every calendar
+    day — the sliding COUNT(DISTINCT) window SQL engines can't express
+    as a window function (distinct aggregates aren't frame-mergeable).
+
+    Scale shape (no HLL, no 7x fact re-scan, no global window): dedupe
+    to (user, active-day) pairs, then per user compute the gap to the
+    NEXT active day (window partitioned by user_id); an active day d
+    covers exactly the window-end days [d, d + min(6, gap - 1)] where
+    that day is the user's LATEST activity inside the trailing window
+    — these ranges are disjoint per user and union to precisely the
+    days the user counts for. Explode that bounded <=7-day range and a
+    plain additive count per day IS the distinct count. The day spine
+    (min..max, broadcast) gap-fills empty days. Everything shuffles at
+    most the (user, day) dedup'd activity — orders of magnitude
+    smaller than the event log — and the coverage explode is <=7x that.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    nxt = F.lead("day").over(Window.partitionBy("user_id").orderBy("day"))
+    cover_end = F.least(
+        F.date_add(F.col("day"), 6),
+        F.coalesce(F.date_sub(nxt, 1), F.date_add(F.col("day"), 6)),
+    )
+    contrib = (
+        ud.withColumn("cover_end", cover_end)
+        .select(
+            F.explode(F.sequence(F.col("day"), F.col("cover_end"))).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+    )
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    return (
+        spine.join(contrib, "d", "left")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce(F.col("users_7d"), F.lit(0)).cast("long").alias("users_7d"),
+        )
+    )
