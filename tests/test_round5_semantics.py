@@ -1,0 +1,129 @@
+"""Constructed-fixture semantic tests for the round-5 operators:
+known inputs with hand-derived expected outputs (the oracle parity
+suite proves Spark == DuckDB; these prove both == the intended math).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from redis_events_to_clickhouse_tables_spark.registry import load_all
+
+REG = load_all()
+
+
+def _write_docs(spark, tmp_path, docs):
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_exact_substring_coverage_known_spans(spark, tmp_path):
+    """A constructed corpus where every duplicated 10-token span is
+    known: cross-document sharing, full-document duplication, and
+    within-document repetition must each produce the exact coverage
+    fraction."""
+    a = [f"a{i}" for i in range(1, 31)]
+    # B shares A's tokens 11..20 as one contiguous 10-run
+    b = [f"b{i}" for i in range(1, 11)] + a[10:20] + [f"b{i}" for i in range(11, 21)]
+    c = [f"c{i}" for i in range(1, 31)]
+    d = list(c)  # exact copy: fully covered
+    e = (
+        [f"e{i}" for i in range(1, 11)]
+        + [f"e{i}" for i in range(1, 11)]  # within-doc repeat
+        + [f"e{i}" for i in range(21, 31)]
+    )
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(a)),
+            (2, " ".join(b)),
+            (3, " ".join(c)),
+            (4, " ".join(d)),
+            (5, " ".join(e)),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REG["dedup_exact_substring"].build(spark, sf).collect()
+    }
+    # A and B: exactly one shared 10-gram -> 10 of 30 tokens covered
+    for doc in (1, 2):
+        assert rows[doc]["n_dup_spans"] == 1
+        assert rows[doc]["covered_tokens"] == 10
+        assert rows[doc]["dup_fraction"] == pytest.approx(10 / 30)
+        assert rows[doc]["keep"] is True
+    # C and D: every gram duplicated -> full coverage, dropped
+    for doc in (3, 4):
+        assert rows[doc]["covered_tokens"] == 30
+        assert rows[doc]["dup_fraction"] == pytest.approx(1.0)
+        assert rows[doc]["keep"] is False
+    # E: the repeated 10-token prefix covers positions 1..20
+    assert rows[5]["covered_tokens"] == 20
+    assert rows[5]["dup_fraction"] == pytest.approx(20 / 30)
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hashed_classifier_matches_reference_math(spark, tmp_path):
+    """The per-document score must equal the independently computed
+    sum of (md5-hash % 2001 - 1000) token weights."""
+    docs = [(1, "alpha beta gamma"), (2, "alpha alpha")]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r
+        for r in REG["classifier_hashed_linear"].build(spark, sf).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        want = sum(_md5_long(f"clf:{t}") % 2001 - 1000 for t in toks)
+        assert rows[doc_id]["score_fp"] == want
+        assert rows[doc_id]["n_tokens"] == len(toks)
+        assert rows[doc_id]["keep"] == (want > 0)
+
+
+def test_rolling_distinct_users_brute_force(spark, tmp_path):
+    """The gap-bounded coverage-explode distinct count must equal the
+    brute-force 'count users active in [D-6, D]' on a fixture with
+    gaps, repeat activity, and window-straddling users."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # (user, day-offset) activity; user 1 spans a gap > 7 days
+    activity = [
+        (1, 0), (1, 1), (1, 12),
+        (2, 0), (2, 0), (2, 6),
+        (3, 3),
+        (4, 12), (4, 13),
+    ]
+    rows = [
+        (i, base + dt.timedelta(days=off), u, "view", 1.0, "{}")
+        for i, (u, off) in enumerate(activity)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        r["day"].date(): r["users_7d"]
+        for r in REG["rolling_distinct_users_7d"].build(spark, sf).collect()
+    }
+    days = sorted({off for _, off in activity})
+    d0, d1 = min(days), max(days)
+    for off in range(d0, d1 + 1):
+        want = len(
+            {u for u, a in activity if off - 6 <= a <= off}
+        )
+        day = (base + dt.timedelta(days=off)).date()
+        assert got[day] == want, f"day offset {off}: {got[day]} != {want}"
+    assert len(got) == d1 - d0 + 1  # gap days present (spine fill)
