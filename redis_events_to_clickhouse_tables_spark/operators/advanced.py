@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from ..functions.numeric import dec
 from ..functions.temporal import epoch_us
 from ..registry import query
@@ -557,4 +558,106 @@ def scalar_map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m, F.create_map(F.lit("extra"), F.col("o_orderkey").cast("string"))
             )
         ).alias("n_keys_concat"),
+    )
+
+
+# count-min sketch geometry: 4 independent hash rows x 256 buckets.
+# Unlike HLL/KLL (engine-private sketch formats, rows-only checked),
+# count-min is just hashed counters — built here from the repo's
+# shared md5 hash family, so DuckDB reproduces the sketch bit-for-bit
+# and the calibration table is value-checked.
+_CM_D = 4
+_CM_W = 256
+
+# DuckDB rendering of md5_long(uid, salt=f"cm{d}") with d a SQL column
+_CM_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5('cm' || CAST(d.d AS VARCHAR) || ':' "
+    "|| CAST({uid} AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(_CM_W)
+)
+
+
+@query(
+    "sketch_countmin_user_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT d.d AS d, {_CM_SQL_BUCKET.format(uid="user_id")} AS bucket,
+             COUNT(*) AS c
+      FROM events, (SELECT UNNEST(range(0, {_CM_D})) AS d) d
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT e.user_id, MIN(c.c) AS cm_estimate
+      FROM exact e, (SELECT UNNEST(range(0, {_CM_D})) AS d) d
+      JOIN cells c
+        ON c.d = d.d
+       AND c.bucket = {_CM_SQL_BUCKET.format(uid="e.user_id")}
+      GROUP BY e.user_id
+    )
+    SELECT e.user_id,
+           CAST(e.exact_count AS BIGINT) AS exact_count,
+           CAST(s.cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(s.cm_estimate - e.exact_count AS BIGINT) AS overcount
+    FROM exact e JOIN est s USING (user_id)
+    """,
+)
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration table: per-user event counts
+    estimated from a 4x256 count-min sketch next to the exact counts
+    (overcount >= 0 always; the table is how a deployment sizes
+    width/depth for its key skew).
+
+    Scale shape — why count-min matters at 100 TB: the sketch build is
+    ONE pass with map-side partial aggregation into at most
+    4x256 = 1024 cells (mergeable integer counters — the same
+    property the streaming rollup exploits), so frequency estimates
+    for any later key cost a broadcast of ~1 KB instead of a shuffle
+    of the key universe. The estimate join here broadcasts the sketch
+    onto the exact per-key counts purely to *grade* it.
+
+    Deterministic + oracle-checked: cells derive from the shared md5
+    mixer (functions/hashing.py), not an engine-private sketch format
+    — DuckDB rebuilds the identical sketch, unlike the rows-only
+    HLL/KLL queries (approx_distinct_users, approx_percentile_prices).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+
+    def bucket(d: int):
+        return md5_long(uid, salt=f"cm{d}") % _CM_W
+
+    def probe_array():
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+                    for d in range(_CM_D)
+                ]
+            )
+        )
+
+    cells = (
+        e.select(probe_array().alias("x"))
+        .select("x.d", "x.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select("user_id", "exact_count", probe_array().alias("x")).select(
+        "user_id", "exact_count", "x.d", "x.bucket"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.first("exact_count").cast("long").alias("exact_count"),
+            F.min("c").cast("long").alias("cm_estimate"),
+        )
+        .withColumn(
+            "overcount",
+            (F.col("cm_estimate") - F.col("exact_count")).cast("long"),
+        )
     )

@@ -1035,3 +1035,74 @@ def classifier_hashed_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score.cast("double") / n).alias("mean_weight"),
         (score > 0).alias("keep"),
     )
+
+
+# inverted index: bound the stored posting-list head so a stop-word
+# token (present in EVERY doc at 100 TB) still materializes a
+# fixed-size row — full postings stay as (token, doc) rows, which is
+# how a distributed index shards them anyway.
+_POSTINGS_HEAD = 10
+
+
+@query(
+    "index_inverted_postings",
+    oracle=f"""
+    WITH td AS (
+      SELECT DISTINCT ON (tok, doc_id) tok, doc_id, cnt FROM (
+        SELECT t.tok AS tok, doc_id, COUNT(*) AS cnt
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents) t
+        GROUP BY 1, 2
+      )
+    ),
+    ranked AS (
+      SELECT tok, doc_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      FROM td
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(cnt) AS BIGINT) AS tf_total,
+           string_agg(CASE WHEN rn <= {_POSTINGS_HEAD}
+                           THEN CAST(doc_id AS VARCHAR) END, ','
+                      ORDER BY doc_id) AS postings_head
+    FROM ranked
+    GROUP BY tok
+    """,
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval side of a training-data
+    pipeline): per token, document frequency, total term frequency,
+    and the first 10 postings (ascending doc_id) as a preview column.
+
+    Scale shape: the posting stream is (token, doc, tf) rows — the
+    representation a sharded index keeps, shuffled once on the token.
+    The stored head is bounded by a doc_id-ordered ROW_NUMBER window
+    (partitioned by token) BEFORE any array is built, so a stop-word
+    token present in a billion documents still aggregates a <=10
+    element array — no unbounded collect_list anywhere (same
+    discipline as the dedup hot-bucket chunking).
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rn = F.row_number().over(Window.partitionBy("tok").orderBy("doc_id"))
+    ranked = td.withColumn("rn", rn)
+    return ranked.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("cnt").cast("long").alias("tf_total"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= _POSTINGS_HEAD, F.col("doc_id"))
+                )
+            ).cast("array<string>"),
+        ).alias("postings_head"),
+    )
