@@ -576,6 +576,35 @@ _CM_SQL_BUCKET = (
 )
 
 
+def _cm_probe_array(key_col: str):
+    """exploded (d, bucket) probes for one key — shared by the batch
+    calibration query and the streaming continuous sketch."""
+    k = F.col(key_col).cast("string")
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (md5_long(k, salt=f"cm{d}") % _CM_W).alias("bucket"),
+                )
+                for d in range(_CM_D)
+            ]
+        )
+    )
+
+
+def countmin_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """(d, bucket, c): the count-min cell counts of ``df[key_col]`` —
+    a mergeable integer partial (sum cells to merge sketches), which
+    is what makes the sketch streamable batch-by-batch."""
+    return (
+        df.select(_cm_probe_array(key_col).alias("x"))
+        .select("x.d", "x.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 @query(
     "sketch_countmin_user_counts",
     oracle=f"""
@@ -624,31 +653,11 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     e = table(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("string")
-
-    def bucket(d: int):
-        return md5_long(uid, salt=f"cm{d}") % _CM_W
-
-    def probe_array():
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
-                    for d in range(_CM_D)
-                ]
-            )
-        )
-
-    cells = (
-        e.select(probe_array().alias("x"))
-        .select("x.d", "x.bucket")
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cells = countmin_cells(e, "user_id")
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    probes = exact.select("user_id", "exact_count", probe_array().alias("x")).select(
-        "user_id", "exact_count", "x.d", "x.bucket"
-    )
+    probes = exact.select(
+        "user_id", "exact_count", _cm_probe_array("user_id").alias("x")
+    ).select("user_id", "exact_count", "x.d", "x.bucket")
     return (
         probes.join(F.broadcast(cells), ["d", "bucket"])
         .groupBy("user_id")

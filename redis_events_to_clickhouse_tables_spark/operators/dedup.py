@@ -1351,3 +1351,59 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_fraction", frac)
         .withColumn("keep", frac < _SUB_CUT)
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + """,
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    nodes AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY doc_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the near-dup candidate
+    graph — the local-clustering signal that separates a genuine
+    duplicate CLUSTER (LSH candidates that corroborate each other)
+    from chains of pairwise-coincidental collisions; standard triage
+    before trusting transitive dedup decisions.
+
+    Scale shape: the textbook distributed triangle count on ordered
+    edges (a<b always, from LSH pair emission) — edges joined to
+    edges on the shared middle vertex, then the wedge list
+    semi-joined back against the edge set. Two shuffles on node keys,
+    never a cross join; wedge counts are bounded by the near-dup
+    graph (already capped by chunked bucket emission), not the
+    corpus. Ordered edges count each triangle exactly once as
+    (a<b<c), then each corner credits its node.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    out = nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    rows = out.persist()
+    rows.count()
+    pairs.unpersist()
+    return rows
