@@ -1407,3 +1407,85 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.count()
     pairs.unpersist()
     return rows
+
+
+# registered after the def below (the oracle composes the LSH CTE
+# fragments, same pattern as dedup_jaccard_verify_candidates)
+_containment_spec = query(
+    "dedup_containment_verify",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + f""",
+    sw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shg AS (
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+      FROM sw, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+    pinter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      FROM pairs p
+      JOIN shg a ON a.doc_id = p.doc_a
+      JOIN shg b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.c, 0) AS DOUBLE) / sa.n AS containment_a,
+           CAST(COALESCE(i.c, 0) AS DOUBLE) / sb.n AS containment_b,
+           GREATEST(CAST(COALESCE(i.c, 0) AS DOUBLE) / sa.n,
+                    CAST(COALESCE(i.c, 0) AS DOUBLE) / sb.n) >= 0.8
+             AS is_subdup
+    FROM pairs p
+    LEFT JOIN pinter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN ssz sa ON sa.doc_id = p.doc_a
+    JOIN ssz sb ON sb.doc_id = p.doc_b
+    """,
+)
+def dedup_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard CONTAINMENT verification of LSH candidate pairs:
+    C(A,B) = |A n B| / |A| in both directions, flagged sub-duplicate
+    at 0.8. Containment is the asymmetric complement of Jaccard —
+    a short document wholly embedded in a long one (quotes,
+    boilerplate wrappers, page-of-a-book crawls) scores near 1.0 on
+    one side while symmetric Jaccard stays low, so a Jaccard-only
+    verifier misses exactly the sub-document duplication crawl
+    corpora are full of.
+
+    Scale shape: identical to ``dedup_jaccard_verify_candidates`` —
+    linear in LSH candidates, shingle joins shuffle on doc ids, no
+    corpus-wide shingle self-join; only the final ratio differs
+    (per-side size instead of union size).
+    """
+    tune(spark)
+    cands = _lsh_candidate_pairs(spark, sf_dir)
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c0 = F.coalesce(F.col("c"), F.lit(0)).cast("double")
+    cont_a = c0 / F.col("na")
+    cont_b = c0 / F.col("nb")
+    return (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            (F.greatest(cont_a, cont_b) >= 0.8).alias("is_subdup"),
+        )
+    )
+
+
+_containment_spec(dedup_containment_verify)

@@ -400,3 +400,44 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("p"),
     )
+
+
+@query(
+    "user_event_type_diversity",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c))
+             AS simpson_diversity
+    FROM tc GROUP BY user_id
+    """,
+)
+def user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Simpson diversity index
+    1 - sum((c_i/n)^2) over the user's event-type distribution — the
+    entropy-style engagement-breadth metric, in its RATIONAL form
+    (exact integer sum of squares + one IEEE division) so both engines
+    agree bit-for-bit; Shannon entropy's ln() is last-ulp
+    engine-divergent, which is why the tf-idf ln-score query is
+    rows-only while this one is value-checked.
+
+    Scale shape: two hash aggregates keyed by user (the second reuses
+    the first's partitioning — no extra shuffle), no window, no join.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_events"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c"))
+        ).alias("simpson_diversity"),
+    )

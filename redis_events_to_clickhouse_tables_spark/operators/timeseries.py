@@ -644,3 +644,169 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("users_7d"), F.lit(0)).cast("long").alias("users_7d"),
         )
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER)
+               * INTERVAL 1 DAY AS anchor
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len,
+             MIN(day) AS start_day, MAX(day) AS end_day
+      FROM grp GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT user_id, len, start_day, end_day,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day) AS rk
+      FROM streaks
+    )
+    SELECT user_id,
+           CAST(len AS BIGINT) AS longest_streak_days,
+           CAST(start_day AS TIMESTAMP) AS streak_start,
+           CAST(end_day AS TIMESTAMP) AS streak_end,
+           CAST((SELECT COUNT(*) FROM streaks s2
+                 WHERE s2.user_id = best.user_id) AS BIGINT) AS n_streaks
+    FROM best WHERE rk = 1
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus how many
+    distinct streaks the user has) — the gaps-and-islands pattern:
+    consecutive days share (day - row_number) as a constant island
+    anchor, so streaks fall out of one grouped aggregate, no self-join
+    and no iteration.
+
+    Scale shape: dedupe to (user, day), one window partitioned by
+    user_id (never global), two grouped aggregates on user-contained
+    keys. Everything shuffles the deduped activity table, orders of
+    magnitude smaller than the event log.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grp = ud.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    n_streaks = streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    )
+    best = streaks.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return best.join(n_streaks, "user_id").select(
+        "user_id",
+        F.col("len").cast("long").alias("longest_streak_days"),
+        F.col("start_day").cast("timestamp").alias("streak_start"),
+        F.col("end_day").cast("timestamp").alias("streak_end"),
+        "n_streaks",
+    )
+
+
+def _exact_ntile_expr(rank_col: str, n_total: int, k: int):
+    """SQL NTILE(k)-of-global-rank in integer arithmetic (first
+    n_total % k tiles get one extra row) — the same formula
+    user_ltv_deciles uses, parameterized for reuse."""
+    q, rem = divmod(n_total, k)
+    big = rem * (q + 1)
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {big} THEN ({rank_col} - 1) div {q + 1} + 1 "
+        f"ELSE {rem} + ({rank_col} - {big} - 1) div {max(q, 1)} + 1 END"
+    ).cast("int")
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(m AS DOUBLE) AS monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, custkey) AS INTEGER)
+             AS r_tile,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS INTEGER)
+             AS f_tile,
+           CAST(NTILE(5) OVER (ORDER BY m DESC, custkey) AS INTEGER)
+             AS m_tile
+    FROM cust
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored into exact
+    quintiles on Recency (days since last order), Frequency (order
+    count) and Monetary (lifetime spend) — tile 1 = best. The
+    customer-analytics workhorse behind churn/win-back targeting.
+
+    Scale shape: three exact global NTILE(5)s with NO global window —
+    each dimension ranks through ``functions/ranks.global_rank_desc``
+    (range-bucketed partitioned row_number + broadcast offsets) and
+    the integer NTILE-of-rank formula, the user_ltv_deciles doctrine
+    applied three times over one per-customer aggregate. The corpus
+    shuffles once (the groupBy); everything after is per-customer
+    rows.
+    """
+    tune(spark)
+    from ..functions.ranks import global_rank_desc
+
+    o = table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("gmax"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "cents",
+        )
+        .withColumn("neg_recency", -F.col("recency_days"))
+    )
+    ranked, n_total = global_rank_desc(
+        cust, "neg_recency", "custkey", rank_col="r_rank", n_buckets=32
+    )
+    ranked, _ = global_rank_desc(
+        ranked, "frequency", "custkey", rank_col="f_rank", n_buckets=32
+    )
+    ranked, _ = global_rank_desc(
+        ranked, "cents", "custkey", rank_col="m_rank", n_buckets=32
+    )
+    return ranked.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("cents").cast("double") / 100.0).alias("monetary"),
+        _exact_ntile_expr("r_rank", n_total, 5).alias("r_tile"),
+        _exact_ntile_expr("f_rank", n_total, 5).alias("f_tile"),
+        _exact_ntile_expr("m_rank", n_total, 5).alias("m_tile"),
+    )

@@ -436,3 +436,86 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s_name
         """
     )
+
+
+@query(
+    "basket_brand_pairs_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+    brand_n AS (SELECT brand, COUNT(*) AS c FROM basket GROUP BY brand),
+    pair_n AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS c
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.c AS BIGINT) AS n_together,
+           CAST(p.c AS DOUBLE) / n.n_orders AS support,
+           CAST(p.c AS DOUBLE) / ba.c AS confidence_a_to_b,
+           (CAST(p.c AS DOUBLE) * n.n_orders) / (ba.c * bb.c) AS lift
+    FROM pair_n p
+    JOIN brand_n ba ON ba.brand = p.brand_a
+    JOIN brand_n bb ON bb.brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.c >= 3
+    """,
+)
+def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: support / confidence / lift
+    for every pair of part brands co-purchased in one order (min
+    support 3 orders) — the A-priori first pass, the cross-sell
+    signal every commerce warehouse computes.
+
+    Scale shape: baskets dedupe to (order, brand) — the within-order
+    self-join fans out at most |brands-per-order|^2 (brands are a
+    25-value dimension, so <=300 pair rows per order, never a corpus
+    cross join); pair counts and per-brand counts are hash
+    aggregates; the scalar order count broadcasts. The part dimension
+    joins broadcast (dim table).
+    """
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    basket = (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            l.l_partkey == p.p_partkey,
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = basket.select("okey").distinct().count()
+    brand_n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.select("okey", F.col("brand").alias("brand_a"))
+    b = basket.select("okey", F.col("brand").alias("brand_b"))
+    pair_n = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    ba = brand_n.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca"))
+    bb = brand_n.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pair_n.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c").cast("long").alias("n_together"),
+            (F.col("c").cast("double") / n_orders).alias("support"),
+            (F.col("c").cast("double") / F.col("ca")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("c").cast("double") * n_orders)
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
