@@ -285,3 +285,74 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(
         audio_feature_batches, schema=AUDIO_SCHEMA
     )
+
+
+# real file-format magic numbers (public specs): PNG, JPEG/JFIF, WAV
+_MAGICS = {
+    0: ("89504E470D0A1A0A", "png"),
+    1: ("FFD8FFE0", "jpeg"),
+    2: ("52494646", "wav"),  # RIFF container
+    3: (None, "unknown"),  # raw bytes, no recognized header
+}
+
+
+@query(
+    "multimodal_magic_sniff",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN unhex('89504E470D0A1A0A') || encode(text)
+               WHEN 1 THEN unhex('FFD8FFE0') || encode(text)
+               WHEN 2 THEN unhex('52494646') || encode(text)
+               ELSE encode(text) END AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+             WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'wav'
+             ELSE 'unknown' END AS detected_format,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           doc_id % 4 <= 2 AS header_present
+    FROM p
+    """,
+)
+def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing by magic bytes: classify each binary
+    payload as png/jpeg/wav/unknown from its real file-signature
+    prefix — the routing step a multimodal ingest runs BEFORE picking
+    a decoder, and the guard against mislabeled blobs (payloads here
+    are synthesized with genuine magic numbers on 3/4 of rows).
+
+    Scale shape: pure JVM binary/string expressions (concat, hex,
+    substring) at scan speed — no Python, no decode; the sniff reads
+    at most the first 8 payload bytes' hex, so a router over 100 TB
+    of media touches headers, not contents.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.unhex(F.lit(_MAGICS[0][0])), body))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.unhex(F.lit(_MAGICS[1][0])), body))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.unhex(F.lit(_MAGICS[2][0])), body))
+        .otherwise(body)
+    )
+    # Spark slices the BINARY before hexing (reads 8 bytes per row);
+    # DuckDB can't slice blobs so the oracle hexes the whole payload —
+    # identical first-16-hex-chars either way
+    hx = F.hex(F.substring(payload, 1, 8))
+    detected = (
+        F.when(F.substring(hx, 1, 16) == "89504E470D0A1A0A", F.lit("png"))
+        .when(F.substring(hx, 1, 6) == "FFD8FF", F.lit("jpeg"))
+        .when(F.substring(hx, 1, 8) == "52494646", F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select(
+        "doc_id",
+        detected.alias("detected_format"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        (F.col("doc_id") % 4 <= 2).alias("header_present"),
+    )

@@ -1106,3 +1106,59 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("array<string>"),
         ).alias("postings_head"),
     )
+
+
+@query(
+    "augment_token_dropout",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    pos AS (
+      SELECT doc_id, i, tk[i] AS tok,
+             {DUCKDB_MD5_LONG("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || tk[i]", salt="aug")} % 10 AS gate
+      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (gate <> 0) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (gate <> 0), '')
+             AS text_aug
+    FROM pos GROUP BY doc_id
+    """,
+)
+def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% token dropout — the text-augmentation pass a
+    robustness-training pipeline applies, made reproducible: each
+    token's keep/drop gate derives from a salted hash of
+    (doc, position, token), so the same corpus always yields the same
+    augmented view (and a different salt yields an independent one).
+
+    Scale shape: one codegen'd higher-order filter per row (the gate
+    is pure hash arithmetic, position-aware via the (x, i) lambda) —
+    no shuffle, no UDF, no randomness source to coordinate across
+    executors; the oracle reproduces the identical gates from the
+    shared md5 mixer.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    gate = lambda tok, i: (
+        md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                (i + 1).cast("string"),  # 1-based, matching the oracle
+                F.lit(":"),
+                tok,
+            ),
+            salt="aug",
+        )
+        % 10
+        != 0
+    )
+    kept = F.filter(tk, gate)
+    return d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_aug"),
+    )
