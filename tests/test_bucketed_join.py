@@ -130,12 +130,49 @@ def test_dedup_family_completes_on_hostile_corpus(spark, tmp_path, ddb_factory=N
         "dedup_jaccard_stop_shingles",
         "dedup_simhash_neardup",
         "dedup_minhash_lsh_candidates",
+        "dedup_containment_verify",
     ):
         spec = reg[name]
         got = sorted(tuple(r) for r in spec.build(spark, sf).collect())
         want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
         assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
         assert len(got) > 0, f"{name}: hostile corpus produced no pairs"
+
+
+def test_exact_substring_on_hostile_boilerplate(spark, tmp_path):
+    """50% of docs share one 12-token boilerplate prefix: the
+    duplicated 10-gram spans must cover exactly that prefix on every
+    sharing doc, and the gram-frequency join must not blow up on the
+    hot gram (one frequency row, not a bucket array)."""
+    import duckdb
+
+    from redis_events_to_clickhouse_tables_spark.registry import load_all
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12 shared tokens
+    docs = []
+    for d in range(200):
+        uniq = " ".join(f"u{d}x{i}" for i in range(8))
+        if d % 2 == 0:
+            docs.append((d, f"{boiler} {uniq}"))
+        else:
+            docs.append((d, f"{uniq} t{d} v{d % 7} w{d % 13} z{d % 3}"))
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    spec = load_all()["dedup_exact_substring"]
+    got = sorted(tuple(r) for r in spec.build(spark, sf).collect())
+    want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    for d in range(0, 200, 2):  # sharing docs: prefix covered, 12/20
+        assert by_id[d][3] == 12, by_id[d]
+    for d in range(1, 200, 2):  # organic docs: nothing duplicated
+        assert by_id[d][3] == 0, by_id[d]
 
 
 # -- chunked pair emission: property-based equivalence ----------------------
