@@ -33,11 +33,23 @@ _CELL_SCHEMA = "d int, bucket long, c long"
 class ContinuousCountMin:
     """Parquet-backed incrementally-maintained count-min sketch."""
 
-    def __init__(self, spark: SparkSession, root: str | os.PathLike, key_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | os.PathLike,
+        key_col: str,
+        candidate_floor: int | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
         self.key_col = key_col
+        # heavy-hitter candidate tracking: keep keys whose WITHIN-BATCH
+        # count reaches the floor (see heavy_hitters for the guarantee)
+        self.candidate_floor = candidate_floor
+        self.cand_root = self.root.with_name(self.root.name + "-cands")
         self.root.mkdir(parents=True, exist_ok=True)
+        if candidate_floor is not None:
+            self.cand_root.mkdir(parents=True, exist_ok=True)
 
     def _raw(self) -> DataFrame:
         if not any(self.root.rglob("*.parquet")):
@@ -73,13 +85,50 @@ class ContinuousCountMin:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        """Reduce one micro-batch to its cell partial. Overwrite into a
-        per-batch directory: replays after a crash rewrite the same
-        partial, so each event contributes exactly once."""
+        """Reduce one micro-batch to its cell partial (plus, when
+        candidate tracking is on, the batch's candidate keys).
+        Overwrite into a per-batch directory: replays after a crash
+        rewrite the same partial, so each event contributes exactly
+        once."""
         tag = f"b{batch_id}" if batch_id is not None else "adhoc"
         countmin_cells(batch, self.key_col).write.mode("overwrite").parquet(
             str(self.root / tag)
         )
+        if self.candidate_floor is not None:
+            cands = (
+                batch.groupBy(self.key_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= self.candidate_floor)
+                .select(F.col(self.key_col).cast("long").alias("key"))
+            )
+            cands.write.mode("overwrite").parquet(str(self.cand_root / tag))
+
+    def heavy_hitters(self, threshold: int) -> DataFrame:
+        """Keys whose sketch estimate exceeds ``threshold``, drawn from
+        the tracked candidate set.
+
+        Guarantee (pigeonhole): a key with TRUE total count >
+        ``threshold`` across ``n`` batches exceeded
+        ``threshold / n`` in at least one batch, so with
+        ``candidate_floor <= threshold / n_batches`` every true heavy
+        hitter is in the candidate set; count-min never undercounts,
+        so none is filtered out — no false negatives, and false
+        positives are bounded by the sketch's overcount. The candidate
+        partials stay tiny (only keys already hot within one batch).
+        """
+        if self.candidate_floor is None:
+            raise ValueError("construct with candidate_floor to track candidates")
+        if not any(self.cand_root.rglob("*.parquet")):
+            keys = self.spark.createDataFrame([], "key long")
+        else:
+            keys = (
+                self.spark.read.schema("key long")
+                .option("recursiveFileLookup", "true")
+                .parquet(str(self.cand_root))
+                .distinct()
+            )
+        est = self.estimate(keys.select(F.col("key").alias(self.key_col)))
+        return est.filter(F.col("cm_estimate") > threshold)
 
     def compact(self) -> None:
         """Fold all partials into one (rename-aside swap, crash-safe —

@@ -70,3 +70,42 @@ def test_sketch_estimates_match_batch_query(spark, tmp_path):
         ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact")), "user_id"
     )
     assert joined.filter(F.col("cm_estimate") < F.col("exact")).count() == 0
+
+
+def test_heavy_hitters_no_false_negatives(spark, tmp_path):
+    """Streamed in 4 batches with candidate_floor = threshold / 4:
+    every key whose exact count exceeds the threshold must surface,
+    and count-min's one-sided error means no true heavy hitter is
+    filtered out."""
+    ev = table(spark, SF_DIR, "events").select("ts", "user_id", "event_type")
+    input_dir = tmp_path / "events_stream"
+    ev.repartition(4).write.parquet(str(input_dir))
+
+    n = ev.count()
+    threshold = n // 20  # ~top-heavy cut on this corpus
+    sk = ContinuousCountMin(
+        spark,
+        tmp_path / "cm",
+        key_col="user_id",
+        candidate_floor=max(threshold // 4, 1),
+    )
+    q = start_countmin_stream(
+        spark,
+        str(input_dir),
+        ev.schema,
+        sk,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = {r["user_id"] for r in sk.heavy_hitters(threshold).collect()}
+    exact = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > threshold)
+        .collect()
+    }
+    assert exact, "fixture should contain at least one heavy hitter"
+    assert exact <= got  # no false negatives (count-min is one-sided)
