@@ -333,6 +333,21 @@ def dedup_jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     jaccard 0.0 via the left join + coalesce.
     """
     tune(spark)
+    joined = _candidate_shingle_overlap(spark, sf_dir)
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        (c0.cast("double") / (F.col("na") + F.col("nb") - c0)).alias("jaccard"),
+    )
+
+
+def _candidate_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, c, na, nb): every LSH candidate pair with its
+    shingle intersection count and both shingle-set sizes — the shared
+    core of the Jaccard and containment verifiers (only the final
+    ratio differs). Pairs whose docs share no shingle keep c NULL via
+    the left join (callers coalesce to 0)."""
     cands = _lsh_candidate_pairs(spark, sf_dir)
     sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -346,16 +361,10 @@ def dedup_jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    c0 = F.coalesce(F.col("c"), F.lit(0))
     return (
         cands.join(inter, ["doc_a", "doc_b"], "left")
         .join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (c0.cast("double") / (F.col("na") + F.col("nb") - c0)).alias("jaccard"),
-        )
     )
 
 
@@ -1458,33 +1467,16 @@ def dedup_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-side size instead of union size).
     """
     tune(spark)
-    cands = _lsh_candidate_pairs(spark, sf_dir)
-    sh = _hashed_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined = _candidate_shingle_overlap(spark, sf_dir)
     c0 = F.coalesce(F.col("c"), F.lit(0)).cast("double")
     cont_a = c0 / F.col("na")
     cont_b = c0 / F.col("nb")
-    return (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            cont_a.alias("containment_a"),
-            cont_b.alias("containment_b"),
-            (F.greatest(cont_a, cont_b) >= 0.8).alias("is_subdup"),
-        )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        cont_a.alias("containment_a"),
+        cont_b.alias("containment_b"),
+        (F.greatest(cont_a, cont_b) >= 0.8).alias("is_subdup"),
     )
 
 

@@ -384,15 +384,11 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb, n_total = global_rank_desc(
         spend, "c", "user_id", n_buckets=_LTV_RANGE_BUCKETS
     )
-    q, rem = divmod(n_total, 10)
-    # NTILE(10): ranks 1..rem*(q+1) fill the first rem tiles of size
-    # q+1; the rest fill tiles of size q (guard q=0: branch unreached).
-    big = rem * (q + 1)
-    decile = F.expr(
-        f"CASE WHEN r <= {big} THEN (r - 1) div {q + 1} + 1 "
-        f"ELSE {rem} + (r - {big} - 1) div {max(q, 1)} + 1 END"
+    # NTILE(10)-of-rank in integer arithmetic — shared with
+    # customer_rfm_segments via _exact_ntile_expr
+    ranked = sb.select(
+        "c", _exact_ntile_expr("r", n_total, 10).alias("decile")
     )
-    ranked = sb.select("c", decile.cast("int").alias("decile"))
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         (F.sum("c").cast("double") / 100.0).alias("total_spend"),
@@ -792,16 +788,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_recency", -F.col("recency_days"))
     )
-    ranked, n_total = global_rank_desc(
+    # each global_rank_desc call runs two driver actions (boundary
+    # percentiles + bucket counts) on its input — persist the chain so
+    # those actions scan the per-customer aggregate, not the orders
+    # groupBy (and call 3 doesn't replay calls 1-2's windows)
+    cust = cust.persist()
+    r1, n_total = global_rank_desc(
         cust, "neg_recency", "custkey", rank_col="r_rank", n_buckets=32
     )
-    ranked, _ = global_rank_desc(
-        ranked, "frequency", "custkey", rank_col="f_rank", n_buckets=32
+    r1 = r1.persist()
+    r2, _ = global_rank_desc(
+        r1, "frequency", "custkey", rank_col="f_rank", n_buckets=32
     )
-    ranked, _ = global_rank_desc(
-        ranked, "cents", "custkey", rank_col="m_rank", n_buckets=32
+    r2 = r2.persist()
+    r3, _ = global_rank_desc(
+        r2, "cents", "custkey", rank_col="m_rank", n_buckets=32
     )
-    return ranked.select(
+    out = r3.select(
         "custkey",
         "recency_days",
         "frequency",
@@ -809,4 +812,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_ntile_expr("r_rank", n_total, 5).alias("r_tile"),
         _exact_ntile_expr("f_rank", n_total, 5).alias("f_tile"),
         _exact_ntile_expr("m_rank", n_total, 5).alias("m_tile"),
-    )
+    ).persist()
+    out.count()
+    cust.unpersist()
+    r1.unpersist()
+    r2.unpersist()
+    return out

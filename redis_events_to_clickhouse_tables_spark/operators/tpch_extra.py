@@ -488,6 +488,7 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()  # the heaviest stage feeds four consumers below
     )
     n_orders = basket.select("okey").distinct().count()
     brand_n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
@@ -502,7 +503,7 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ba = brand_n.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca"))
     bb = brand_n.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb"))
-    return (
+    out = (
         pair_n.join(F.broadcast(ba), "brand_a")
         .join(F.broadcast(bb), "brand_b")
         .select(
@@ -518,4 +519,8 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("ca") * F.col("cb"))
             ).alias("lift"),
         )
+        .persist()  # materialize (bounded by |brands|^2), then free the basket
     )
+    out.count()
+    basket.unpersist()
+    return out
