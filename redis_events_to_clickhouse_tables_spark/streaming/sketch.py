@@ -5,11 +5,11 @@ The streaming face of ``sketch_countmin_user_counts``
 (operators/advanced.py): count-min cells are integer counters indexed
 by (hash row, bucket), and counters merge by addition — so each
 micro-batch reduces to its own 4x256-cell partial and the live sketch
-is the cell-wise sum of all partials. Same delta-partial +
-merge-on-read + idempotent-replay discipline as the continuous rollup
-(streaming/rollup.py); the batch-vs-stream parity test pins that the
-streamed sketch is BIT-IDENTICAL to the one-pass batch sketch, so
-every estimate downstream agrees too.
+is the cell-wise sum of all partials. Storage, replay idempotence and
+crash-safe compaction come from the shared
+:class:`~..streaming.partials.PartialStore`; the batch-vs-stream
+parity test pins that the streamed sketch is BIT-IDENTICAL to the
+one-pass batch sketch, so every estimate downstream agrees too.
 
 At 100 TB the partial per batch is ~1 KB regardless of batch size —
 the whole point of sketching the stream instead of re-counting it.
@@ -18,16 +18,26 @@ the whole point of sketching the stream instead of re-counting it.
 from __future__ import annotations
 
 import os
-import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.advanced import _cm_probe_array, countmin_cells
+from .partials import PartialStore
 
 _CELL_SCHEMA = "d int, bucket long, c long"
+# candidate keys are stored in their canonical hash-input form (the
+# string cast every probe applies), so one schema fits any key type
+_CAND_SCHEMA = "key string"
+
+
+def _merge_cells(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def _merge_cands(partials: DataFrame) -> DataFrame:
+    return partials.distinct()
 
 
 class ContinuousCountMin:
@@ -41,38 +51,34 @@ class ContinuousCountMin:
         candidate_floor: int | None = None,
     ):
         self.spark = spark
-        self.root = Path(root)
         self.key_col = key_col
+        self.store = PartialStore(spark, root, _CELL_SCHEMA, _merge_cells)
         # heavy-hitter candidate tracking: keep keys whose WITHIN-BATCH
         # count reaches the floor (see heavy_hitters for the guarantee)
         self.candidate_floor = candidate_floor
-        self.cand_root = self.root.with_name(self.root.name + "-cands")
-        self.root.mkdir(parents=True, exist_ok=True)
-        if candidate_floor is not None:
-            self.cand_root.mkdir(parents=True, exist_ok=True)
-
-    def _raw(self) -> DataFrame:
-        if not any(self.root.rglob("*.parquet")):
-            return self.spark.createDataFrame([], _CELL_SCHEMA)
-        return (
-            self.spark.read.schema(_CELL_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(str(self.root))
+        self.cands = (
+            PartialStore(
+                spark,
+                self.store.root.with_name(self.store.root.name + "-cands"),
+                _CAND_SCHEMA,
+                _merge_cands,
+            )
+            if candidate_floor is not None
+            else None
         )
 
     def cells(self) -> DataFrame:
         """The merged sketch as of the last completed batch."""
-        return (
-            self._raw()
-            .groupBy("d", "bucket")
-            .agg(F.sum("c").alias("c"))
-        )
+        return _merge_cells(self.store.read())
 
     def estimate(self, keys: DataFrame) -> DataFrame:
         """Frequency estimate for each distinct key in ``keys`` (a
         one-column frame named ``key_col``): min over hash rows of the
         key's cell counts — the classic count-min point query, served
-        from a ~1 KB broadcast."""
+        from a ~1 KB broadcast. A probe that misses its cell means the
+        true count hashing there is 0, so the null from the left join
+        coalesces to 0 BEFORE the min (a key never inserted estimates
+        0 even when its other probes collide with hot cells)."""
         probes = keys.select(
             self.key_col, _cm_probe_array(self.key_col).alias("x")
         ).select(self.key_col, "x.d", "x.bucket")
@@ -80,68 +86,54 @@ class ContinuousCountMin:
             probes.join(F.broadcast(self.cells()), ["d", "bucket"], "left")
             .groupBy(self.key_col)
             .agg(
-                F.coalesce(F.min("c"), F.lit(0)).cast("long").alias("cm_estimate")
+                F.min(F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("cm_estimate")
             )
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         """Reduce one micro-batch to its cell partial (plus, when
         candidate tracking is on, the batch's candidate keys).
-        Overwrite into a per-batch directory: replays after a crash
-        rewrite the same partial, so each event contributes exactly
-        once."""
-        tag = f"b{batch_id}" if batch_id is not None else "adhoc"
-        countmin_cells(batch, self.key_col).write.mode("overwrite").parquet(
-            str(self.root / tag)
-        )
-        if self.candidate_floor is not None:
+        Replay-idempotent, including replays racing a compaction
+        (PartialStore skips batches the compacted run already folded)."""
+        self.store.write(countmin_cells(batch, self.key_col), batch_id)
+        if self.cands is not None:
             cands = (
                 batch.groupBy(self.key_col)
                 .agg(F.count(F.lit(1)).alias("c"))
                 .filter(F.col("c") >= self.candidate_floor)
-                .select(F.col(self.key_col).cast("long").alias("key"))
+                .select(F.col(self.key_col).cast("string").alias("key"))
             )
-            cands.write.mode("overwrite").parquet(str(self.cand_root / tag))
+            self.cands.write(cands, batch_id)
 
     def heavy_hitters(self, threshold: int) -> DataFrame:
         """Keys whose sketch estimate exceeds ``threshold``, drawn from
-        the tracked candidate set.
+        the tracked candidate set. Keys come back as ``key_col`` in
+        canonical string form (the hash-input representation — works
+        for any key type, numeric or not).
 
         Guarantee (pigeonhole): a key with TRUE total count >
-        ``threshold`` across ``n`` batches exceeded
-        ``threshold / n`` in at least one batch, so with
+        ``threshold`` across ``n`` batches exceeded ``threshold / n``
+        in at least one batch, so with
         ``candidate_floor <= threshold / n_batches`` every true heavy
         hitter is in the candidate set; count-min never undercounts,
         so none is filtered out — no false negatives, and false
         positives are bounded by the sketch's overcount. The candidate
         partials stay tiny (only keys already hot within one batch).
         """
-        if self.candidate_floor is None:
+        if self.cands is None:
             raise ValueError("construct with candidate_floor to track candidates")
-        if not any(self.cand_root.rglob("*.parquet")):
-            keys = self.spark.createDataFrame([], "key long")
-        else:
-            keys = (
-                self.spark.read.schema("key long")
-                .option("recursiveFileLookup", "true")
-                .parquet(str(self.cand_root))
-                .distinct()
-            )
+        keys = self.cands.read().distinct()
         est = self.estimate(keys.select(F.col("key").alias(self.key_col)))
         return est.filter(F.col("cm_estimate") > threshold)
 
     def compact(self) -> None:
-        """Fold all partials into one (rename-aside swap, crash-safe —
-        same discipline as ContinuousAggregate.compact)."""
-        merged = self.cells()
-        tmp = self.root.with_name(self.root.name + f".tmp-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(str(tmp / "compacted"))
-        old = self.root.with_name(self.root.name + f".old-{uuid.uuid4().hex[:8]}")
-        self.root.rename(old)
-        tmp.rename(self.root)
-        import shutil
-
-        shutil.rmtree(old, ignore_errors=True)
+        """Fold all live partials into one compacted run (crash-safe;
+        see PartialStore)."""
+        self.store.compact()
+        if self.cands is not None:
+            self.cands.compact()
 
 
 def start_countmin_stream(

@@ -99,9 +99,10 @@ def test_heavy_hitters_no_false_negatives(spark, tmp_path):
     )
     q.awaitTermination(300)
 
+    # heavy_hitters returns keys in canonical string (hash-input) form
     got = {r["user_id"] for r in sk.heavy_hitters(threshold).collect()}
     exact = {
-        r["user_id"]
+        str(r["user_id"])
         for r in ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > threshold)
