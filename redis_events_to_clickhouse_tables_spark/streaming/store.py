@@ -285,6 +285,76 @@ class TableStore:
         n_after = len(list(new_dir.rglob("*.parquet")))
         return (n_before, n_after)
 
+    def delete_where(self, table: str, condition) -> int:
+        """Targeted row deletion (the GDPR / right-to-be-forgotten
+        path): rewrite the table WITHOUT rows matching ``condition``
+        (a Column or SQL string) as a new data version, atomically
+        flip the CURRENT pointer, and return the number of rows
+        removed. A no-op (0) when nothing matches — no version churn.
+
+        Partition-pruned at scale: when the table is single-level
+        directory-partitioned, only partitions that actually contain
+        matching rows are rewritten; every untouched partition's files
+        move into the new version as an os-level copy — never re-read,
+        never re-encoded (the analog of a manifest-based format
+        rewriting only affected data files; with a manifest layout the
+        copy would be a metadata-only move). Multi-level or
+        unpartitioned tables rewrite fully, which is why
+        deletion-prone tables should partition on the deletion key's
+        natural ancestor (date, tenant).
+        """
+        import shutil as _shutil
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        df = self.read(table)
+        if not df.columns:
+            return 0
+        n_match = df.filter(cond).count()
+        if n_match == 0:
+            return 0
+        meta = self._load_meta(table)
+        part_cols = list(meta["partition_by"])
+        sort_cols = [c for c in meta["sort_by"] if c in df.columns]
+        new_dir = self._next_version_dir(table)
+
+        def _sorted(s: DataFrame) -> DataFrame:
+            return s.sortWithinPartitions(*sort_cols) if sort_cols else s
+
+        if len(part_cols) == 1:
+            pc = part_cols[0]
+            # partition values holding >=1 matching row — a driver
+            # round-trip bounded by the partition-value count (the
+            # store's usual cardinality class)
+            affected = [
+                r[0] for r in df.filter(cond).select(pc).distinct().collect()
+            ]
+            # Spark renders partition dirs as  <col>=<str(value)>
+            affected_dirs = {
+                f"{pc}=__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else f"{pc}={v}"
+                for v in affected
+            }
+            survivors = df.filter(~cond).filter(
+                F.col(pc).isin(affected) if None not in affected
+                else (F.col(pc).isin([v for v in affected if v is not None]))
+                | F.col(pc).isNull()
+            )
+            _sorted(survivors).write.mode("overwrite").partitionBy(pc).parquet(
+                str(new_dir)
+            )
+            data_dir = self.data_dir(table)
+            for d in sorted(data_dir.iterdir()):
+                if d.is_dir() and "=" in d.name and d.name not in affected_dirs:
+                    _shutil.copytree(d, new_dir / d.name, dirs_exist_ok=True)
+        else:
+            writer = _sorted(df.filter(~cond)).write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(str(new_dir))
+        self._flip_version(table, new_dir)
+        return int(n_match)
+
     def _save_schema(self, table: str, schema: T.StructType) -> None:
         p = self.table_path(table)
         p.mkdir(parents=True, exist_ok=True)
