@@ -355,6 +355,95 @@ class TableStore:
         self._flip_version(table, new_dir)
         return int(n_match)
 
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: tuple[str, ...],
+        batch_id: int | str | None = None,
+    ) -> int:
+        """MERGE (last-write-wins by key): rows in ``df`` replace
+        existing rows with the same key tuple; unmatched rows append.
+        Returns the number of rows replaced. The ReplacingMergeTree
+        analog for this store — the reference's target engine models
+        upsert exactly this way (insert + replace-on-merge by ORDER BY
+        key), this does it in one versioned rewrite with an atomic
+        pointer flip. Idempotent per ``batch_id`` via the same commit
+        log as ``write`` (a replayed merge is a no-op).
+
+        Partition-pruned like ``delete_where``: on a single-level
+        partitioned table only partitions receiving upserted keys are
+        rewritten; untouched partitions enter the new version as
+        os-level copies. Within ``df`` itself, duplicate keys resolve
+        deterministically to the greatest full row (a total order, so
+        replays and retries can never flap).
+        """
+        if not self.table_exists(table):
+            self.write(df, table, batch_id=batch_id)
+            return 0
+        meta = self._load_meta(table)
+        tag = f"merge-{batch_id}"
+        if batch_id is not None and tag in meta["committed_batches"]:
+            return 0
+        existing = self.read(table)
+        incoming = _align(df, existing.schema)
+        # dedupe incoming on the key: keep the greatest row (total
+        # order over all columns -> deterministic under replay)
+        others = [c for c in incoming.columns if c not in keys]
+        incoming = (
+            incoming.groupBy(*keys)
+            .agg(F.max(F.struct(*others)).alias("__row"))
+            .select(*keys, "__row.*")
+        )
+        matched = existing.join(incoming.select(*keys), list(keys), "left_semi")
+        n_replaced = matched.count()
+        survivors = existing.join(
+            incoming.select(*keys), list(keys), "left_anti"
+        )
+        merged = survivors.unionByName(incoming)
+        part_cols = list(meta["partition_by"])
+        sort_cols = [c for c in meta["sort_by"] if c in merged.columns]
+        new_dir = self._next_version_dir(table)
+
+        def _sorted(s: DataFrame) -> DataFrame:
+            return s.sortWithinPartitions(*sort_cols) if sort_cols else s
+
+        if len(part_cols) == 1:
+            import shutil as _shutil
+
+            pc = part_cols[0]
+            affected = [
+                r[0] for r in incoming.select(pc).distinct().collect()
+            ]
+            affected_dirs = {
+                f"{pc}=__HIVE_DEFAULT_PARTITION__" if v is None else f"{pc}={v}"
+                for v in affected
+            }
+            in_affected = (
+                F.col(pc).isin([v for v in affected if v is not None])
+                | (F.col(pc).isNull() if None in affected else F.lit(False))
+            )
+            _sorted(merged.filter(in_affected)).write.mode(
+                "overwrite"
+            ).partitionBy(pc).parquet(str(new_dir))
+            data_dir = self.data_dir(table)
+            for d in sorted(data_dir.iterdir()):
+                if d.is_dir() and "=" in d.name and d.name not in affected_dirs:
+                    _shutil.copytree(d, new_dir / d.name, dirs_exist_ok=True)
+        else:
+            writer = _sorted(merged).write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(str(new_dir))
+        self._flip_version(table, new_dir)
+        if batch_id is not None:
+            meta["committed_batches"].append(tag)
+            meta["committed_batches"] = meta["committed_batches"][
+                -_MAX_TRACKED_BATCHES:
+            ]
+            self._save_meta(table, meta)
+        return int(n_replaced)
+
     def _save_schema(self, table: str, schema: T.StructType) -> None:
         p = self.table_path(table)
         p.mkdir(parents=True, exist_ok=True)

@@ -82,3 +82,52 @@ def test_delete_prunes_untouched_partitions(spark, tmp_path):
         (F.col("event_type") == "view") & (F.col("user") == "u0")
     ).count() == 0
     assert after.count() == 300 - n
+
+
+def test_upsert_last_write_wins(spark, tmp_path):
+    st = _mk_store(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(5, "u9", "view", 555.0), (1000, "unew", "click", 1.0)],
+        "event_id long, user STRING, event_type STRING, value DOUBLE",
+    )
+    n = st.upsert(upd, "events", keys=("event_id",), batch_id=1)
+    assert n == 1  # event_id 5 replaced; 1000 appended
+    after = st.read("events")
+    assert after.count() == 301
+    row5 = after.filter(F.col("event_id") == 5).collect()
+    assert len(row5) == 1 and row5[0]["user"] == "u9" and row5[0]["value"] == 555.0
+    assert after.filter(F.col("event_id") == 1000).count() == 1
+    # replayed merge (same batch id): no-op, no version churn
+    v = st.data_dir("events").name
+    assert st.upsert(upd, "events", keys=("event_id",), batch_id=1) == 0
+    assert st.data_dir("events").name == v
+    assert st.read("events").count() == 301
+
+
+def test_upsert_prunes_untouched_partitions(spark, tmp_path):
+    st = _mk_store(spark, tmp_path, partition_by=("event_type",))
+    old_files = _files(st.data_dir("events"))
+    upd = spark.createDataFrame(
+        [(0, "zz", "view", -1.0)],  # event 0 lives in the view partition
+        "event_id long, user STRING, event_type STRING, value DOUBLE",
+    )
+    assert st.upsert(upd, "events", keys=("event_id",)) == 1
+    new_files = _files(st.data_dir("events"))
+    for rel, digest in old_files.items():
+        if rel.startswith(("event_type=click/", "event_type=purchase/")):
+            assert new_files.get(rel) == digest, rel
+    after = st.read("events")
+    assert after.count() == 300
+    assert after.filter(F.col("event_id") == 0).collect()[0]["user"] == "zz"
+
+
+def test_upsert_dedupes_incoming_deterministically(spark, tmp_path):
+    st = _mk_store(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(7, "a", "view", 1.0), (7, "b", "view", 2.0)],
+        "event_id long, user STRING, event_type STRING, value DOUBLE",
+    )
+    st.upsert(upd, "events", keys=("event_id",))
+    rows = st.read("events").filter(F.col("event_id") == 7).collect()
+    assert len(rows) == 1
+    assert rows[0]["user"] == "b"  # greatest full row wins (total order)
