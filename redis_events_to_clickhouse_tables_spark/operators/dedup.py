@@ -1481,3 +1481,144 @@ def dedup_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _containment_spec(dedup_containment_verify)
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=(_SQL_MINHASH + _SQL_LSH_BAND).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component_id
+             FROM reach GROUP BY a),
+    full_assign AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sizes AS (
+      SELECT component_id, COUNT(*) AS cluster_size
+      FROM full_assign GROUP BY component_id
+    )
+    SELECT f.doc_id, f.component_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           f.doc_id = f.component_id AS keep
+    FROM full_assign f JOIN sizes s USING (component_id)
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE dedup output table: every document assigned to its near-dup
+    cluster (singletons included), with the cluster size and a keep
+    verdict — keep exactly the canonical member (minimum doc_id) of
+    each cluster. This is what a training run actually consumes: the
+    pair lists, components and verifiers upstream exist to produce
+    this one keep-mask.
+
+    Scale shape: composes ``dedup_cluster_components`` (bucket-STAR
+    contraction + bounded local finish or distributed label
+    propagation) with one broadcast-back of the component assignment
+    onto the corpus and a component-keyed size aggregate — nothing
+    beyond the components cost plus two hash shuffles on component_id.
+    """
+    tune(spark)
+    comp = dedup_cluster_components(spark, sf_dir)
+    d = fanout(table(spark, sf_dir, "documents")).select("doc_id")
+    assigned = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+    )
+    sizes = assigned.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return assigned.join(sizes, "component_id").select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
+@query(
+    "corpus_dedup_summary",
+    oracle=(_SQL_MINHASH + _SQL_LSH_BAND).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component_id
+             FROM reach GROUP BY a),
+    full_assign AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+            FROM documents) AS n_exact_dup_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_neardup_pairs,
+           (SELECT CAST(COUNT(DISTINCT component_id) AS BIGINT)
+            FROM full_assign) AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM full_assign
+            WHERE doc_id = component_id) AS docs_kept,
+           1.0 - (SELECT CAST(COUNT(DISTINCT component_id) AS DOUBLE)
+                  FROM full_assign)
+               / (SELECT COUNT(*) FROM documents) AS dedup_ratio
+    """,
+)
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup dashboard: document count, exact-dup rows,
+    near-dup candidate pairs, cluster count, survivors after the
+    cluster keep-mask, and the overall dedup ratio — the summary line
+    every data-curation report leads with.
+
+    Scale shape: three scalar aggregates (corpus count, md5-distinct
+    count, pair count) plus the components pipeline's cluster count —
+    all shapes already proven by their per-row operators; the one-row
+    join of scalars is a broadcast by construction.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    totals = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+    )
+    pairs = _lsh_candidate_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs")
+    )
+    reps = dedup_cluster_representatives(spark, sf_dir)
+    clusters = reps.agg(
+        F.countDistinct("component_id").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_kept"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(clusters))
+        .withColumn(
+            "dedup_ratio",
+            F.lit(1.0)
+            - F.col("n_clusters").cast("double") / F.col("n_docs"),
+        )
+    )
