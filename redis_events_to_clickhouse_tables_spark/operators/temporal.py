@@ -247,3 +247,42 @@ def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_incidents"),
         )
     )
+
+
+@query(
+    "events_view_purchase_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS DOUBLE) / 1000000.0
+             AS lag_s
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1800 SECONDS
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: every purchase matched to each of the
+    same user's views in the preceding 30 minutes — the batch image of
+    the stream-stream interval join (streaming/joins.py), sharing its
+    exact join builder so stream and batch agree by construction
+    (pinned in tests/test_streaming_joins.py).
+
+    Scale shape: an equi-join on user_id with a range conjunct — the
+    shuffle key is the user, the time bound prunes within each user's
+    partition; never a time-only range join over the full stream.
+    """
+    from ..streaming.joins import attribution_pairs
+
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    return attribution_pairs(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
