@@ -670,3 +670,71 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_estimate") - F.col("exact_count")).cast("long"),
         )
     )
+
+
+@query(
+    "scalar_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey << 2 AS shifted_left,
+           o_orderkey >> 3 AS shifted_right,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+    FROM orders
+    """,
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR, shifts, popcount — the bit
+    manipulation layer bitmap indexes and flag columns build on (the
+    aggregate counterpart is agg_bitwise_line_masks). All JVM-side
+    integer ops inside whole-stage codegen."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shifted_left"),
+        F.shiftright(k, 3).alias("shifted_right"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "scalar_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(o_orderkey % 3, 0)
+             AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE CAST(o_orderkey AS VARCHAR) || 'x' END
+                    AS BIGINT) AS maybe_int,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS never_num
+    FROM orders
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling expressions: try_divide (NULL on
+    division by zero instead of a runtime error) and try_cast (NULL on
+    malformed input) — the functions that keep a 100-TB job from dying
+    on one bad row under ANSI mode, mirrored by DuckDB's NULLIF
+    division and TRY_CAST."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    maybe = F.when(k % 2 == 0, k.cast("string")).otherwise(
+        F.concat(k.cast("string"), F.lit("x"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice").cast("double"), k % 3).alias(
+            "safe_div"
+        ),
+        maybe.try_cast("bigint").alias("maybe_int"),
+        F.col("o_orderpriority").try_cast("double").alias("never_num"),
+    )
