@@ -51,6 +51,12 @@ class IngestConfig:
     # (the MergeTree ORDER BY sent_at analog, D2)
     table_partition_by: tuple[str, ...] = ()
     table_sort_by: tuple[str, ...] = ("sent_at",)
+    # CDC mode (scale addition; the reference appends only): when set,
+    # batches MERGE into their table on this key tuple (last-write-wins
+    # — the ReplacingMergeTree analog) instead of appending. Incoming
+    # rows are aligned to the current table schema; schema evolution
+    # still happens through append-mode tables.
+    upsert_keys: tuple[str, ...] = ()
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "IngestConfig":
@@ -90,6 +96,11 @@ class IngestConfig:
             for t in e.get("NON_CRITICAL_EVENT_TYPES", "").split(",")
             if t.strip()
         )
+        upsert_keys = tuple(
+            t.strip()
+            for t in e.get("INGEST_UPSERT_KEYS", "").split(",")
+            if t.strip()
+        )
         return cls(
             event_type_property=e.get(
                 "REDIS_JOB_EVENT_TYPE_PROPERTY", cls.event_type_property
@@ -98,4 +109,5 @@ class IngestConfig:
             split_array_items_as_columns=flag("SPLIT_ARRAY_ITEMS_AS_COLUMNS", False),
             altered_column_nullable=flag("CLICKHOUSE_ALTERED_COLUMN_NULLABLE", True),
             non_critical_event_types=non_critical,
+            upsert_keys=upsert_keys,
         )

@@ -350,14 +350,27 @@ class IngestEngine:
                     # the cache, so the row count afterwards doesn't
                     # re-run the whole normalize pipeline
                     rows = normalize_events(sub, self.config).persist()
-                    self.store.write(
-                        rows,
-                        etype,
-                        nullable_new=self.config.altered_column_nullable,
-                        batch_id=batch_id,
-                        partition_by=self.config.table_partition_by,
-                        sort_by=self.config.table_sort_by,
-                    )
+                    keys = self.config.upsert_keys
+                    if keys and all(k in rows.columns for k in keys):
+                        # CDC mode: MERGE on the key tuple
+                        # (last-write-wins; store.upsert docstring)
+                        self.store.upsert(
+                            rows,
+                            etype,
+                            keys=keys,
+                            batch_id=batch_id,
+                            partition_by=self.config.table_partition_by,
+                            sort_by=self.config.table_sort_by,
+                        )
+                    else:
+                        self.store.write(
+                            rows,
+                            etype,
+                            nullable_new=self.config.altered_column_nullable,
+                            batch_id=batch_id,
+                            partition_by=self.config.table_partition_by,
+                            sort_by=self.config.table_sort_by,
+                        )
                     n = rows.count()
                     rows.unpersist()
                     with self._lock:

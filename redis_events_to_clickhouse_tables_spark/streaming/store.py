@@ -361,6 +361,8 @@ class TableStore:
         table: str,
         keys: tuple[str, ...],
         batch_id: int | str | None = None,
+        partition_by: tuple[str, ...] | None = None,
+        sort_by: tuple[str, ...] | None = None,
     ) -> int:
         """MERGE (last-write-wins by key): rows in ``df`` replace
         existing rows with the same key tuple; unmatched rows append.
@@ -379,7 +381,13 @@ class TableStore:
         replays and retries can never flap).
         """
         if not self.table_exists(table):
-            self.write(df, table, batch_id=batch_id)
+            self.write(
+                df,
+                table,
+                batch_id=batch_id,
+                partition_by=partition_by,
+                sort_by=sort_by,
+            )
             return 0
         meta = self._load_meta(table)
         tag = f"merge-{batch_id}"

@@ -301,3 +301,53 @@ def test_dlq_replay_races_live_ingest(spark, tmp_path, monkeypatch):
     xs = sorted(r["x"] for r in store.read("t").select("x").collect())
     assert xs == [1, 2, 3, 4]  # every row exactly once
     assert engine.read_dlq().count() == 0
+
+
+def test_cdc_upsert_mode_last_write_wins(spark, tmp_path):
+    """upsert_keys turns ingest into CDC merge: later batches replace
+    rows sharing the key, replays stay idempotent."""
+    from pyspark.sql import functions as F
+
+    engine, store = _engine(spark, tmp_path, upsert_keys=("entity_id",))
+    engine.process_raw_batch(
+        _raw(
+            spark,
+            [
+                {"event_type": "account", "entity_id": 1, "plan": "free"},
+                {"event_type": "account", "entity_id": 2, "plan": "free"},
+            ],
+        ),
+        batch_id=0,
+    )
+    engine.process_raw_batch(
+        _raw(
+            spark,
+            [
+                {"event_type": "account", "entity_id": 1, "plan": "pro"},
+                {"event_type": "account", "entity_id": 3, "plan": "team"},
+            ],
+        ),
+        batch_id=1,
+    )
+    acc = store.read("account")
+    assert acc.count() == 3
+    plans = {r["entity_id"]: r["plan"] for r in acc.collect()}
+    assert plans == {1: "pro", 2: "free", 3: "team"}
+
+    # replayed merge batch: no change
+    engine.process_raw_batch(
+        _raw(spark, [{"event_type": "account", "entity_id": 1, "plan": "pro"}]),
+        batch_id=1,
+    )
+    assert store.read("account").count() == 3
+    assert {
+        r["entity_id"]: r["plan"] for r in store.read("account").collect()
+    } == plans
+
+    # a table without the key column falls back to append
+    engine.process_raw_batch(
+        _raw(spark, [{"event_type": "click", "target": "#a"},
+                     {"event_type": "click", "target": "#a"}]),
+        batch_id=2,
+    )
+    assert store.read("click").count() == 2
