@@ -286,3 +286,101 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS okey, MAX(l_shipdate) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    iv AS (
+      SELECT o.o_orderdate AS open_d, c.close_d
+      FROM orders o JOIN closes c ON c.okey = o.o_orderkey
+      WHERE c.close_d > o.o_orderdate
+    ),
+    deltas AS (
+      SELECT open_d AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT close_d, -1 FROM iv
+    ),
+    by_day AS (SELECT d, SUM(delta) AS delta FROM deltas GROUP BY d),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM by_day),
+    spine AS (
+      SELECT d0 + p.i * INTERVAL 1 DAY AS d
+      FROM bounds, UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS p(i)
+    )
+    SELECT CAST(s.d AS TIMESTAMP) AS day,
+           CAST(SUM(COALESCE(b.delta, 0)) OVER (
+             ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_orders
+    FROM spine s LEFT JOIN by_day b ON b.d = s.d
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time open-order backlog: for every calendar day, how
+    many orders were placed but not yet fully shipped (open on
+    [orderdate, last shipdate)) — the interval-concurrency count
+    behind backlog/SLA/active-session dashboards.
+
+    Scale shape — the event-delta formulation: each interval
+    contributes +1 at open and -1 at close, deltas aggregate per day
+    (shuffle bounded by the calendar, not the orders), and the
+    running concurrency is a prefix sum over the day spine. The spine
+    is calendar-sized, so the prefix sum partitions by YEAR with
+    per-year offsets (cumulative prior-year deltas, a broadcast of
+    #years scalars) — exact global cumulative, no global window, no
+    day-x-order range join. The oracle states the same sum with a
+    plain global window (fine at DuckDB's scale).
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    closes = l.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    iv = (
+        o.select(F.col("o_orderkey").alias("okey"), F.col("o_orderdate").alias("open_d"))
+        .join(closes, "okey")
+        .filter(F.col("close_d") > F.col("open_d"))
+    )
+    deltas = iv.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    by_day = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    bounds = by_day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"))
+    days = spine.join(by_day, "d", "left").select(
+        "d", F.coalesce(F.col("delta"), F.lit(0)).alias("delta")
+    )
+    # exact global prefix sum without a global window: per-year running
+    # sum + broadcast offsets of all prior years' totals
+    yr = F.year("d")
+    per_year = days.groupBy(yr.alias("y")).agg(F.sum("delta").alias("ytot"))
+    # prior-year offsets WITHOUT any window: a #years x #years
+    # triangular self-join over the tiny per-year frame (the registry
+    # gate rightly rejects even small partition-less windows — this
+    # stays a join, trivially bounded by the calendar)
+    prior = per_year.select(F.col("y").alias("py"), F.col("ytot").alias("ptot"))
+    offsets = (
+        per_year.join(prior, F.col("py") < F.col("y"), "left")
+        .groupBy("y")
+        .agg(F.coalesce(F.sum("ptot"), F.lit(0)).alias("off"))
+    )
+    w_in = (
+        Window.partitionBy(yr)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        days.withColumn("run", F.sum("delta").over(w_in))
+        .withColumn("y", yr)
+        .join(F.broadcast(offsets), "y")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            (F.col("run") + F.col("off")).cast("long").alias("open_orders"),
+        )
+    )

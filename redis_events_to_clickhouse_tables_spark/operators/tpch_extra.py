@@ -524,3 +524,57 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     basket.unpersist()
     return out
+
+
+@query(
+    "supplier_otif_rate",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (l.l_shipdate <= o.o_orderdate
+                                 + INTERVAL 30 DAY) AS BIGINT) AS n_on_time,
+           CAST(COUNT(*) FILTER (l.l_shipdate <= o.o_orderdate
+                                 + INTERVAL 30 DAY
+                                 AND l.l_quantity >= 25) AS BIGINT)
+             AS n_otif,
+           CAST(COUNT(*) FILTER (l.l_shipdate <= o.o_orderdate
+                                 + INTERVAL 30 DAY) AS DOUBLE)
+             / COUNT(*) AS on_time_rate,
+           CAST(COUNT(*) FILTER (l.l_shipdate <= o.o_orderdate
+                                 + INTERVAL 30 DAY
+                                 AND l.l_quantity >= 25) AS DOUBLE)
+             / COUNT(*) AS otif_rate
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_suppkey
+    """,
+)
+def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Time-In-Full per supplier: the supply-chain KPI — share of
+    line items shipped within 30 days of the order date (on-time; this
+    schema carries no commit date, so the SLA is date-relative), and
+    of those, with a full quantity (>= 25 standing in for the
+    full-allocation flag).
+
+    Scale shape: one fact-fact equi-join on the order key (the Q4
+    shape) followed by a conditional hash aggregate keyed on the
+    supplier — two shuffles at any scale, predicates evaluated
+    streaming-side in codegen.
+    """
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    on_time = F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30)
+    in_full = on_time & (F.col("l_quantity") >= 25)
+    n = F.count(F.lit(1))
+    n_ot = F.sum(F.when(on_time, 1).otherwise(0))
+    n_otif = F.sum(F.when(in_full, 1).otherwise(0))
+    return j.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        n.cast("long").alias("n_lines"),
+        n_ot.cast("long").alias("n_on_time"),
+        n_otif.cast("long").alias("n_otif"),
+        (n_ot.cast("double") / n).alias("on_time_rate"),
+        (n_otif.cast("double") / n).alias("otif_rate"),
+    )

@@ -88,15 +88,19 @@ def test_flag_matrix_consistent_row_counts(spark, evts):
     assert len(set(counts.values())) == 1
 
 
-splittable_record = record.filter(
-    # structs whose field names collide under case folding fall back to
-    # JSON-stringify (ambiguous getField) — generate splittable ones here
-    lambda r: len({k.lower() for k in r}) == len(r)
-)
+def _merged_keys_splittable(rs) -> bool:
+    # splittability is decided on the BATCH-inferred struct (the union
+    # of keys across rows), so the filter must apply to the merged key
+    # set: records individually splittable can still collide once
+    # merged (hypothesis-found: [{'A':0,'b':False},{'B':False}] —
+    # 'b'/'B' collide at the struct level and correctly fall back to
+    # P4 JSON-stringify)
+    keys = {k for r in rs for k in r}
+    return len({k.lower() for k in keys}) == len(keys)
 
 
 @settings(**_SETTINGS)
-@given(st.lists(splittable_record, min_size=1, max_size=3))
+@given(st.lists(record, min_size=1, max_size=3).filter(_merged_keys_splittable))
 def test_record_split_produces_prefixed_columns(spark, records):
     """P3: with split_records on, every nested field appears as a
     prefixed top-level column; with it off, the record is one JSON
