@@ -100,6 +100,13 @@ _EXTERNALLY_VERIFIED = frozenset(
 # the operators added after the last sample — listed first so the
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
+    # round-5 additions the sample should hit first
+    "rolling_distinct_users_7d",
+    "customer_rfm_segments",
+    "classifier_hashed_linear",
+    "events_activity_streaks",
+    "orders_open_backlog_daily",
+    "events_view_purchase_attribution",
     "user_ltv_deciles",
     "text_bm25_score",
     "text_pii_scan",
