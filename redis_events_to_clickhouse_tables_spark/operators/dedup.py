@@ -1593,7 +1593,12 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three scalar aggregates (corpus count, md5-distinct
     count, pair count) plus the components pipeline's cluster count —
     all shapes already proven by their per-row operators; the one-row
-    join of scalars is a broadcast by construction.
+    join of scalars is a broadcast by construction. Known cost: the
+    pair count and the components pipeline each build the minhash/LSH
+    prefix independently (two corpus passes); a deployment running the
+    summary alongside the per-row outputs would materialize the band
+    signatures once and feed both — kept separate here so each
+    registered query stays a self-contained driver-verifiable unit.
     """
     tune(spark)
     d = fanout(table(spark, sf_dir, "documents"))

@@ -285,12 +285,40 @@ class TableStore:
         n_after = len(list(new_dir.rglob("*.parquet")))
         return (n_before, n_after)
 
+    def _partition_dir_names(self, values_df, pc: str) -> set[str]:
+        """Exact Spark-rendered partition directory names for the
+        distinct partition values in ``values_df[pc]`` — obtained by a
+        probe write through the SAME writer, so Hive escaping and value
+        formatting (booleans, timestamps, '%'/':'/'=' characters) can
+        never diverge from the data write. Cost: one tiny job over the
+        distinct partition values."""
+        import shutil as _shutil
+        import tempfile
+
+        tmp = Path(tempfile.mkdtemp(prefix="partnames-"))
+        try:
+            (
+                values_df.select(pc)
+                .distinct()
+                .withColumn("__probe", F.lit(1))
+                .write.mode("overwrite")
+                .partitionBy(pc)
+                .parquet(str(tmp))
+            )
+            return {
+                d.name for d in tmp.iterdir() if d.is_dir() and "=" in d.name
+            }
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+
     def delete_where(self, table: str, condition) -> int:
         """Targeted row deletion (the GDPR / right-to-be-forgotten
         path): rewrite the table WITHOUT rows matching ``condition``
         (a Column or SQL string) as a new data version, atomically
         flip the CURRENT pointer, and return the number of rows
         removed. A no-op (0) when nothing matches — no version churn.
+        Rows where the condition is NULL (three-valued logic) do NOT
+        match and are kept.
 
         Partition-pruned at scale: when the table is single-level
         directory-partitioned, only partitions that actually contain
@@ -309,8 +337,12 @@ class TableStore:
         df = self.read(table)
         if not df.columns:
             return 0
-        n_match = df.filter(cond).count()
+        # NULL-safe: a NULL condition matches nothing and keeps the row
+        matches = F.coalesce(cond, F.lit(False))
+        matched = df.filter(matches).persist()
+        n_match = matched.count()
         if n_match == 0:
+            matched.unpersist()
             return 0
         meta = self._load_meta(table)
         part_cols = list(meta["partition_by"])
@@ -325,21 +357,12 @@ class TableStore:
             # partition values holding >=1 matching row — a driver
             # round-trip bounded by the partition-value count (the
             # store's usual cardinality class)
-            affected = [
-                r[0] for r in df.filter(cond).select(pc).distinct().collect()
-            ]
-            # Spark renders partition dirs as  <col>=<str(value)>
-            affected_dirs = {
-                f"{pc}=__HIVE_DEFAULT_PARTITION__"
-                if v is None
-                else f"{pc}={v}"
-                for v in affected
-            }
-            survivors = df.filter(~cond).filter(
-                F.col(pc).isin(affected) if None not in affected
-                else (F.col(pc).isin([v for v in affected if v is not None]))
-                | F.col(pc).isNull()
-            )
+            affected = [r[0] for r in matched.select(pc).distinct().collect()]
+            affected_dirs = self._partition_dir_names(matched, pc)
+            in_affected = F.col(pc).isin(
+                [v for v in affected if v is not None]
+            ) | (F.col(pc).isNull() if None in affected else F.lit(False))
+            survivors = df.filter(~matches).filter(in_affected)
             _sorted(survivors).write.mode("overwrite").partitionBy(pc).parquet(
                 str(new_dir)
             )
@@ -348,10 +371,11 @@ class TableStore:
                 if d.is_dir() and "=" in d.name and d.name not in affected_dirs:
                     _shutil.copytree(d, new_dir / d.name, dirs_exist_ok=True)
         else:
-            writer = _sorted(df.filter(~cond)).write.mode("overwrite")
+            writer = _sorted(df.filter(~matches)).write.mode("overwrite")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(str(new_dir))
+        matched.unpersist()
         self._flip_version(table, new_dir)
         return int(n_match)
 
@@ -371,27 +395,45 @@ class TableStore:
         upsert exactly this way (insert + replace-on-merge by ORDER BY
         key), this does it in one versioned rewrite with an atomic
         pointer flip. Idempotent per ``batch_id`` via the same commit
-        log as ``write`` (a replayed merge is a no-op).
+        log as ``write`` (a replayed merge is a no-op; the creating
+        merge records the same tag).
 
         Partition-pruned like ``delete_where``: on a single-level
-        partitioned table only partitions receiving upserted keys are
-        rewritten; untouched partitions enter the new version as
-        os-level copies. Within ``df`` itself, duplicate keys resolve
-        deterministically to the greatest full row (a total order, so
-        replays and retries can never flap).
+        partitioned table only partitions touched by the merge are
+        rewritten — partitions RECEIVING upserted rows AND partitions
+        HOLDING the existing rows being replaced (a key whose new row
+        moves to a different partition value has its old partition
+        rewritten too, so the stale row cannot survive); untouched
+        partitions enter the new version as os-level copies. Within
+        ``df`` itself, duplicate keys resolve deterministically to the
+        greatest full row (a total order, so replays and retries can
+        never flap).
         """
-        if not self.table_exists(table):
+        tag = f"merge-{batch_id}"
+        if self.table_exists(table):
+            meta = self._load_meta(table)
+            if batch_id is not None and tag in meta["committed_batches"]:
+                return 0
+        else:
+            # creating merge: same within-batch key dedupe, and the
+            # merge tag goes into the fresh commit log so a replay of
+            # THIS batch is a no-op (not a second full merge)
+            others0 = [c for c in df.columns if c not in keys]
+            first = (
+                df.groupBy(*keys)
+                .agg(F.max(F.struct(*others0)).alias("__row"))
+                .select(*keys, "__row.*")
+            )
             self.write(
-                df,
+                first,
                 table,
-                batch_id=batch_id,
                 partition_by=partition_by,
                 sort_by=sort_by,
             )
-            return 0
-        meta = self._load_meta(table)
-        tag = f"merge-{batch_id}"
-        if batch_id is not None and tag in meta["committed_batches"]:
+            if batch_id is not None:
+                meta = self._load_meta(table)
+                meta["committed_batches"].append(tag)
+                self._save_meta(table, meta)
             return 0
         existing = self.read(table)
         incoming = _align(df, existing.schema)
@@ -402,8 +444,11 @@ class TableStore:
             incoming.groupBy(*keys)
             .agg(F.max(F.struct(*others)).alias("__row"))
             .select(*keys, "__row.*")
+            .persist()  # consumed by 4 downstream plans (review r5)
         )
-        matched = existing.join(incoming.select(*keys), list(keys), "left_semi")
+        matched = existing.join(
+            incoming.select(*keys), list(keys), "left_semi"
+        ).persist()
         n_replaced = matched.count()
         survivors = existing.join(
             incoming.select(*keys), list(keys), "left_anti"
@@ -420,17 +465,15 @@ class TableStore:
             import shutil as _shutil
 
             pc = part_cols[0]
-            affected = [
-                r[0] for r in incoming.select(pc).distinct().collect()
-            ]
-            affected_dirs = {
-                f"{pc}=__HIVE_DEFAULT_PARTITION__" if v is None else f"{pc}={v}"
-                for v in affected
-            }
-            in_affected = (
-                F.col(pc).isin([v for v in affected if v is not None])
-                | (F.col(pc).isNull() if None in affected else F.lit(False))
-            )
+            # affected = partitions receiving new rows UNION partitions
+            # holding replaced rows (cross-partition key moves rewrite
+            # BOTH, so the stale copy dies with the old partition)
+            touched = incoming.select(pc).unionByName(matched.select(pc))
+            affected = [r[0] for r in touched.distinct().collect()]
+            affected_dirs = self._partition_dir_names(touched, pc)
+            in_affected = F.col(pc).isin(
+                [v for v in affected if v is not None]
+            ) | (F.col(pc).isNull() if None in affected else F.lit(False))
             _sorted(merged.filter(in_affected)).write.mode(
                 "overwrite"
             ).partitionBy(pc).parquet(str(new_dir))
@@ -443,6 +486,8 @@ class TableStore:
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(str(new_dir))
+        incoming.unpersist()
+        matched.unpersist()
         self._flip_version(table, new_dir)
         if batch_id is not None:
             meta["committed_batches"].append(tag)

@@ -131,3 +131,73 @@ def test_upsert_dedupes_incoming_deterministically(spark, tmp_path):
     rows = st.read("events").filter(F.col("event_id") == 7).collect()
     assert len(rows) == 1
     assert rows[0]["user"] == "b"  # greatest full row wins (total order)
+
+
+def test_upsert_cross_partition_key_move(spark, tmp_path):
+    """A key whose new row lands in a DIFFERENT partition must lose its
+    old row too (review r5: the old partition was copied verbatim)."""
+    st = _mk_store(spark, tmp_path, partition_by=("event_type",))
+    # event 0 currently lives in event_type=view (0 % 3 == 0)
+    upd = spark.createDataFrame(
+        [(0, "mv", "purchase", 9.0)],
+        "event_id long, user STRING, event_type STRING, value DOUBLE",
+    )
+    assert st.upsert(upd, "events", keys=("event_id",)) == 1
+    after = st.read("events")
+    rows = after.filter(F.col("event_id") == 0).collect()
+    assert len(rows) == 1, rows  # the stale view-partition row is gone
+    assert rows[0]["event_type"] == "purchase"
+    assert after.count() == 300
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    """Three-valued logic: rows where the condition is NULL do not
+    match and MUST survive the rewrite (review r5)."""
+    st = TableStore(spark, tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "u1"), (2, None), (3, "u3")], "id long, user STRING"
+    )
+    st.write(df, "t", batch_id=0)
+    assert st.delete_where("t", F.col("user") == "u1") == 1
+    remaining = sorted(r["id"] for r in st.read("t").collect())
+    assert remaining == [2, 3]  # the NULL-user row survived
+
+
+def test_partition_pruning_with_hostile_partition_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes (':' '%' '=') and booleans
+    must still prune correctly: affected dirs are derived from a probe
+    write through the same writer, never from str(value)."""
+    st = TableStore(spark, tmp_path / "store")
+    rows = [
+        (1, "a:b", 1.0), (2, "a:b", 2.0),
+        (3, "x=y%z", 3.0), (4, "x=y%z", 4.0),
+        (5, "plain", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, bucket STRING, v DOUBLE")
+    st.write(df, "t", batch_id=0, partition_by=("bucket",), sort_by=("id",))
+    # delete one row from the escaped 'a:b' partition
+    assert st.delete_where("t", F.col("id") == 1) == 1
+    after = {r["id"]: r["bucket"] for r in st.read("t").collect()}
+    assert after == {2: "a:b", 3: "x=y%z", 4: "x=y%z", 5: "plain"}
+    # upsert into the other escaped partition
+    up = spark.createDataFrame([(3, "x=y%z", 33.0)], "id long, bucket STRING, v DOUBLE")
+    assert st.upsert(up, "t", keys=("id",)) == 1
+    vals = {r["id"]: r["v"] for r in st.read("t").collect()}
+    assert vals == {2: 2.0, 3: 33.0, 4: 4.0, 5: 5.0}
+
+
+def test_upsert_creating_batch_dedupes_and_is_idempotent(spark, tmp_path):
+    """The first-ever merge batch must apply the within-batch key
+    dedupe and record the merge commit tag (review r5)."""
+    st = TableStore(spark, tmp_path / "store")
+    up = spark.createDataFrame(
+        [(7, "a"), (7, "b"), (8, "c")], "id long, user STRING"
+    )
+    assert st.upsert(up, "t", keys=("id",), batch_id=0) == 0
+    rows = {r["id"]: r["user"] for r in st.read("t").collect()}
+    assert rows == {7: "b", 8: "c"}  # greatest row won, one row per key
+    # replay of the CREATING batch: recognized, no second merge
+    v = st.data_dir("t").name
+    assert st.upsert(up, "t", keys=("id",), batch_id=0) == 0
+    assert st.data_dir("t").name == v
+    assert {r["id"]: r["user"] for r in st.read("t").collect()} == rows
