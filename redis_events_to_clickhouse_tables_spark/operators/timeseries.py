@@ -818,3 +818,90 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1.unpersist()
     r2.unpersist()
     return out
+
+
+def _trailing_distinct_users(ud: DataFrame, k: int, out: str) -> DataFrame:
+    """(d, <out>): EXACT trailing-k-day distinct users per window-end
+    day, by the gap-bounded coverage explode of
+    rolling_distinct_users_7d (see its docstring for the proof):
+    an active day d covers window-ends [d, d + min(k-1, gap-1)],
+    ranges disjoint per user, union exact."""
+    nxt = F.lead("day").over(Window.partitionBy("user_id").orderBy("day"))
+    cover_end = F.least(
+        F.date_add(F.col("day"), k - 1),
+        F.coalesce(F.date_sub(nxt, 1), F.date_add(F.col("day"), k - 1)),
+    )
+    return (
+        ud.withColumn("cover_end", cover_end)
+        .select(F.explode(F.sequence(F.col("day"), F.col("cover_end"))).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    spine AS (
+      SELECT d0 + p.i * INTERVAL 1 DAY AS d
+      FROM bounds, UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS p(i)
+    )
+    SELECT CAST(s.d AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN u.day = s.d
+                                    THEN u.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN u.day > s.d - INTERVAL 7 DAY
+                                    THEN u.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN u.day = s.d
+                                    THEN u.user_id END) AS DOUBLE)
+             / NULLIF(COUNT(DISTINCT u.user_id), 0) AS stickiness
+    FROM spine s
+    LEFT JOIN ud u ON u.day BETWEEN s.d - INTERVAL 27 DAY AND s.d
+    GROUP BY s.d
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and stickiness (DAU/MAU) for every calendar day
+    — the product-analytics headline metrics, all EXACT sliding
+    COUNT(DISTINCT)s (1-, 7-, and 28-day trailing windows).
+
+    Scale shape: three applications of the gap-bounded coverage
+    explode over the deduped (user, active-day) table — each user-day
+    contributes to at most k window-end days via disjoint ranges, so
+    the whole triple costs three bounded explodes and three day-keyed
+    counts; no HLL, no k-times re-scan, no global window. The day
+    spine gap-fills inactive days with zeros.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct().persist()
+    dau = _trailing_distinct_users(ud, 1, "dau")
+    wau = _trailing_distinct_users(ud, 7, "wau")
+    mau = _trailing_distinct_users(ud, 28, "mau")
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"))
+    out = (
+        spine.join(dau, "d", "left")
+        .join(wau, "d", "left")
+        .join(mau, "d", "left")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"),
+            F.coalesce(F.col("mau"), F.lit(0)).cast("long").alias("mau"),
+        )
+        .withColumn(
+            "stickiness",
+            F.when(
+                F.col("mau") > 0, F.col("dau").cast("double") / F.col("mau")
+            ),
+        )
+    )
+    out = out.persist()
+    out.count()
+    ud.unpersist()
+    return out
