@@ -141,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
         grouped,
         multimodal,
         pipeline,
+        quality_checks,
         relational,
         similarity,
         skew,
