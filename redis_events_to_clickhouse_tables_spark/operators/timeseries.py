@@ -905,3 +905,154 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     ud.unpersist()
     return out
+
+
+@query(
+    "timeseries_twap_locf",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (
+      SELECT event_type, day, cents,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS delta_us
+      FROM b
+      WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id))
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(SUM(delta_us) AS BIGINT) AS covered_us,
+           CAST(SUM(CAST(cents AS HUGEINT) * delta_us) AS DOUBLE)
+             / (100.0 * SUM(delta_us)) AS twap
+    FROM d
+    WHERE delta_us IS NOT NULL
+    GROUP BY event_type, day
+    HAVING SUM(delta_us) > 0
+    ORDER BY event_type, day
+    """,
+)
+def timeseries_twap_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) under
+    last-observation-carried-forward weighting — the hypertable
+    ``time_weight('LOCF', ...)`` analog: each observation counts for
+    the microseconds until the next one in its day, so irregular
+    sampling doesn't bias the average toward bursty periods.
+
+    The lead() window partitions by (event_type, day) — thousands of
+    independent partitions at any scale, never a global sort. Weights
+    are exact integer microseconds, values exact integer cents; the
+    weighted sum runs in decimal (order-insensitive, map-side
+    combinable after the window), and only the final TWAP is one IEEE
+    division both engines execute identically.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.expr(_CENTS).alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    d = b.withColumn(
+        "delta_us", F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    ).filter(F.col("delta_us").isNotNull())
+    covered = F.sum("delta_us").cast("long")
+    return (
+        d.groupBy("event_type", "day")
+        .agg(
+            covered.alias("covered_us"),
+            (
+                F.sum(
+                    F.col("cents").cast("decimal(38,0)") * F.col("delta_us")
+                ).cast("double")
+                / (F.lit(100.0) * F.sum("delta_us"))
+            ).alias("twap"),
+        )
+        .filter(F.col("covered_us") > 0)
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "timeseries_m4_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, day
+                           ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY event_type, day
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY event_type, day
+                           ORDER BY value, ts, event_id) AS rmin,
+        row_number() OVER (PARTITION BY event_type, day
+                           ORDER BY value DESC, ts DESC, event_id DESC)
+          AS rmax
+      FROM b)
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN rf = 1 THEN ts END) AS first_ts,
+           MAX(CASE WHEN rf = 1 THEN value END) AS first_value,
+           MAX(CASE WHEN rl = 1 THEN ts END) AS last_ts,
+           MAX(CASE WHEN rl = 1 THEN value END) AS last_value,
+           MAX(CASE WHEN rmin = 1 THEN ts END) AS min_ts,
+           MAX(CASE WHEN rmin = 1 THEN value END) AS min_value,
+           MAX(CASE WHEN rmax = 1 THEN ts END) AS max_ts,
+           MAX(CASE WHEN rmax = 1 THEN value END) AS max_value
+    FROM r GROUP BY event_type, day ORDER BY event_type, day
+    """,
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (event_type, day) bucket emit the first,
+    last, min-value and max-value points (value AND timestamp) — the
+    4 points per pixel column that make a line chart of billions of
+    rows render exactly (Jugel et al., VLDB'14), and the OHLC
+    candlestick when read as open/high/low/close.
+
+    Spark side needs NO window at all: each of the four points is a
+    lexicographic min/max over a (sort-key..., payload) struct —
+    plain aggregates that partial-combine map-side and never shuffle
+    more than 4 structs per bucket, the ideal 100-TB shape. Ties are
+    impossible (event_id is unique and rides in every struct). The
+    oracle mirrors the semantics with row_number windows.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    vmin = F.min(F.struct("value", "ts", "event_id"))
+    vmax = F.max(F.struct("value", "ts", "event_id"))
+    return (
+        b.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            first.alias("f"),
+            last.alias("l"),
+            vmin.alias("mn"),
+            vmax.alias("mx"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.col("f.ts").alias("first_ts"),
+            F.col("f.value").alias("first_value"),
+            F.col("l.ts").alias("last_ts"),
+            F.col("l.value").alias("last_value"),
+            F.col("mn.ts").alias("min_ts"),
+            F.col("mn.value").alias("min_value"),
+            F.col("mx.ts").alias("max_ts"),
+            F.col("mx.value").alias("max_value"),
+        )
+        .orderBy("event_type", "day")
+    )
