@@ -738,3 +738,65 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe.try_cast("bigint").alias("maybe_int"),
         F.col("o_orderpriority").try_cast("double").alias("never_num"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+    c AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g)
+    SELECT l_returnflag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cum >= tot THEN price END)
+             AS weighted_median_price
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median of ``l_extendedprice`` weighted
+    by quantity, per return flag: the smallest price whose cumulative
+    weight reaches half the group's total — the robust center a
+    quantity-weighted pricing dashboard wants, with no weighted-
+    quantile UDAF buffering a group in memory.
+
+    Scale shape: weights first collapse onto DISTINCT prices (a
+    map-side-combinable integer aggregate — the shuffle carries one
+    row per (flag, price), bounded by the price domain, not the row
+    count), and only that collapsed table flows through the
+    cumulative window. Were the price domain itself unbounded, the
+    cumsum would range-bucket exactly like
+    ``functions/ranks.global_rank_desc``. The crossing row is picked
+    by a conditional MIN — deterministic because cum is strictly
+    increasing over distinct prices.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("price")
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("long").alias("total_weight"),
+            F.min(
+                F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("price"))
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -441,3 +441,72 @@ def user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c") * F.sum("c"))
         ).alias("simpson_diversity"),
     )
+
+
+@query(
+    "user_churn_features",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT user_id,
+           CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                          CAST(MAX(ts) AS DATE)) AS INTEGER)
+             AS tenure_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100.0 AS spend,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+           CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                          CAST(MAX(mx.max_ts) AS DATE)) AS INTEGER)
+             AS recency_days,
+           MAX(ts) < MAX(mx.max_ts) - INTERVAL 7 DAY AS churned
+    FROM events CROSS JOIN mx
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model feature assembly: one row per user with tenure,
+    activity, monetary and recency features plus the 7-day-inactive
+    label — the feature-store table a training pipeline snapshots
+    before handing off to a trainer.
+
+    ONE groupBy(user_id) pass computes every feature (conditional
+    integer sums, distinct counts, min/max — all map-side
+    combinable); the only extra input is the corpus max timestamp, a
+    1-row broadcast cross join (O(1) data motion at any scale).
+    Spend is exact integer cents with one final IEEE division.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    is_p = F.col("event_type") == "purchase"
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.min("ts").cast("date")
+            ).alias("tenure_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias(
+                "n_purchases"
+            ),
+            (
+                F.sum(F.when(is_p, cents).otherwise(0)).cast("double")
+                / F.lit(100.0)
+            ).alias("spend"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct(F.col("ts").cast("date")).alias("days_active"),
+            F.datediff(
+                F.max("max_ts").cast("date"), F.max("ts").cast("date")
+            ).alias("recency_days"),
+            (
+                F.max("ts") < F.max("max_ts") - F.expr("INTERVAL 7 DAY")
+            ).alias("churned"),
+        )
+        .orderBy("user_id")
+    )

@@ -127,3 +127,115 @@ def salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_events"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+# Bloom runtime filter: bits and hash count sized for the build side
+# (a few thousand keys at test SF; at 100 TB size m ~ 10 bits/key).
+_BLOOM_BITS = 16384
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+def _bloom_bitmap(keys: DataFrame, key: str) -> list[int]:
+    """Aggregate a 2-hash Bloom bitmap of ``keys`` as 64-bit words.
+
+    Each key sets pmod(xxhash64(k), m) and pmod(xxhash64(k, 1), m);
+    word construction is a distributed bit_or aggregate, so the only
+    driver traffic is the O(m/64) word rows — never the keys.
+    """
+    bits = keys.select(
+        F.pmod(F.xxhash64(key), F.lit(_BLOOM_BITS)).alias("bit")
+    ).unionAll(
+        keys.select(
+            F.pmod(F.xxhash64(key, F.lit(1)), F.lit(_BLOOM_BITS)).alias("bit")
+        )
+    )
+    words = (
+        bits.select(
+            F.shiftrightunsigned("bit", 6).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(bit & 63 as int))").alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    bm = [0] * _BLOOM_WORDS
+    for r in words:
+        bm[r["widx"]] = r["word"]
+    return bm
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT'
+                           AND o_totalprice > 350000)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems in urgent high-value orders, pre-pruned
+    by an explicit Bloom runtime filter before the exact semi join —
+    the pattern that saves the 100-TB fact scan from shuffling rows
+    a selective dimension predicate will discard anyway (what Spark's
+    ``runtime.bloomFilter`` injects for sort-merge joins, built here
+    by hand so it also guards broadcast probes and stays on for DSv2
+    sources that can't accept an IN-subquery pushdown).
+
+    The bitmap aggregates distributedly to m/64 word rows (bit_or is
+    associative/commutative), lands on the driver as O(m/64) scalars
+    — never the key set — and re-enters the plan as a foldable
+    literal array: the membership probe is pure codegen (two xxhash
+    + bit tests per row) inside the scan stage. False positives
+    don't matter: the final broadcast semi join restores exactness,
+    so the oracle is the plain semi join.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    keys = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 350000)
+    ).select("o_orderkey")
+    bm = _bloom_bitmap(keys, "o_orderkey")
+    bm_arr = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in bm]
+    )
+    li = table(spark, sf_dir, "lineitem").withColumn("__bm", bm_arr)
+    probe = (
+        "((shiftrightunsigned(element_at(__bm,"
+        " cast(shiftrightunsigned({i}, 6) as int) + 1),"
+        " cast({i} & 63 as int)) & 1) = 1)"
+    )
+    li = (
+        li.withColumn(
+            "__i1", F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BITS))
+        )
+        .withColumn(
+            "__i2",
+            F.pmod(F.xxhash64("l_orderkey", F.lit(1)), F.lit(_BLOOM_BITS)),
+        )
+        .filter(F.expr(probe.format(i="__i1") + " AND " + probe.format(i="__i2")))
+    )
+    surv = li.join(
+        F.broadcast(keys),
+        li["l_orderkey"] == keys["o_orderkey"],
+        "left_semi",
+    )
+    rev = dec("l_extendedprice", 14) * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4)
+    )
+    return (
+        surv.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

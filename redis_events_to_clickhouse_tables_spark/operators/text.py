@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..functions.ranks import global_rank_desc
 from ..registry import query
 from ..session import tune
 from ..sources.tables import fanout, table
@@ -1161,4 +1162,67 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tk).cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("text_aug"),
+    )
+
+
+_VOCAB_K = 500
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, t AS tok
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM cnt
+      QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= {_VOCAB_K})
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per language: the share of token
+    occurrences a top-K corpus vocabulary explains — the number a
+    tokenizer team watches when sizing a vocab (the complement is the
+    corpus-level UNK rate a fixed vocab would inflict on each
+    language).
+
+    The frequency table is vocabulary-sized; its top-K cut uses the
+    distributed exact ranking primitive (``global_rank_desc`` —
+    range-bucketed, no global window), and the K surviving tokens
+    broadcast back onto the token stream, so nothing corpus-sized is
+    ever sorted or collected. Counts are exact integers; coverage is
+    one IEEE division.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = (
+        d.select("lang", F.explode(_toks()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked, _ = global_rank_desc(cnt, "c", "tok")
+    vocab = ranked.filter(F.col("r") <= _VOCAB_K).select(
+        "tok", F.lit(1).alias("__hit")
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            hits.cast("long").alias("n_in_vocab"),
+            (hits.cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+        .orderBy("lang")
     )

@@ -100,7 +100,17 @@ _EXTERNALLY_VERIFIED = frozenset(
 # the operators added after the last sample — listed first so the
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
-    # round-5 additions the sample should hit first
+    # latest round-5 additions the sample should hit first
+    "dq_referential_integrity",
+    "dq_rule_violations",
+    "snapshot_diff_orders",
+    "timeseries_twap_locf",
+    "timeseries_m4_downsample",
+    "agg_weighted_median",
+    "join_bloom_prefilter",
+    "text_vocab_coverage",
+    "user_churn_features",
+    # earlier round-5 additions
     "rolling_distinct_users_7d",
     "customer_rfm_segments",
     "classifier_hashed_linear",

@@ -298,3 +298,44 @@ def test_bigram_formation_never_shuffles_the_token_stream(spark):
     # (plans print top-down: parents appear before children)
     assert plan.count("Window") == 1
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_bloom_prefilter_probe_in_scan_stage(spark):
+    """join_bloom_prefilter's membership probe must be a codegen
+    filter (two xxhash64 bit tests) ahead of a broadcast semi join —
+    if the probe disappears, the whole fact scan shuffles/probes
+    unpruned."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert plan.count("xxhash64") >= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_m4_downsample_has_no_window(spark):
+    """timeseries_m4_downsample picks first/last/min/max via struct
+    aggregates — a Window sneaking in would re-sort every bucket's
+    rows instead of partial-combining 4 structs map-side."""
+    plan = _plan(spark, "timeseries_m4_downsample")
+    assert "Window" not in plan, plan[:2000]
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan[:2000]
+
+
+def test_dq_rules_single_scan(spark):
+    """dq_rule_violations evaluates the whole constraint suite in one
+    pass: exactly one parquet scan of orders, pruned to the checked
+    columns."""
+    plan = _plan(spark, "dq_rule_violations")
+    assert plan.count("Scan parquet") == 1, plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "o_totalprice" in read_schema, read_schema
+
+
+def test_weighted_median_window_is_partitioned(spark):
+    """agg_weighted_median's cumsum window must partition by the
+    group key (the bulk no-global-window audit also covers this) and
+    must run over the price-collapsed aggregate, not raw rows: the
+    aggregate appears below the window in the plan."""
+    plan = _plan(spark, "agg_weighted_median")
+    assert "Window" in plan, plan[:2000]
+    win_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > win_pos, "expected price-collapse aggregate below window"
