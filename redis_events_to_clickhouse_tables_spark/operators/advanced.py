@@ -800,3 +800,136 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("sketch_hll_mergeable_rollup", oracle=None)
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-day HLL sketches of
+    user_id, merged upward to per-week estimates WITHOUT rescanning
+    events — the datasketches pattern a 100-TB deployment uses so
+    "distinct users this week/month/quarter" reads pre-aggregated
+    daily sketches (~KB each) instead of the raw log. The daily layer
+    is what a continuous rollup would persist; the weekly layer here
+    is built purely by ``hll_union_agg`` over those sketches.
+
+    No oracle: DuckDB's approx_count_distinct is a different sketch.
+    The pytest invariant (tests/test_rows_only_invariants.py) asserts
+    each weekly estimate is within HLL error of the exact distinct
+    count computed alongside, and that merged-sketch estimates equal
+    estimates of sketches built directly from the raw week.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = days.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day_users"),
+    )
+    weekly = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_week_users"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("exact_day_users").alias("sum_daily_exact"),
+    )
+    exact_week = days.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_week_users")
+    )
+    return (
+        weekly.join(exact_week, "week")
+        .select(
+            "week",
+            "n_days",
+            "est_week_users",
+            "exact_week_users",
+            "sum_daily_exact",
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "orders_ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    n AS (SELECT priority, COUNT(*) AS n,
+                 CAST(SUM(days) AS BIGINT) AS sum_days
+          FROM lat GROUP BY priority),
+    r AS (SELECT priority, days,
+                 ROW_NUMBER() OVER (PARTITION BY priority
+                                    ORDER BY days, l_orderkey, l_linenumber)
+                   AS rn
+          FROM lat)
+    SELECT n.priority,
+           CAST(n.n AS BIGINT) AS n_items,
+           CAST(n.sum_days AS DOUBLE) / n.n AS avg_days,
+           MIN(CASE WHEN rn = (n.n + 1) // 2 THEN days END) AS p50_days,
+           MIN(CASE WHEN rn = (n.n * 9 + 9) // 10 THEN days END) AS p90_days
+    FROM r JOIN n ON n.priority = r.priority
+    GROUP BY n.priority, n.n, n.sum_days ORDER BY n.priority
+    """,
+)
+def orders_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLA table: per order priority, the mean
+    and EXACT p50/p90 of days between order date and line-item ship
+    date — the logistics dashboard row the reference's users build
+    over their ClickHouse tables.
+
+    Latencies come from one co-partitioned equi join; percentiles use
+    the rank-selection shape (position k of the per-group sort — no
+    percentile UDAF buffering a group, same machinery as
+    ``agg_exact_p90_rank``) with integer-arithmetic positions so both
+    engines pick identical ranks. The per-priority windows partition
+    on the group key; at 100-TB the per-group sort is the same sort a
+    window already pays, spread across tasks by group.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("days").cast("long").alias("sum_days"),
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    r = lat.select("priority", "days", F.row_number().over(w).alias("rn"))
+    return (
+        r.join(F.broadcast(n), "priority")
+        .groupBy("priority", "n", "sum_days")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("days"))
+            ).alias("p50_days"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("days")
+                )
+            ).alias("p90_days"),
+        )
+        .select(
+            "priority",
+            F.col("n").alias("n_items"),
+            (F.col("sum_days").cast("double") / F.col("n")).alias("avg_days"),
+            "p50_days",
+            "p90_days",
+        )
+        .orderBy("priority")
+    )

@@ -110,6 +110,8 @@ _SAMPLE_PRIORITY = (
     "join_bloom_prefilter",
     "text_vocab_coverage",
     "user_churn_features",
+    "sketch_hll_mergeable_rollup",
+    "orders_ship_latency_percentiles",
     # earlier round-5 additions
     "rolling_distinct_users_7d",
     "customer_rfm_segments",

@@ -112,3 +112,17 @@ def test_fake_resize_deterministic_and_consistent(spark):
         # wide with positive height, and thumb_bytes = 3 * w * h (RGB)
         assert r.thumb_w == 64 and r.thumb_h >= 1
         assert r.thumb_bytes == 3 * r.thumb_w * r.thumb_h
+
+
+def test_hll_mergeable_rollup_within_error_and_merge_consistent(spark):
+    """Weekly estimate from merged daily sketches must sit within HLL
+    error of the exact weekly distinct count, never exceed the sum of
+    daily exact counts, and at least reach the largest single day."""
+    rows = _build(spark, "sketch_hll_mergeable_rollup").collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_week_users"]
+        est = r["est_week_users"]
+        # default lgConfigK=12 -> rsd ~1.6%; allow a generous 5x
+        assert abs(est - exact) <= max(2, 0.08 * exact), r
+        assert est <= r["sum_daily_exact"] * 1.08, r
