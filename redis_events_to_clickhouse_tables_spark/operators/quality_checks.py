@@ -256,3 +256,43 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def _events_rules_oracle() -> str:
+    from ..streaming.dq import _RULES
+
+    per_rule = ",\n".join(
+        f"           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {name}"
+        for name, pred in _RULES.items()
+    )
+    viol = " + ".join(_RULES)
+    return f"""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+{per_rule},
+           CAST({viol} AS BIGINT) AS n_violations
+    FROM events GROUP BY event_day ORDER BY event_day
+    """
+
+
+@query("dq_events_rules", oracle=_events_rules_oracle())
+def dq_events_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day constraint counters over the event stream — the BATCH
+    form of the continuous quality monitor (``streaming/dq.py``),
+    evaluating the identical rule predicates (imported, not copied),
+    so the daily audit and the streaming ledger can never drift.
+
+    One scan, one groupBy(day) of conditional integer sums —
+    map-side combinable, shuffle bounded by the number of days.
+    """
+    from ..streaming.dq import quality_partials
+
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    p = quality_partials(e).drop("id_sketch")
+    rule_cols = [c for c in p.columns if c.startswith("n_") and c != "n_rows"]
+    viol = sum(F.col(c) for c in rule_cols)
+    return p.select(
+        "event_day", "n_rows", *rule_cols, viol.alias("n_violations")
+    ).orderBy("event_day")

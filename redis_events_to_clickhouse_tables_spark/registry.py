@@ -112,6 +112,8 @@ _SAMPLE_PRIORITY = (
     "user_churn_features",
     "sketch_hll_mergeable_rollup",
     "orders_ship_latency_percentiles",
+    "dq_events_rules",
+    "features_point_in_time",
     # earlier round-5 additions
     "rolling_distinct_users_7d",
     "customer_rfm_segments",
