@@ -1,0 +1,432 @@
+"""Statistical-inference and privacy aggregates (Layer B).
+
+OLS regression, chi-square independence, an A/B two-proportion z-test,
+k-anonymity auditing, and a mergeable fixed-bin histogram-percentile
+sketch. None of these exist in the reference (its §2.9 surface has no
+relational operators); they extend the training-data-pipeline layer
+with the measurement primitives a 100-TB curation job needs: "did my
+filter change the label distribution?" (chi-square), "is variant B's
+conversion lift real?" (z-test), "is this export re-identifiable?"
+(k-anonymity), "what is p99 without a global sort?" (binned sketch).
+
+Determinism strategy (same as ``advanced.agg_stats_explicit``): every
+order-sensitive reduction happens in exact integer/decimal arithmetic
+(associative, parallelism-proof); the closed-form statistic is then
+ONE scalar IEEE expression evaluated identically by Spark and the
+DuckDB oracle. Where a sum of data-dependent doubles is unavoidable
+(chi-square terms), each term is floor-scaled to an integer first
+(``floor(term * 1e6)`` — floor of an identical double is identical,
+with no round-half tie semantics to disagree on) so the reduction is
+exact int64 and order-free; the documented cost is <=1e-6 absolute
+per term. DuckDB SUMs over int are cast to BIGINT to match Spark's
+long (DuckDB would otherwise widen to HUGEINT), and double literals
+are written ``CAST(x AS DOUBLE)`` (bare ``4.0`` parses as DECIMAL in
+DuckDB and drags expressions into decimal arithmetic Spark never
+performs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+# --------------------------------------------------------------------
+# OLS regression from exact power sums
+# --------------------------------------------------------------------
+
+_SQL_REGRESSION = """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2))))
+                  AS DOUBLE) AS sx,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))))
+                  AS DOUBLE) AS sxx,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2))))
+                  AS DOUBLE) AS sy,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                            * CAST(l_extendedprice AS DECIMAL(14,2))))
+                  AS DOUBLE) AS syy,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(14,2))))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM sums
+"""
+
+
+@query("stats_regression_price_qty", oracle=_SQL_REGRESSION)
+def stats_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity (slope /
+    intercept / R²) via exact decimal power sums.
+
+    Scale: one map-side-combined groupBy over lineitem shuffling a
+    3-row result; the regression itself is a scalar expression. This
+    is how a 1000-executor job fits a per-stratum trend without ever
+    materializing the points: moments commute with partitioning.
+
+    Cross-engine note: power sums are truncated to their integer part
+    (FLOOR — cast-to-decimal(38,0) rounds HALF_UP in Spark but not in
+    DuckDB, so the truncation must be an explicit floor) before the
+    double cast. A decimal whose scaled value exceeds 2^53 converts
+    to double with one rounding in Spark (correctly-rounded
+    BigDecimal) but two in DuckDB (int128 halves), which differed by
+    1 ulp on syy; the integer part stays exactly representable far
+    longer and the dropped cents are relative error ~1e-18 on the
+    statistic.
+    """
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity", 12), dec("l_extendedprice", 14)
+
+    def isum(c):
+        return F.floor(F.sum(c)).cast("double")
+
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        isum(q).alias("sx"),
+        isum(q * q).alias("sxx"),
+        isum(p).alias("sy"),
+        isum(p * p).alias("syy"),
+        isum(q * p).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------
+# Chi-square independence: nation x market segment
+# --------------------------------------------------------------------
+
+_SQL_CHI2 = """
+    WITH cells AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg, COUNT(*) AS obs
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    rt AS (SELECT nk, SUM(obs) AS rtot FROM cells GROUP BY nk),
+    ct AS (SELECT seg, SUM(obs) AS ctot FROM cells GROUP BY seg),
+    tot AS (SELECT SUM(obs) AS n, COUNT(DISTINCT nk) AS nr,
+                   COUNT(DISTINCT seg) AS nc FROM cells),
+    terms AS (
+      SELECT (CAST(obs AS DOUBLE) - CAST(rtot * ctot AS DOUBLE) / n)
+             * (CAST(obs AS DOUBLE) - CAST(rtot * ctot AS DOUBLE) / n)
+             / (CAST(rtot * ctot AS DOUBLE) / n) AS term,
+             nr, nc
+      FROM cells JOIN rt USING (nk) JOIN ct USING (seg) CROSS JOIN tot)
+    SELECT COUNT(*) AS n_cells,
+           CAST((MIN(nr) - 1) * (MIN(nc) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(FLOOR(term * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2
+    FROM terms
+"""
+
+
+@query("stats_chi2_nation_segment", oracle=_SQL_CHI2)
+def stats_chi2_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for independence of customer nation and
+    market segment, from the contingency table.
+
+    Order-free summation: each cell's (obs-exp)²/exp is a
+    deterministic double, floor-scaled to int64 (x1e6) before the SUM
+    so the reduction is exact and partitioning-independent (summing
+    raw doubles would flap at the ulp level across 1000 executors).
+    Scale: one groupBy over customer to a |nations|x|segments| cell
+    frame; marginals are re-aggregations of that tiny frame,
+    broadcast back — the big table is scanned exactly once.
+    """
+    tune(spark)
+    cells = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = cells.groupBy("nk").agg(F.sum("obs").alias("rtot"))
+    ct = cells.groupBy("seg").agg(F.sum("obs").alias("ctot"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("nk").alias("nr"),
+        F.countDistinct("seg").alias("nc"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), "nk")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (F.col("rtot") * F.col("ctot")).cast("double") / F.col("n")
+    d = F.col("obs").cast("double") - exp
+    term = d * d / exp
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.min("nr") - 1) * (F.min("nc") - 1))
+        .cast("long")
+        .alias("dof"),
+        (
+            F.sum(F.floor(term * F.lit(1000000.0)).cast("long")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------
+# A/B test: deterministic hash split + two-proportion z-test
+# --------------------------------------------------------------------
+
+_SQL_AB = f"""
+    WITH assigned AS (
+      SELECT c_custkey,
+             {DUCKDB_MD5_LONG("CAST(c_custkey AS VARCHAR)", salt="ab")} % 2
+               AS variant
+      FROM customer),
+    conv AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT'),
+    flags AS (
+      SELECT variant,
+             CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM assigned LEFT JOIN conv ON c_custkey = o_custkey),
+    counts AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS c_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS c_b
+      FROM flags)
+    SELECT n_a, n_b, c_a, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS rate_a,
+           CAST(c_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / SQRT(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                    * (CAST(1 AS DOUBLE)
+                       - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+             AS z_score
+    FROM counts
+"""
+
+
+@query("stats_ab_test_conversion", oracle=_SQL_AB)
+def stats_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 hash split of
+    customers; "conversion" = the customer placed at least one
+    urgent-priority order (placing *any* order is ~universal in this
+    data, which would make the pooled variance zero).
+
+    The assignment is ``md5(custkey) % 2`` — the same stable,
+    engine-independent bucketing a real experiment framework uses, so
+    reruns and backfills land every unit in the same arm. Counts are
+    exact integers; the z statistic is one scalar IEEE expression
+    (+,-,*,/,sqrt are all correctly-rounded — only exp/ln diverge
+    across engines, and none appear here).
+    Scale: one distinct-project of orders (shuffle on o_custkey) +
+    one equi-join co-partitioned on the same key, then a single-row
+    conditional aggregate with map-side partials.
+    """
+    tune(spark)
+    assigned = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.pmod(md5_long(F.col("c_custkey").cast("string"), salt="ab"), F.lit(2))
+        .alias("variant"),
+    )
+    conv = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flags = assigned.join(
+        conv, assigned.c_custkey == conv.o_custkey, "left"
+    ).select(
+        "variant",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    counts = flags.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    n_a, n_b, c_a, c_b = (F.col(c) for c in ("n_a", "n_b", "c_a", "c_b"))
+    rate_a = c_a.cast("double") / n_a
+    rate_b = c_b.cast("double") / n_b
+    pooled = (c_a + c_b).cast("double") / (n_a + n_b)
+    return counts.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (
+            (rate_a - rate_b)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+            )
+        ).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------
+
+_K_ANON = 5
+
+_SQL_K_ANON = f"""
+    SELECT c_nationkey AS nk, c_mktsegment AS seg,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           COUNT(*) AS group_size,
+           CASE WHEN COUNT(*) < {_K_ANON} THEN 1 ELSE 0 END AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000.0)
+"""
+
+
+@query("dq_k_anonymity", oracle=_SQL_K_ANON)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group customers by quasi-identifier tuple
+    (nation, market segment, account-balance band) and flag
+    equivalence classes smaller than k=5 — the rows a privacy review
+    would force you to suppress or generalize before exporting
+    training data.
+
+    Scale: one groupBy with map-side combine; cardinality is bounded
+    by the QI domain (|nations| x |segments| x ~12 bands), so the
+    shuffle is tiny no matter how large customer grows.
+    """
+    tune(spark)
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            band.alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.when(F.count(F.lit(1)) < _K_ANON, 1).otherwise(0).alias("at_risk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Mergeable fixed-bin histogram -> percentile estimates
+# --------------------------------------------------------------------
+
+_BIN_W = 4.0  # events.value spans ~[0, 500); ~125 bins
+
+
+_SQL_HIST_PCT = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / CAST({_BIN_W} AS DOUBLE)) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY CAST(ts AS DATE), FLOOR(value / CAST({_BIN_W} AS DOUBLE))),
+    merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM daily GROUP BY bin),
+    cdf AS (
+      SELECT a.bin AS bin, CAST(MAX(a.cnt) AS BIGINT) AS cnt,
+             CAST(SUM(b.cnt) AS BIGINT) AS cum
+      FROM merged a JOIN merged b ON b.bin <= a.bin GROUP BY a.bin),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM merged),
+    qs AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS q),
+    hits AS (
+      SELECT q, MIN(cdf.bin) AS bin
+      FROM qs CROSS JOIN tot JOIN cdf
+        ON cdf.cum >= CAST(CEIL(q * n) AS BIGINT)
+      GROUP BY q)
+    SELECT q,
+           hits.bin * CAST({_BIN_W} AS DOUBLE)
+             + CAST({_BIN_W} AS DOUBLE)
+               * (CAST(CEIL(q * n) AS BIGINT) - (cdf.cum - cdf.cnt))
+               / cdf.cnt AS estimate
+    FROM hits JOIN cdf ON hits.bin = cdf.bin CROSS JOIN tot
+"""
+
+
+@query("sketch_histogram_percentiles", oracle=_SQL_HIST_PCT)
+def sketch_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile estimates (p50/p95/p99 of events.value) from a
+    mergeable fixed-width histogram sketch.
+
+    The partial per (day, bin) is a plain count — associative and
+    mergeable, so daily partials roll up to any window without
+    rescanning raw events (same partial-store pattern as the HLL
+    rollup, ``sketch_hll_mergeable_rollup``). Estimates interpolate
+    inside the hit bin; error is bounded by the bin width — the
+    textbook trade for avoiding a global sort at 100 TB.
+
+    No global window: the cumulative distribution over the ~125-bin
+    merged frame is a tiny self-join (b.bin <= a.bin), kept identical
+    in the oracle so both engines compute the same cum.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / F.lit(_BIN_W)).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = daily.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    a, b = merged.alias("a"), merged.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.max("a.cnt").alias("cnt"), F.sum("b.cnt").alias("cum"))
+    )
+    tot = merged.agg(F.sum("cnt").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q")
+    )
+    rank = F.ceil(F.col("q") * F.col("n")).cast("long")
+    hits = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cum), cum.cum >= rank)
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hits.join(F.broadcast(cum), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "q",
+            (
+                F.col("bin") * F.lit(_BIN_W)
+                + F.lit(_BIN_W)
+                * (rank - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt")
+            ).alias("estimate"),
+        )
+    )

@@ -101,6 +101,11 @@ _EXTERNALLY_VERIFIED = frozenset(
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
+    "stats_regression_price_qty",
+    "stats_chi2_nation_segment",
+    "stats_ab_test_conversion",
+    "dq_k_anonymity",
+    "sketch_histogram_percentiles",
     "dq_referential_integrity",
     "dq_rule_violations",
     "snapshot_diff_orders",
@@ -159,6 +164,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         similarity,
         skew,
+        stats,
         subqueries,
         temporal,
         text,
