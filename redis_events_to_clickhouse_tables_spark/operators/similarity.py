@@ -839,3 +839,183 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg((F.count("hit").cast("double") / F.lit(3)).alias("recall_at_3"))
     )
+
+
+# --------------------------------------------------------------------
+# SRP-LSH: random-hyperplane signatures with OR-amplified tables
+# --------------------------------------------------------------------
+#
+# The other classic ANN scale path (Charikar'02 SimHash for vectors):
+# project each embedding onto fixed pseudo-random ±1 hyperplanes; each
+# sign is one signature bit; vectors agree on a bit with probability
+# 1 - angle/pi. B bits per table make a bucket; L independent tables
+# OR-amplify recall (a near neighbor is a candidate if it collides in
+# ANY table). Unlike sim_ivf_bucketed_topk's axis-sign bucket, the
+# hyperplanes mix ALL dimensions, so bucket balance doesn't depend on
+# any single coordinate's distribution.
+#
+# Determinism: hyperplane entries are ±1 derived from md5 parity of
+# "srp:{table}:{bit}:{dim}" — reproducible on any engine with no RNG.
+# The projection is a dot product against a ±1 literal vector, summed
+# strictly left-to-right in double (same order as DuckDB's
+# list_dot_product), so signatures match bit-for-bit cross-engine.
+
+_SRP_TABLES = 4
+_SRP_BITS = 4
+_SRP_DIM = 64
+
+
+def _srp_signs(t: int, b: int) -> list[float]:
+    import hashlib
+
+    out = []
+    for d in range(_SRP_DIM):
+        h = hashlib.md5(f"srp:{t}:{b}:{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[:8], 16) & 1 else -1.0)
+    return out
+
+
+def _srp_dot(col: str, signs: list[float]) -> Column:
+    arr = F.array(*[F.lit(s) for s in signs])
+    return F.aggregate(
+        F.zip_with(F.col(col), arr, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _srp_bucket(col: str, t: int) -> Column:
+    out = F.lit(0)
+    for b in range(_SRP_BITS):
+        out = out + F.when(_srp_dot(col, _srp_signs(t, b)) >= 0, 2**b).otherwise(0)
+    return out
+
+
+def _srp_bucket_sql(e: str, t: int) -> str:
+    cases = []
+    for b in range(_SRP_BITS):
+        arr = ", ".join(str(s) for s in _srp_signs(t, b))
+        cases.append(
+            f"CASE WHEN list_dot_product({e}.embedding::DOUBLE[], "
+            f"CAST([{arr}] AS DOUBLE[])) >= 0 THEN {2 ** b} ELSE 0 END"
+        )
+    return "(" + " + ".join(cases) + ")"
+
+
+def _srp_topk_sql() -> str:
+    unions = []
+    for t in range(_SRP_TABLES):
+        unions.append(
+            f"""SELECT a.vec_id AS q_id, b.vec_id AS c_id
+                FROM embeddings a JOIN embeddings b
+                  ON {_srp_bucket_sql('a', t)} = {_srp_bucket_sql('b', t)}
+                 AND a.vec_id <> b.vec_id
+                WHERE a.vec_id < {_N_QUERIES}"""
+        )
+    cand = " UNION ".join(unions)
+    return f"""
+    WITH cand AS ({cand})
+    SELECT q_id, c_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT cand.q_id, cand.c_id, {_SQL_COSINE} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                                ORDER BY {_SQL_COSINE} DESC, cand.c_id) AS rk
+      FROM cand JOIN embeddings a ON a.vec_id = cand.q_id
+                JOIN embeddings b ON b.vec_id = cand.c_id) t
+    WHERE rk <= 3
+    """
+
+
+@query("sim_srp_lsh_topk", oracle=_srp_topk_sql())
+def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-3 via SRP-LSH: 4 hash tables x 4
+    random-hyperplane sign bits, candidates = bucket collisions in
+    ANY table, exact cosine rank within candidates. (These embeddings
+    are near-orthogonal synthetic noise — the hardest case for LSH —
+    so short codes + more tables hold recall; real embedding corpora
+    with genuine near-neighbors would use longer codes.)
+
+    Scale: signatures are one map-only pass (12 JVM-side dot products
+    per row, no Python); each table's candidate join shuffles on a
+    6-bit bucket key whose balance comes from full-dimension mixing;
+    the exact rank touches only candidates. At 100 TB you'd raise B
+    to keep bucket sizes bounded and L to hold recall — the knobs are
+    the standard LSH amplification trade, and the plan shape (hash
+    join per table + union + windowed rank) is unchanged.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        *[_srp_bucket("embedding", t).alias(f"b{t}") for t in range(_SRP_TABLES)],
+    )
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(_SRP_TABLES)],
+    )
+    parts = [
+        sig.join(
+            F.broadcast(q),
+            (F.col(f"qb{t}") == F.col(f"b{t}"))
+            & (F.col("q_id") != F.col("vec_id")),
+        ).select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            "q_emb",
+            F.col("embedding").alias("c_emb"),
+            "q_norm",
+            F.col("nrm").alias("c_norm"),
+        )
+        for t in range(_SRP_TABLES)
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates(["q_id", "c_id"])
+    cosine = (_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias(
+        "cosine"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        cand.select("q_id", "c_id", cosine)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "sim_srp_recall",
+    oracle=f"""
+    WITH ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3),
+    sr AS (SELECT q_id, c_id FROM ({_srp_topk_sql()}) s)
+    SELECT ex.q_id, CAST(COUNT(sr.c_id) AS DOUBLE) / 3 AS recall_at_3
+    FROM ex LEFT JOIN sr ON sr.q_id = ex.q_id AND sr.c_id = ex.c_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of SRP-LSH against exact cosine top-3, per query —
+    the OR-amplification quality gauge (raise L if this drops).
+    Composes the two registered pipelines unchanged."""
+    tune(spark)
+    ex = sim_bruteforce_topk(spark, sf_dir).filter(F.col("rk") <= 3).select(
+        "q_id", "c_id"
+    )
+    sr = sim_srp_lsh_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        ex.join(sr, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg((F.count("hit").cast("double") / F.lit(3)).alias("recall_at_3"))
+    )
