@@ -1056,3 +1056,123 @@ def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "timeseries_seasonal_profile",
+    oracle=f"""
+    WITH cell AS (
+      SELECT EXTRACT(ISODOW FROM ts) AS dow, EXTRACT(HOUR FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM({_CENTS}) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(c) AS tc FROM cell)
+    SELECT CAST(dow AS INTEGER) AS dow, CAST(hod AS INTEGER) AS hod, n,
+           CAST(c AS DOUBLE) / n / 100.0 AS mean_value,
+           (CAST(c AS DOUBLE) / n) / (CAST(tc AS DOUBLE) / tn)
+             AS seasonal_index
+    FROM cell CROSS JOIN tot
+    """,
+)
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: mean event value per (ISO weekday,
+    hour-of-day) cell and its seasonal index (cell mean / grand mean)
+    — the multiplicative decomposition a capacity planner or
+    forecaster feeds with *years* of events.
+
+    Scale: one groupBy to a fixed 7x24 grid (map-side combined), grand
+    totals re-aggregated from the grid and broadcast back; the raw
+    table is scanned once regardless of size. Exact integer cent sums;
+    the two means and their ratio are the only IEEE ops.
+    Cross-engine: Spark ``weekday()+1`` == DuckDB ``ISODOW`` (1=Mon);
+    Spark's ``dayofweek`` (1=Sun) would silently shift the grid.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cell = e.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+    tot = cell.agg(
+        F.sum("n").alias("tn"), F.sum("c").alias("tc")
+    )
+    cmean = F.col("c").cast("double") / F.col("n")
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        (cmean / F.lit(100.0)).alias("mean_value"),
+        (cmean / (F.col("tc").cast("double") / F.col("tn"))).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+_CUSUM_THRESHOLD = 50.0  # dollars of accumulated drift
+
+
+@query(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             SUM({_CENTS}) AS c
+      FROM events GROUP BY 1, 2),
+    u AS (SELECT user_id, SUM(c) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+    w AS (
+      SELECT d.user_id, day,
+             SUM(c) OVER (PARTITION BY d.user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.user_id ORDER BY day)
+                  AS BIGINT) AS rn,
+             tot, n
+      FROM d JOIN u ON d.user_id = u.user_id)
+    SELECT user_id, day,
+           (CAST(cum AS DOUBLE) - rn * (CAST(tot AS DOUBLE) / n)) / 100.0
+             AS cusum,
+           ABS((CAST(cum AS DOUBLE) - rn * (CAST(tot AS DOUBLE) / n)) / 100.0)
+             > CAST({_CUSUM_THRESHOLD} AS DOUBLE) AS is_shift
+    FROM w
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change-point signal: cumulative deviation of
+    daily spend from the user's own mean, flagged when the
+    accumulated drift exceeds a threshold — catches slow regime
+    shifts that per-day z-scores (events_anomaly_zscore) miss.
+
+    Scale: the window partitions by user (parallel, bounded state:
+    one running integer per partition); the per-user mean is a
+    groupBy join, co-partitioned on the same key so AQE can reuse the
+    shuffle. The cumulative sum runs over exact integer cents and
+    only the final deviation is IEEE double.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = e.groupBy(
+        "user_id", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    u = d.groupBy("user_id").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    j = d.join(u, "user_id").select(
+        "user_id",
+        "day",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        "tot",
+        "n",
+    )
+    cusum = (
+        F.col("cum").cast("double")
+        - F.col("rn") * (F.col("tot").cast("double") / F.col("n"))
+    ) / F.lit(100.0)
+    return j.select(
+        "user_id",
+        "day",
+        cusum.alias("cusum"),
+        (F.abs(cusum) > F.lit(_CUSUM_THRESHOLD)).alias("is_shift"),
+    )

@@ -101,6 +101,8 @@ _EXTERNALLY_VERIFIED = frozenset(
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
+    "timeseries_seasonal_profile",
+    "events_cusum_drift",
     "sim_srp_lsh_topk",
     "sim_srp_recall",
     "stats_regression_price_qty",
