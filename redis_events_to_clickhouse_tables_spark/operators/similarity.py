@@ -1019,3 +1019,88 @@ def sim_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg((F.count("hit").cast("double") / F.lit(3)).alias("recall_at_3"))
     )
+
+
+# --------------------------------------------------------------------
+# SemDeDup: embedding-cluster semantic pruning (keep/drop verdicts)
+# --------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "dedup_semdedup_prune",
+    oracle=f"""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.vec_id < b.vec_id
+       AND {_SQL_BUCKET8.format(e="a")} = {_SQL_BUCKET8.format(e="b")}
+      WHERE {_SQL_COSINE} >= {_SEMDEDUP_TAU}
+    )
+    SELECT e.vec_id AS vec_id,
+           CAST({_SQL_BUCKET8.format(e="e")} AS INTEGER) AS bucket,
+           (d.vec_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    """,
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication verdicts (SemDeDup, Abbas et al. 2023):
+    cluster embeddings with a cheap quantizer, compare pairs ONLY
+    within a cluster, and drop every member that has a lower-id
+    near-semantic twin (cosine >= tau) — keeping exactly one canonical
+    representative per near-pair chain head.
+
+    This completes the dedup family's embedding branch: exact/MinHash/
+    SimHash catch lexical duplication; SemDeDup catches *paraphrases* —
+    same meaning, different tokens — which lexical methods structurally
+    miss. The output is the consumable per-document verdict table (the
+    shape training runs actually read), not the pair list
+    (``sim_embedding_neardup`` is the pair-level diagnostic).
+
+    Keep-rule note: "drop b iff some a < b has cosine(a,b) >= tau" is
+    the order-free, one-join form of the paper's keep-one-per-group
+    rule; unlike iterative greedy selection it needs no sequential
+    pass, and every near-pair still loses exactly one member.
+
+    Scale: the quantizer is a deterministic sign-LSH bucket (256-way
+    here; the k-means IVF in this module is the learned upgrade), so
+    the candidate join is equi-keyed on the bucket — cost is bounded by
+    bucket occupancy, never all-pairs. Hot buckets take the same
+    slicing policy as the lexical dedup family. The verdict join is a
+    dropped-id set vastly smaller than the corpus, and Spark's AQE
+    broadcasts it when it fits.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        _norm("embedding").alias("a_norm"),
+        _bucket8("embedding").alias("bucket"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        _norm("embedding").alias("b_norm"),
+        _bucket8("embedding").alias("bucket"),
+    )
+    cosine = _dot("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
+    dropped = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine >= _SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        e.select("vec_id", _bucket8("embedding").alias("bucket"))
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

@@ -430,3 +430,129 @@ def sketch_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Poisson bootstrap: distribution-free CI for a mean, one pass
+# --------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF * 1e9, floored: P(W<=k) thresholds for the
+# inverse-CDF draw from a uniform 9-digit hash. Identical integer
+# literals on both engines => identical weights.
+_POIS_CDF = (367879441, 735758882, 919698602, 981011843, 996340153)
+
+_BOOT_HASH = (
+    "CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':' "
+    "|| CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000000"
+)
+_BOOT_W = (
+    f"CASE WHEN {_BOOT_HASH} < {_POIS_CDF[0]} THEN 0 "
+    f"WHEN {_BOOT_HASH} < {_POIS_CDF[1]} THEN 1 "
+    f"WHEN {_BOOT_HASH} < {_POIS_CDF[2]} THEN 2 "
+    f"WHEN {_BOOT_HASH} < {_POIS_CDF[3]} THEN 3 "
+    f"WHEN {_BOOT_HASH} < {_POIS_CDF[4]} THEN 4 ELSE 5 END"
+)
+
+_SQL_BOOTSTRAP = f"""
+    WITH reps AS (
+      SELECT e.event_type, r.b,
+             CAST(SUM({_BOOT_W}) AS BIGINT) AS nb,
+             SUM({_BOOT_W} * CAST(e.value AS DECIMAL(12,2))) AS sb
+      FROM events e
+      CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) r
+      GROUP BY e.event_type, r.b),
+    means AS (
+      SELECT event_type, b, CAST(sb AS DOUBLE) / nb AS mean_b,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(sb AS DOUBLE) / nb, b) AS rk
+      FROM reps),
+    ci AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+             MAX(CASE WHEN rk = {_BOOT_B - 1} THEN mean_b END) AS ci_hi
+      FROM means GROUP BY event_type),
+    pt AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+               AS mean
+      FROM events GROUP BY event_type)
+    SELECT pt.event_type AS event_type, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+    FROM pt JOIN ci ON pt.event_type = ci.event_type
+"""
+
+
+@query("stats_bootstrap_mean_ci", oracle=_SQL_BOOTSTRAP)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean of ``value`` with a rank-based Poisson
+    bootstrap confidence interval (B=32 replicates; bounds = 2nd and
+    31st replicate means — the nearest-rank ~90% percentile CI).
+
+    The Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", 2012) is THE distributed bootstrap:
+    classical resampling needs the whole sample in one place to draw
+    n-out-of-n, but Poisson(1) per-row weights are independent across
+    rows, so each replicate is a weighted aggregate that commutes with
+    arbitrary partitioning. One scan, B map-side-combined partials per
+    group, B rows shuffled per group — no data movement proportional
+    to n.
+
+    Determinism: weights come from the inverse Poisson CDF applied to
+    a 9-digit slice of the shared md5 hash family (integer threshold
+    compares — no float RNG), replicate sums are exact decimals, and
+    the CI bounds are rank-selected (b tiebreak), so both engines pick
+    the same replicate bit-for-bit. ``rand()`` would be none of
+    reproducible, engine-portable, or retry-stable.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    rep = e.select(
+        "event_type",
+        "event_id",
+        dec("value", 12).alias("v"),
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u = md5_long(
+        F.concat_ws(
+            ":", F.lit("boot"), F.col("b").cast("string"),
+            F.col("event_id").cast("string"),
+        )
+    ) % F.lit(1_000_000_000)
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+    )
+    reps = rep.groupBy("event_type", "b").agg(
+        F.sum(w).cast("long").alias("nb"),
+        F.sum(w * F.col("v")).alias("sb"),
+    )
+    mean_b = (F.col("sb").cast("double") / F.col("nb")).alias("mean_b")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ci = (
+        reps.select("event_type", "b", mean_b)
+        .withColumn("rk", rk)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("mean_b"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    pt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec("value", 12)).cast("double") / F.count(F.lit(1))).alias(
+            "mean"
+        ),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n", "mean", "ci_lo", "ci_hi"
+    )

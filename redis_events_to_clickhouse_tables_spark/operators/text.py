@@ -1226,3 +1226,83 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# exact-k uniform sample per group (distributed reservoir analog)
+# --------------------------------------------------------------------
+
+_RESERVOIR_K = 5
+_RES_HASH = DUCKDB_MD5_LONG("'reservoir:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sample_bottomk_reservoir",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY {_RES_HASH}, doc_id) AS INTEGER) AS rk
+      FROM documents) t
+    WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform random sample per group: the k documents per
+    language with the smallest salted content-independent hash — the
+    distributed, mergeable form of reservoir sampling (bottom-k by a
+    uniform hash IS a uniform k-subset, and "k smallest" commutes with
+    any partitioning, so partial samples from different machines or
+    days merge exactly).
+
+    The rate-based samplers above keep a *fraction*; pipelines also
+    need an exact *count* — "give me exactly 5 eval docs per language,
+    reproducibly". The naive plan is a window over partitionBy(lang),
+    which at 100 TB serializes billions of rows per language through
+    one task. Instead: (1) one map-side-combined count per group,
+    (2) a per-group hash cutoff at C*k/n broadcast back (C=8 safety),
+    so a codegen'd scan-stage filter keeps ~C*k rows per group,
+    (3) the window ranks only those ~C*k survivors. A one-scalar probe
+    checks every group still has >= min(k, n) survivors (undershoot
+    probability ~exp(-k*(C-1)^2/2C) ~ 2e-7 per group); on the
+    astronomically-rare miss the cutoff loop widens C 4x and retries,
+    so the result equals the plain-window semantics EXACTLY — the
+    DuckDB oracle is that plain window.
+
+    60-bit md5 hash, doc_id tiebreak: deterministic across engines,
+    runs, and cluster sizes.
+    """
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string"), salt="reservoir").alias("h"),
+    )
+    counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    hash_space = float(2**60)
+    c = 8.0
+    while True:
+        cutoff = F.least(
+            F.lit(1.0), F.lit(c * _RESERVOIR_K) / F.col("__n")
+        ) * F.lit(hash_space)
+        surv = base.join(F.broadcast(counts), "lang").filter(
+            F.col("h") < cutoff
+        )
+        short = (
+            surv.groupBy("lang", "__n")
+            .agg(F.count(F.lit(1)).alias("__s"))
+            .filter(F.col("__s") < F.least(F.lit(_RESERVOIR_K), F.col("__n")))
+            .count()  # 1-scalar probe, O(#groups) work
+        )
+        if short == 0:
+            break
+        c *= 4.0
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        surv.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("lang", "doc_id", "rk")
+    )
