@@ -689,34 +689,95 @@ def _pq_oracle_sql() -> str:
     )
 
 
+def _km_assign_long(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Long-form :func:`_km_assign`: vectors and centroids carry a
+    subspace id ``m``; the per-``m`` centroid sets collapse to one
+    array row each (sorted by cid — same tie order) and broadcast-join
+    on ``m``. The argmin fold is the identical expression, evaluated
+    per (vec_id, m) — bit-for-bit the same assignment as running
+    ``_km_assign`` once per subspace, in ONE corpus scan instead of
+    ``_PQ_M``."""
+    arr = cents.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias("cents")
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+        ),
+        lambda acc, ct: F.when(
+            _dist2(F.col("v"), ct["c"]) < acc["d"],
+            F.struct(_dist2(F.col("v"), ct["c"]).alias("d"), ct["cid"].alias("cid")),
+        ).otherwise(acc),
+        lambda acc: acc["cid"],
+    )
+    return sub.join(F.broadcast(arr), "m").select(
+        "vec_id", "m", "v", best.alias("cid")
+    )
+
+
+def _km_update_long(assigned: DataFrame) -> DataFrame:
+    """Long-form :func:`_km_update`: the same 1e-7 fixed-point mean,
+    grouped by (m, cid, pos) so every subspace's update rides one
+    shuffle of K x dims x _PQ_M partial rows."""
+    sums = (
+        assigned.select("m", "cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("m", "cid", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * _KM_FP).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    means = sums.select(
+        "m", "cid", "pos",
+        (F.col("s").cast("double") / (F.col("n") * float(_KM_FP))).alias("x"),
+    )
+    return means.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+        ).alias("c")
+    )
+
+
 def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
-    """(codebook, codes): per-subspace centroids (m, cid, c) and the
-    per-vector code words (vec_id, m, code) in long form."""
+    """(codebook, codes, cached): per-subspace centroids (m, cid, c)
+    and the per-vector code words (vec_id, m, code), both in long
+    form; ``cached`` is the persisted centroid frame the caller must
+    unpersist after materializing its result.
+
+    The previous shape looped ``_PQ_M`` independent
+    slice->Lloyd->assign chains and unioned them — 4 corpus scans per
+    phase and a plan whose scheduling overhead dwarfed the (tiny)
+    data. Now the subspace id is DATA, not plan structure: one
+    posexplode emits (vec_id, m, subvector) rows, and every phase is
+    a single per-``m``-grouped operator over that long table. Values
+    are unchanged (the per-``m`` groups don't interact anywhere), so
+    the unrolled per-subspace DuckDB oracle still matches bit-exact.
+    """
     vectors = _km_vectors(spark, sf_dir)
-    books = []
-    codes = []
-    for m in range(_PQ_M):
-        sub = vectors.select(
-            "vec_id", F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("v")
-        )
-        cents = sub.filter(F.col("vec_id") < _PQ_K).select(
-            F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
-        )
-        for _ in range(_PQ_ITERS):
-            cents = _km_update(_km_assign(sub, cents))
-        books.append(cents.select(F.lit(m).alias("m"), "cid", "c"))
-        codes.append(
-            _km_assign(sub, cents).select(
-                "vec_id", F.lit(m).alias("m"), F.col("cid").alias("code")
+    sub = vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB)
+                    for m in range(_PQ_M)
+                ]
             )
-        )
-    book = books[0]
-    for b in books[1:]:
-        book = book.unionByName(b)
-    code = codes[0]
-    for c in codes[1:]:
-        code = code.unionByName(c)
-    return book, code
+        ).alias("m", "v"),
+    )
+    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(_PQ_ITERS):
+        cents = _km_update_long(_km_assign_long(sub, cents))
+    # M x K rows; book, LUT and the code assignment all reuse it —
+    # without the persist each consumer replays the Lloyd lineage
+    cents = cents.persist()
+    code = _km_assign_long(sub, cents).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    return cents, code, cents
 
 
 @query("sim_pq_adc_topk", oracle=_pq_oracle_sql())
@@ -736,7 +797,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    book, code = _pq_codebook_and_codes(spark, sf_dir)
+    book, code, cached = _pq_codebook_and_codes(spark, sf_dir)
     vectors = _km_vectors(spark, sf_dir)
     qsubs = []
     for m in range(_PQ_M):
@@ -772,7 +833,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d_fp").alias("fp"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("fp").asc(), F.col("c_id").asc())
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
@@ -782,6 +843,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+    # materialize the (queries x 3)-row result, then release the
+    # centroid cache so a bench sweep doesn't accumulate blocks
+    out = out.persist()
+    out.count()
+    cached.unpersist()
+    return out
 
 
 _SQL_L2 = (
