@@ -72,3 +72,64 @@ def global_rank_desc(
         "__rank_bucket"
     )
     return out, n_total
+
+
+def bottomk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    tiebreak_cols: list[str],
+    k: int,
+    counts: DataFrame | None = None,
+    c0: float = 8.0,
+) -> DataFrame:
+    """Rows whose rank under (``hash_col`` ASC, tiebreaks ASC) within
+    each ``group_cols`` partition is <= k, with ``rk`` attached —
+    WITHOUT streaming whole groups through single window tasks.
+
+    A plain ``Window.partitionBy(group)`` bottom-k funnels each
+    group's entire row set through one task — for skewed groups (a
+    stop-word token, a dominant language) that's the same
+    single-task scale-killer as a global window. Because ``hash_col``
+    is ~uniform on [0, 2**60) (the shared md5 family), the k smallest
+    hashes almost surely sit below cutoff c0*k/n * 2**60, so:
+
+    1. one map-side-combined count per group (or caller-provided),
+    2. broadcast-joined cutoff filter keeps ~c0*k rows per group in
+       the scan stage,
+    3. the window ranks only those survivors (
+       bounded ~c0*k per group),
+    4. a 1-scalar probe asserts every group kept >= min(k, n)
+       survivors; on the ~exp(-k(c0-1)^2/2c0) miss the loop widens c0
+       4x and retries, so the result EXACTLY equals the plain-window
+       semantics (which is what oracles should express).
+
+    Groups with n <= c0*k keep every row (cutoff saturates at 1.0), so
+    small groups are never wrong, only unpruned.
+    """
+    if counts is None:
+        counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    else:
+        counts = counts.select(*group_cols, F.col(counts.columns[-1]).alias("__n"))
+    hash_space = float(2**60)
+    c = c0
+    while True:
+        cutoff = F.least(F.lit(1.0), F.lit(c * k) / F.col("__n")) * F.lit(
+            hash_space
+        )
+        surv = df.join(counts, list(group_cols)).filter(F.col(hash_col) < cutoff)
+        short = (
+            surv.groupBy(*group_cols, "__n")
+            .agg(F.count(F.lit(1)).alias("__s"))
+            .filter(F.col("__s") < F.least(F.lit(k), F.col("__n")))
+            .count()  # 1-scalar probe, O(#groups) work
+        )
+        if short == 0:
+            break
+        c *= 4.0
+    w = Window.partitionBy(*group_cols).orderBy(hash_col, *tiebreak_cols)
+    return (
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("__n")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
-from ..functions.ranks import global_rank_desc
+from ..functions.ranks import bottomk_per_group, global_rank_desc
 from ..registry import query
 from ..session import tune
 from ..sources.tables import fanout, table
@@ -1045,6 +1045,11 @@ def classifier_hashed_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POSTINGS_HEAD = 10
 
 
+_POSTINGS_HASH = DUCKDB_MD5_LONG(
+    "'postings:' || tok || ':' || CAST(doc_id AS VARCHAR)"
+)
+
+
 @query(
     "index_inverted_postings",
     oracle=f"""
@@ -1058,7 +1063,8 @@ _POSTINGS_HEAD = 10
     ),
     ranked AS (
       SELECT tok, doc_id, cnt,
-             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY tok
+                                ORDER BY {_POSTINGS_HASH}, doc_id) AS rn
       FROM td
     )
     SELECT tok,
@@ -1074,38 +1080,59 @@ _POSTINGS_HEAD = 10
 def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (the retrieval side of a training-data
     pipeline): per token, document frequency, total term frequency,
-    and the first 10 postings (ascending doc_id) as a preview column.
+    and a deterministic 10-posting uniform sample head (ascending
+    doc_id) as a preview column.
 
     Scale shape: the posting stream is (token, doc, tf) rows — the
     representation a sharded index keeps, shuffled once on the token.
-    The stored head is bounded by a doc_id-ordered ROW_NUMBER window
-    (partitioned by token) BEFORE any array is built, so a stop-word
-    token present in a billion documents still aggregates a <=10
-    element array — no unbounded collect_list anywhere (same
-    discipline as the dedup hot-bucket chunking).
+    The stored head is the bottom-10 postings by a salted md5 hash,
+    selected via :func:`bottomk_per_group` — count-derived cutoff
+    prefilter, then a window over the ~80 survivors per token — so a
+    stop-word token present in a billion documents never streams its
+    posting list through one window task (the previous doc_id-ordered
+    window did exactly that for hot tokens) and never aggregates more
+    than a <=10 element array. Hash order (not smallest-doc_id) is
+    what makes the prefilter possible; a uniform sample is also the
+    more useful preview.
     """
     tune(spark)
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     td = (
         d.select("doc_id", F.explode(_toks()).alias("tok"))
         .groupBy("tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    rn = F.row_number().over(Window.partitionBy("tok").orderBy("doc_id"))
-    ranked = td.withColumn("rn", rn)
-    return ranked.groupBy("tok").agg(
+    totals = td.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("cnt").cast("long").alias("tf_total"),
+    )
+    hashed = td.withColumn(
+        "h",
+        md5_long(
+            F.concat(
+                F.lit("postings:"),
+                F.col("tok"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    head = bottomk_per_group(
+        hashed,
+        ["tok"],
+        "h",
+        ["doc_id"],
+        _POSTINGS_HEAD,
+        counts=totals.select("tok", "df"),
+    )
+    heads = head.groupBy("tok").agg(
         F.concat_ws(
             ",",
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("rn") <= _POSTINGS_HEAD, F.col("doc_id"))
-                )
-            ).cast("array<string>"),
-        ).alias("postings_head"),
+            F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+        ).alias("postings_head")
+    )
+    return totals.join(heads, "tok").select(
+        "tok", "df", "tf_total", "postings_head"
     )
 
 
@@ -1270,10 +1297,10 @@ def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is that plain window.
 
     60-bit md5 hash, doc_id tiebreak: deterministic across engines,
-    runs, and cluster sizes.
+    runs, and cluster sizes. The cutoff machinery is the shared
+    :func:`bottomk_per_group` primitive (also bounding the inverted
+    index's posting heads).
     """
-    from pyspark.sql import Window
-
     tune(spark)
     d = table(spark, sf_dir, "documents")
     base = d.select(
@@ -1281,28 +1308,6 @@ def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         md5_long(F.col("doc_id").cast("string"), salt="reservoir").alias("h"),
     )
-    counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
-    hash_space = float(2**60)
-    c = 8.0
-    while True:
-        cutoff = F.least(
-            F.lit(1.0), F.lit(c * _RESERVOIR_K) / F.col("__n")
-        ) * F.lit(hash_space)
-        surv = base.join(F.broadcast(counts), "lang").filter(
-            F.col("h") < cutoff
-        )
-        short = (
-            surv.groupBy("lang", "__n")
-            .agg(F.count(F.lit(1)).alias("__s"))
-            .filter(F.col("__s") < F.least(F.lit(_RESERVOIR_K), F.col("__n")))
-            .count()  # 1-scalar probe, O(#groups) work
-        )
-        if short == 0:
-            break
-        c *= 4.0
-    w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    return (
-        surv.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _RESERVOIR_K)
-        .select("lang", "doc_id", "rk")
-    )
+    return bottomk_per_group(
+        base, ["lang"], "h", ["doc_id"], _RESERVOIR_K
+    ).select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))

@@ -127,3 +127,48 @@ def test_rolling_distinct_users_brute_force(spark, tmp_path):
         day = (base + dt.timedelta(days=off)).date()
         assert got[day] == want, f"day offset {off}: {got[day]} != {want}"
     assert len(got) == d1 - d0 + 1  # gap days present (spine fill)
+
+
+def test_bottomk_per_group_equals_plain_window_under_skew(spark):
+    """bottomk_per_group (the cutoff-prefilter bottom-k behind
+    sample_bottomk_reservoir and the inverted-index posting heads)
+    must equal the plain partitioned window EXACTLY, including on a
+    hostile group 100x bigger than the others and on groups smaller
+    than k — and the widen-retry loop (deliberately-undershooting c0)
+    must converge to the same answer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.functions.hashing import md5_long
+    from redis_events_to_clickhouse_tables_spark.functions.ranks import (
+        bottomk_per_group,
+    )
+
+    rows = (
+        [("hot", i) for i in range(3000)]
+        + [("mid", i) for i in range(40)]
+        + [("tiny", i) for i in range(2)]  # smaller than k
+    )
+    df = spark.createDataFrame(rows, "g STRING, id LONG").withColumn(
+        "h", md5_long(F.concat_ws(":", "g", F.col("id").cast("string")))
+    )
+    k = 5
+    w = Window.partitionBy("g").orderBy("h", "id")
+    want = sorted(
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("g", "id", "rk")
+        .collect()
+    )
+    for c0 in (8.0, 0.25):  # 0.25 undershoots: forces the retry path
+        got = sorted(
+            bottomk_per_group(df, ["g"], "h", ["id"], k, c0=c0)
+            .select("g", "id", "rk")
+            .collect()
+        )
+        assert got == want, f"c0={c0}"
+    # the prefilter actually prunes the hot group (the point of it)
+    surv_frac = (
+        bottomk_per_group(df, ["g"], "h", ["id"], k).count() / len(rows)
+    )
+    assert surv_frac < 0.02
