@@ -1,0 +1,330 @@
+"""Corpus-statistics operators: correlation matrix, character
+entropy, and a character-bigram language-model scorer (Layer B).
+
+None of these exist in the reference (its §2.9 surface has no
+relational operators); they extend the training-data-pipeline layer
+with three signals every large-scale curation job computes:
+
+- ``stats_corr_matrix``: which numeric features co-vary (feature
+  audit before model training / leakage checks);
+- ``text_char_entropy``: per-document Shannon entropy — the cheapest
+  gibberish/boilerplate detector (low entropy = repeated filler,
+  high = random bytes);
+- ``text_bigram_lm_bits``: bits-per-bigram of each document under an
+  add-one-smoothed character-bigram LM trained on the corpus itself —
+  the KenLM-style quality-filter shape (CCNet et al.) with the model
+  reduced to a broadcastable table.
+
+Determinism strategy extends ``stats.py``'s: transcendentals (log2)
+are NOT correctly-rounded identically across engines, so they never
+touch per-row arithmetic. Instead each log2 is evaluated once per
+*small model entry* (a distinct count value or a distinct bigram) and
+immediately floor-scaled to an int64 (``floor(log2(x)*1e6)``); every
+downstream reduction is exact integer arithmetic, and the final
+statistic is ONE IEEE division both engines perform identically. The
+documented cost is a <=2e-6-bit quantization on an entropy/score
+whose useful resolution is ~1e-2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+# --------------------------------------------------------------------
+# Pearson correlation matrix from exact power sums
+# --------------------------------------------------------------------
+
+_CORR_VARS = ("qty", "price", "disc100", "tax100")
+
+_SQL_CORR_SUMS = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)))) AS DOUBLE) AS s_qty,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) AS s_price,
+             CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_disc100,
+             CAST(FLOOR(SUM(CAST(l_tax AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_tax100,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))) AS DOUBLE) AS s_qty_qty,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) AS s_qty_price,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_qty_disc100,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_qty_tax100,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) AS s_price_price,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_price_disc100,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_tax AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_price_tax100,
+             CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(12,2)) * 100 * CAST(l_discount AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_disc100_disc100,
+             CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(12,2)) * 100 * CAST(l_tax AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_disc100_tax100,
+             CAST(FLOOR(SUM(CAST(l_tax AS DECIMAL(12,2)) * 100 * CAST(l_tax AS DECIMAL(12,2)) * 100)) AS DOUBLE) AS s_tax100_tax100
+      FROM lineitem)
+"""
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    vs = _CORR_VARS
+    return [(vs[i], vs[j]) for i in range(len(vs)) for j in range(i + 1, len(vs))]
+
+
+def _sql_corr() -> str:
+    parts = []
+    for x, y in _corr_pairs():
+        parts.append(f"""
+      SELECT '{x}' AS var_x, '{y}' AS var_y, n,
+             (n * s_{x}_{y} - s_{x} * s_{y})
+             / SQRT((n * s_{x}_{x} - s_{x} * s_{x})
+                    * (n * s_{y}_{y} - s_{y} * s_{y})) AS corr
+      FROM s""")
+    return _SQL_CORR_SUMS + "\n    UNION ALL".join(parts)
+
+
+@query("stats_corr_matrix", oracle=_sql_corr())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (long form: var_x, var_y, corr) over
+    lineitem's four numeric measures via exact decimal power sums.
+
+    Scale: ONE map-side-combined full scan producing a single 15-field
+    row; the 6 pairwise correlations are scalar expressions on it —
+    moments commute with partitioning, so this is how 1000 executors
+    compute a correlation matrix with a 1-row shuffle. No per-pair
+    rescan, no ``df.stat.corr`` driver loop (which scans once per
+    pair).
+
+    Determinism: discount/tax are scaled x100 inside the decimal
+    domain (their 2-dp values become exact integers — a raw
+    ``floor(sum(disc^2))`` would truncate ~all of the signal since
+    disc^2 <= 0.01); correlation is invariant to per-variable linear
+    scaling, so the x100 changes nothing mathematically. Power sums
+    follow the ``stats_regression_price_qty`` precedent: FLOOR to the
+    integer part inside decimal, one cast to double, then +,-,*,/ and
+    a correctly-rounded SQRT — all IEEE-identical across engines.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    v = {
+        "qty": dec("l_quantity", 12),
+        "price": dec("l_extendedprice", 14),
+        "disc100": dec("l_discount", 12) * 100,
+        "tax100": dec("l_tax", 12) * 100,
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for x in _CORR_VARS:
+        aggs.append(F.floor(F.sum(v[x])).cast("double").alias(f"s_{x}"))
+    for x, y in _corr_pairs():
+        aggs.append(
+            F.floor(F.sum(v[x] * v[y])).cast("double").alias(f"s_{x}_{y}")
+        )
+    for x in _CORR_VARS:
+        aggs.append(
+            F.floor(F.sum(v[x] * v[x])).cast("double").alias(f"s_{x}_{x}")
+        )
+    sums = li.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for x, y in _corr_pairs():
+        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy = F.col(f"s_{x}_{x}"), F.col(f"s_{y}_{y}")
+        sxy = F.col(f"s_{x}_{y}")
+        corr = (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("var_x"),
+                F.lit(y).alias("var_y"),
+                n.cast("long").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return sums.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------
+# Per-document character entropy
+# --------------------------------------------------------------------
+
+# floor(log2(n)*1e6) of an int64 count — log2 of an integer is within
+# 1 ulp across engines; flooring at 1e6 scale makes a cross-engine
+# mismatch need the true value within ~1e-10 of an integer grid point
+# (log2 of a non-power-of-2 integer is irrational, so measure-zero up
+# to ulp coincidences; powers of 2 are exact in both engines).
+_ILOG = "CAST(FLOOR(log2(CAST({n} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+_SQL_ENTROPY = f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0),
+    cnts AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+    docs AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS uniq_chars,
+             CAST(SUM(c * {_ILOG.format(n='c')}) AS BIGINT) AS s_nlogn
+      FROM cnts GROUP BY doc_id)
+    SELECT doc_id, n_chars, uniq_chars,
+           CAST(n_chars * {_ILOG.format(n='n_chars')} - s_nlogn AS DOUBLE)
+             / (CAST(n_chars AS DOUBLE) * 1000000) AS entropy_bits
+    FROM docs
+"""
+
+
+@query("text_char_entropy", oracle=_SQL_ENTROPY)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char): the
+    cheapest quality signal — near-zero for repeated filler, ~4-4.5
+    for natural text, ~6+ for random alphanumerics.
+
+    Scale: explode to (doc_id, char) and count — both the explode and
+    the two aggregations are map-side-combinable and partition by
+    doc_id, so the whole plan is one shuffle of per-doc char
+    histograms (<=alphabet-size rows per doc, NOT per-char rows: the
+    partial aggregate collapses within each scan task). No windows, no
+    collects.
+
+    Determinism: entropy = log2(N) - (1/N)*sum(c_i*log2(c_i)) needs
+    log2, which is not bit-identical across engines. Both factors are
+    therefore quantized AT THE INTEGER-COUNT level —
+    ``floor(log2(count)*1e6)`` — making the reduction exact int64
+    arithmetic; the final value is one IEEE division. Quantization
+    bias <=2e-6 bits (identical in both engines, so the hash match is
+    exact, not approximate).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cnts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ilog_c = F.floor(F.log2(F.col("c").cast("double")) * 1e6).cast("long")
+    docs = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("uniq_chars"),
+        F.sum(F.col("c") * ilog_c).cast("long").alias("s_nlogn"),
+    )
+    ilog_n = F.floor(
+        F.log2(F.col("n_chars").cast("double")) * 1e6
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        "uniq_chars",
+        (
+            (F.col("n_chars") * ilog_n - F.col("s_nlogn")).cast("double")
+            / (F.col("n_chars").cast("double") * F.lit(1e6))
+        ).alias("entropy_bits"),
+    )
+
+
+# --------------------------------------------------------------------
+# Character-bigram LM score (add-one smoothing)
+# --------------------------------------------------------------------
+
+_SQL_BIGRAM_LM = """
+    WITH bigrams AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+      FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+            FROM documents WHERE length(text) >= 2)),
+    doc_bg AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+    model_bg AS (
+      SELECT bg, CAST(SUM(c) AS BIGINT) AS cnt_bg FROM doc_bg GROUP BY bg),
+    model_ctx AS (
+      SELECT substr(bg, 1, 1) AS ctx, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_ctx
+      FROM model_bg GROUP BY substr(bg, 1, 1)),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT substr(bg, 2, 1)) AS BIGINT) AS v
+      FROM model_bg WHERE length(bg) = 2),
+    lp AS (
+      SELECT bg,
+             CAST(FLOOR(log2(CAST(cnt_bg + 1 AS DOUBLE)
+                             / CAST(cnt_ctx + v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp6
+      FROM model_bg JOIN model_ctx ON substr(bg, 1, 1) = ctx CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           -CAST(SUM(c * lp6) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * 1000000) AS bits_per_bigram
+    FROM doc_bg JOIN lp USING (bg)
+    GROUP BY doc_id
+"""
+
+
+@query("text_bigram_lm_bits", oracle=_SQL_BIGRAM_LM)
+def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bits-per-bigram of every document under an add-one-smoothed
+    character-bigram LM trained on the corpus itself — the
+    quality-filter shape of CCNet/KenLM perplexity scoring, reduced
+    to pure DataFrame algebra.
+
+    Scale: the heavy object is the per-doc bigram histogram (one
+    explode + map-side-combined groupBy, partitioned by doc_id). The
+    MODEL — per-bigram smoothed log-probs — is at most
+    |alphabet|^2 rows regardless of corpus size, so scoring is a
+    broadcast hash join against the doc histograms: training a
+    100-TB-corpus LM and scoring every document costs two shuffles of
+    histogram partials and zero shuffles of the corpus itself.
+
+    Determinism: log2 is evaluated once per MODEL ENTRY (distinct
+    bigram) on one IEEE-identical division, floor-scaled to int64
+    (``lp6``); per-doc scores are exact integer dot products and one
+    final IEEE division. Same quantize-the-model trick as
+    ``text_char_entropy`` — scores match bit-for-bit across engines.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    doc_bg = bigrams.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    model_bg = doc_bg.groupBy("bg").agg(
+        F.sum("c").cast("long").alias("cnt_bg")
+    )
+    model_ctx = model_bg.groupBy(
+        F.substring("bg", 1, 1).alias("ctx")
+    ).agg(F.sum("cnt_bg").cast("long").alias("cnt_ctx"))
+    vocab = model_bg.filter(F.length("bg") == 2).agg(
+        F.count_distinct(F.substring("bg", 2, 1)).cast("long").alias("v")
+    )
+    lp = (
+        model_bg.join(
+            F.broadcast(model_ctx),
+            F.substring("bg", 1, 1) == F.col("ctx"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                F.log2(
+                    (F.col("cnt_bg") + 1).cast("double")
+                    / (F.col("cnt_ctx") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (
+                -F.sum(F.col("c") * F.col("lp6")).cast("double")
+                / (F.sum("c").cast("double") * F.lit(1e6))
+            ).alias("bits_per_bigram"),
+        )
+    )

@@ -101,6 +101,9 @@ _EXTERNALLY_VERIFIED = frozenset(
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
+    "stats_corr_matrix",
+    "text_char_entropy",
+    "text_bigram_lm_bits",
     "timeseries_seasonal_profile",
     "events_cusum_drift",
     "sim_srp_lsh_topk",
@@ -172,6 +175,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         temporal,
         text,
+        textstats,
         timeseries,
         tpch_extra,
     )
