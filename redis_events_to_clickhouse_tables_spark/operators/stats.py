@@ -556,3 +556,172 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(ci, "event_type").select(
         "event_type", "n", "mean", "ci_lo", "ci_hi"
     )
+
+
+# --------------------------------------------------------------------
+# Gini concentration of customer revenue, per nation
+# --------------------------------------------------------------------
+
+_SQL_GINI = """
+    WITH rev AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    nat AS (
+      SELECT n_name, ck, cents
+      FROM rev JOIN customer ON c_custkey = ck
+               JOIN nation ON n_nationkey = c_nationkey),
+    ranked AS (
+      SELECT n_name, cents,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY cents, ck) AS r
+      FROM nat),
+    agg AS (
+      SELECT n_name, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS t,
+             CAST(SUM(r * cents) AS BIGINT) AS s
+      FROM ranked GROUP BY n_name)
+    SELECT n_name, n_customers,
+           CAST(t AS DOUBLE) / 100 AS total_revenue,
+           (CAST(2 * s AS DOUBLE) - CAST((n_customers + 1) * t AS DOUBLE))
+             / (CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE)) AS gini
+    FROM agg
+"""
+
+
+@query("stats_gini_revenue_by_nation", oracle=_SQL_GINI)
+def stats_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each
+    nation — the concentration/inequality audit a curation job runs on
+    any contributor-weighted corpus ("is 1% of sources 90% of the
+    data?"), here over the TPC-H order book.
+
+    Uses the rank formula G = (2*sum(r_i*x_i) - (N+1)*sum(x_i)) /
+    (N*sum(x_i)) with ascending ranks under a total order; tied values
+    with consecutive ranks contribute the same sum under any tie
+    permutation, so the result is tie-order-independent.
+
+    Scale: revenue is aggregated per customer first (map-side
+    combine), so the ranked set is customers, not orders; ranks come
+    from a window PARTITIONED by nation (each task sorts one nation's
+    customers). For a corpus where one group holds most of the keys,
+    swap the rank source to ``functions.ranks.global_rank_desc``'s
+    bucketed machinery per group — same downstream algebra.
+    Determinism: cents are exact int64, both reductions are exact
+    integer sums (bounded ~N*T < 2^53 through sf1), and the final
+    Gini is one IEEE expression on exactly-representable doubles.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("cents")
+    )
+    nat = rev.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        rev.ck == F.col("c_custkey"),
+    ).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "ck")
+    ranked = nat.select(
+        "n_name", "cents", "ck"
+    ).withColumn("r", F.row_number().over(w))
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("r") * F.col("cents")).cast("long").alias("s"),
+    )
+    nc, t, s = F.col("n_customers"), F.col("t"), F.col("s")
+    return agg.select(
+        "n_name",
+        "n_customers",
+        (t.cast("double") / 100).alias("total_revenue"),
+        (
+            ((2 * s).cast("double") - ((nc + 1) * t).cast("double"))
+            / (nc.cast("double") * t.cast("double"))
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------
+# Winsorized mean (5% / 95%) by return flag
+# --------------------------------------------------------------------
+
+_SQL_WINSOR = """
+    WITH n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+               GROUP BY l_returnflag),
+    r AS (SELECT l_returnflag, l_extendedprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS rn
+          FROM lineitem),
+    cuts AS (
+      SELECT r.l_returnflag,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS hi
+      FROM r JOIN n USING (l_returnflag) GROUP BY r.l_returnflag)
+    SELECT l_returnflag, lo, hi,
+           CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                         AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+             AS winsorized_mean
+    FROM lineitem JOIN cuts USING (l_returnflag)
+    GROUP BY l_returnflag, lo, hi
+"""
+
+
+@query("stats_winsorized_price", oracle=_SQL_WINSOR)
+def stats_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clamp at exact P5/P95, then average) of
+    extendedprice per return flag — the outlier-robust location
+    estimate a quality pipeline prefers over the raw mean when a few
+    extreme rows (pathological docs, mispriced orders) would dominate.
+
+    Two passes: (1) exact rank-selected P5/P95 per group (the
+    ``agg_exact_p90_rank`` integer-position pattern — ceil(q*n) as
+    (q*100*n + 99) div 100 so both engines agree in integer
+    arithmetic), broadcast back; (2) clamp inside codegen and take an
+    exact decimal mean. The clamp values are deterministic under ties
+    (position k of the sorted multiset); the mean is
+    ``div_avg``-exact.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    r = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).withColumn("rn", F.row_number().over(w))
+    cuts = (
+        r.join(F.broadcast(n), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("v")
+                )
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("v")
+                )
+            ).alias("hi"),
+        )
+    )
+    clamped = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+        .alias("cv"),
+    )
+    return clamped.groupBy("l_returnflag", "lo", "hi").agg(
+        (F.sum(dec("cv", 14)).cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        )
+    )

@@ -328,3 +328,84 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_bigram"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Mutual information between two categorical columns
+# --------------------------------------------------------------------
+
+_SQL_MI = """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents
+      GROUP BY lang, source),
+    m AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY lang),
+    sdim AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cells
+             GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT c,
+             CAST(FLOOR(log2(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lp6,
+             n
+      FROM cells JOIN m USING (lang) JOIN sdim USING (source)
+                 CROSS JOIN tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MIN(n) AS n_docs,
+           CAST(SUM(c * lp6) AS DOUBLE)
+             / (CAST(MIN(n) AS DOUBLE) * 1000000) AS mi_bits
+    FROM terms
+"""
+
+
+@query("stats_mutual_information_lang_source", oracle=_SQL_MI)
+def stats_mutual_information_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information (bits) between a document's language and its
+    source — the dependence audit run before stratified splitting: a
+    high MI means "source leaks language", so sampling by source would
+    skew the language mix.
+
+    MI = sum_cells (c/N) * log2(c*N / (c_lang*c_source)). Scale: one
+    groupBy over the corpus produces the contingency cells
+    (|langs|*|sources| rows — tiny regardless of corpus size); the
+    marginals and the statistic are algebra on the cells. Determinism:
+    the log2 of each cell's exactly-representable ratio is
+    floor-scaled to int64 once per CELL (quantize-the-model trick —
+    see module docstring), the dot product is exact integer
+    arithmetic, and the final value is one IEEE division.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    ms = cells.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "n",
+            F.floor(
+                F.log2(
+                    F.col("c").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("cl").cast("double") * F.col("cs").cast("double"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("n").alias("n_docs"),
+        (
+            F.sum(F.col("c") * F.col("lp6")).cast("double")
+            / (F.min("n").cast("double") * F.lit(1e6))
+        ).alias("mi_bits"),
+    )

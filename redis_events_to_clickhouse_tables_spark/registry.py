@@ -102,6 +102,9 @@ _EXTERNALLY_VERIFIED = frozenset(
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
     "stats_corr_matrix",
+    "stats_gini_revenue_by_nation",
+    "stats_winsorized_price",
+    "stats_mutual_information_lang_source",
     "text_char_entropy",
     "text_bigram_lm_bits",
     "timeseries_seasonal_profile",
