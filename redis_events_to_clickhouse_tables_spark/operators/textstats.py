@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
+from ..functions.ranks import global_rank_desc
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -408,4 +409,174 @@ def stats_mutual_information_lang_source(
             F.sum(F.col("c") * F.col("lp6")).cast("double")
             / (F.min("n").cast("double") * F.lit(1e6))
         ).alias("mi_bits"),
+    )
+
+
+# --------------------------------------------------------------------
+# Heaps' law: vocabulary growth over corpus prefixes
+# --------------------------------------------------------------------
+
+_SQL_HEAPS = """
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    td AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0),
+    tok_first AS (
+      SELECT tok, MIN(doc_id) AS fd FROM td WHERE tok <> ''
+      GROUP BY tok),
+    occ AS (
+      SELECT q.i AS quarter,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM td, n
+              WHERE tok <> '' AND doc_id < (n_docs * q.i) // 4)
+               AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tok_first, n
+              WHERE fd < (n_docs * q.i) // 4) AS vocab
+      FROM (SELECT unnest([1, 2, 3, 4]) AS i) q)
+    SELECT quarter, n_tokens, vocab FROM occ
+"""
+
+
+@query("text_heaps_law", oracle=_SQL_HEAPS)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size after 25/50/75/100% of the
+    corpus (prefix by doc_id) — the growth diagnostic that tells a
+    data pipeline whether more data still buys new vocabulary or the
+    corpus has saturated (dedup/quality regressions show up as a
+    suddenly-flat curve).
+
+    Scale: token first-occurrence is ``min(doc_id)`` per token (one
+    map-side-combined aggregate over the exploded token stream); the
+    four prefix vocab/token counts are CONDITIONAL SUMS in a single
+    1-row aggregate — no per-prefix rescan, no global window, no
+    driver loop. Everything is exact integer arithmetic.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    ts = [(n_docs * i) // 4 for i in (1, 2, 3, 4)]
+    td = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tok_first = td.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    occ = td.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"o{i}")
+            for i, t in enumerate(ts, 1)
+        ]
+    )
+    voc = tok_first.agg(
+        *[
+            F.sum(F.when(F.col("fd") < t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"v{i}")
+            for i, t in enumerate(ts, 1)
+        ]
+    )
+    both = occ.crossJoin(F.broadcast(voc))
+    rows = [
+        F.struct(
+            F.lit(i).alias("quarter"),
+            F.col(f"o{i}").alias("n_tokens"),
+            F.col(f"v{i}").alias("vocab"),
+        )
+        for i in (1, 2, 3, 4)
+    ]
+    return both.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------
+# Zipf slope: log-log OLS of token frequency on rank
+# --------------------------------------------------------------------
+
+_SQL_ZIPF = """
+    WITH td AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0),
+    freqs AS (
+      SELECT tok, COUNT(*) AS f FROM td WHERE tok <> '' GROUP BY tok),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM freqs),
+    q AS (
+      SELECT CAST(FLOOR(log2(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(FLOOR(log2(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM q)
+    SELECT n AS n_vocab,
+           (CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)) AS zipf_slope,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+"""
+
+
+@query("text_zipf_slope", oracle=_SQL_ZIPF)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of log2(frequency) on
+    log2(rank) over the whole vocabulary (natural text ~ -1; a
+    synthetic or template-heavy corpus deviates hard — a one-number
+    corpus-health check).
+
+    Scale: token ranks come from ``functions.ranks.global_rank_desc``
+    — percentile-bucketed exact global ranking, each task sorting one
+    frequency range — never a global window (the registry-wide plan
+    gate forbids those). The OLS runs on log-quantized int64 pairs
+    (floor(log2*1e3): ~24k max for any realistic vocab, so the power
+    sums stay << 2^63 at billion-token vocabularies) and the slope is
+    one IEEE expression — bit-identical across engines, quantization
+    error ~1e-3 on a statistic read at 1e-2.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    td = (
+        d.filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freqs = td.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked, _ = global_rank_desc(freqs, "f", "tok", rank_col="r")
+    q = ranked.select(
+        F.floor(F.log2(F.col("r").cast("double")) * 1e3)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log2(F.col("f").cast("double")) * 1e3)
+        .cast("long")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        n.alias("n_vocab"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx).cast("double")
+        ).alias("zipf_slope"),
+        (
+            ((n * sxy - sx * sy).cast("double") * (n * sxy - sx * sy).cast("double"))
+            / (
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            )
+        ).alias("r2"),
     )

@@ -102,6 +102,8 @@ _EXTERNALLY_VERIFIED = frozenset(
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
     "stats_corr_matrix",
+    "text_heaps_law",
+    "text_zipf_slope",
     "stats_gini_revenue_by_nation",
     "stats_winsorized_price",
     "stats_mutual_information_lang_source",
