@@ -172,3 +172,43 @@ def test_bottomk_per_group_equals_plain_window_under_skew(spark):
         bottomk_per_group(df, ["g"], "h", ["id"], k).count() / len(rows)
     )
     assert surv_frac < 0.02
+
+
+def test_quantized_log2_is_cross_engine_identical(spark):
+    """The quantize-the-model determinism trick (textstats module:
+    entropy / bigram LM / MI / Zipf) rests on floor(log2(n)*1e6)
+    agreeing between Spark's JVM log and DuckDB's libm log for
+    integer inputs. Property-check it over adversarial integers:
+    powers of two (exact), power-of-two neighbors (worst rounding
+    pressure), primes, and a deterministic pseudorandom spread up to
+    2^40."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    ns = set()
+    for p in range(1, 40):
+        ns.update({2**p - 1, 2**p, 2**p + 1})
+    ns.update({3, 5, 7, 11, 97, 1009, 104729, 15485863, 982451653})
+    x = 12345
+    for _ in range(500):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        ns.add(x % (2**40) + 2)
+    ns = sorted(ns)
+
+    sdf = spark.createDataFrame([(n,) for n in ns], "n LONG").select(
+        "n",
+        F.floor(F.log2(F.col("n").cast("double")) * 1e6)
+        .cast("long")
+        .alias("q"),
+    )
+    got = {r["n"]: r["q"] for r in sdf.collect()}
+    want = {
+        n: q
+        for n, q in duckdb.sql(
+            "SELECT n, CAST(FLOOR(log2(CAST(n AS DOUBLE)) * 1000000) AS"
+            " BIGINT) FROM (SELECT unnest($ns) AS n)",
+            params={"ns": ns},
+        ).fetchall()
+    }
+    diffs = {n: (got[n], want[n]) for n in ns if got[n] != want[n]}
+    assert not diffs, dict(list(diffs.items())[:5])
