@@ -661,3 +661,139 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= _BUDGET_TOKENS).alias("selected"),
     )
+
+
+# --------------------------------------------------------------------
+# Water-filling token-budget allocation across sources
+# --------------------------------------------------------------------
+
+_SQL_WATERFILL = """
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS c
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c) // 2 AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM src),
+    cand AS (
+      SELECT a.source, a.c,
+             CAST(SUM(CASE WHEN (b.c < a.c)
+                             OR (b.c = a.c AND b.source <= a.source)
+                      THEN b.c ELSE 0 END) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN (b.c > a.c)
+                             OR (b.c = a.c AND b.source > a.source)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM src a, src b GROUP BY a.source, a.c
+      UNION ALL
+      SELECT '', 0, 0, n_src FROM tot),
+    best AS (
+      SELECT c, s, m FROM cand, tot
+      WHERE s + m * c <= b
+      ORDER BY c DESC, source DESC LIMIT 1),
+    lam AS (
+      SELECT CASE WHEN m = 0 THEN NULL ELSE (b - s) // m END AS lam_floor,
+             m AS m_best, b, total
+      FROM best, tot)
+    SELECT src.source,
+           src.c AS c_tokens,
+           CAST(CASE WHEN m_best = 0 THEN src.c
+                     ELSE LEAST(src.c, lam_floor) END AS BIGINT)
+             AS alloc_tokens,
+           CAST(CASE WHEN m_best = 0 THEN src.c
+                     ELSE LEAST(src.c, lam_floor) END AS DOUBLE)
+             / CAST(src.c AS DOUBLE) AS keep_rate,
+           b AS budget, lam_floor
+    FROM src, lam
+"""
+
+
+@query("pipeline_token_budget_waterfill", oracle=_SQL_WATERFILL)
+def pipeline_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Water-filling allocation of a 50%-of-corpus token budget across
+    sources: every source keeps min(its tokens, lambda) where the
+    water level lambda is chosen so the allocations exactly exhaust
+    the budget — the DoReMi-ish mixture-rebalancing step that caps
+    dominant domains while passing small ones through whole.
+
+    Scale: per-source token counts are one map-side-combined aggregate
+    over the corpus; everything after operates on the SOURCE table — a
+    model-level object (tens..thousands of rows at any corpus size),
+    so the candidate self-join is a broadcast nested loop over a tiny
+    frame, never a corpus product. The prefix-feasibility rule
+    (S_k + m_k*c_k <= B, maximal k) is the standard exact
+    water-filling characterization; a synthetic empty-prefix candidate
+    makes the degenerate all-capped case fall out of the same rule.
+
+    Determinism: all counts exact int64; lambda is floored to an
+    integer token level (alloc = min(c, floor((B-S)/m))) so the
+    allocation itself is integer-exact (residual < #uncapped sources);
+    keep_rate is one IEEE division. Ties on (c, source) are ordered by
+    ASCII source name identically in both engines.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("c")
+    )
+    tot = src.agg(
+        F.sum("c").cast("long").alias("total"),
+        (F.sum("c") / 2).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    a = src.select(F.col("source").alias("sa"), F.col("c").alias("ca"))
+    b = src.select(F.col("source").alias("sb"), F.col("c").alias("cb"))
+    before = (F.col("cb") < F.col("ca")) | (
+        (F.col("cb") == F.col("ca")) & (F.col("sb") <= F.col("sa"))
+    )
+    cand = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy(F.col("sa").alias("source"), F.col("ca").alias("c"))
+        .agg(
+            F.sum(F.when(before, F.col("cb")).otherwise(0))
+            .cast("long")
+            .alias("s"),
+            F.sum(F.when(~before, 1).otherwise(0)).cast("long").alias("m"),
+        )
+        .unionByName(
+            tot.select(
+                F.lit("").alias("source"),
+                F.lit(0).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("s"),
+                F.col("n_src").alias("m"),
+            )
+        )
+    )
+    best = (
+        cand.crossJoin(F.broadcast(tot))
+        .filter(F.col("s") + F.col("m") * F.col("c") <= F.col("b"))
+        .agg(F.max(F.struct("c", "source", "s", "m")).alias("k"))
+        .select("k.c", "k.s", "k.m")
+    )
+    lam = best.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("m") == 0, F.lit(None).cast("long"))
+        .otherwise(((F.col("b") - F.col("s")) / F.col("m")).cast("long"))
+        .alias("lam_floor"),
+        F.col("m").alias("m_best"),
+        "b",
+        "total",
+    )
+    alloc = F.when(F.col("m_best") == 0, F.col("c")).otherwise(
+        F.least(F.col("c"), F.col("lam_floor"))
+    )
+    return src.crossJoin(F.broadcast(lam)).select(
+        "source",
+        F.col("c").alias("c_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        (alloc.cast("double") / F.col("c").cast("double")).alias("keep_rate"),
+        F.col("b").alias("budget"),
+        "lam_floor",
+    )

@@ -101,6 +101,7 @@ _EXTERNALLY_VERIFIED = frozenset(
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
+    "pipeline_token_budget_waterfill",
     "stats_corr_matrix",
     "text_heaps_law",
     "text_zipf_slope",
