@@ -933,3 +933,89 @@ def orders_ship_latency_percentiles(
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------
+# Pareto concentration curve of customer revenue
+# --------------------------------------------------------------------
+
+_SQL_PARETO = """
+    WITH rev AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, ck) AS r
+      FROM rev),
+    dec AS (
+      SELECT ((r - 1) * 10) // n + 1 AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS dc
+      FROM ranked, n GROUP BY 1),
+    cum AS (
+      SELECT a.decile, a.n_customers, a.dc,
+             CAST(SUM(b.dc) AS BIGINT) AS cum_c
+      FROM dec a JOIN dec b ON b.decile <= a.decile
+      GROUP BY a.decile, a.n_customers, a.dc)
+    SELECT decile, n_customers,
+           CAST(dc AS DOUBLE) / 100 AS decile_revenue,
+           CAST(cum_c AS DOUBLE) / (SELECT total FROM n)
+             AS cum_revenue_share
+    FROM cum
+"""
+
+
+@query("customer_pareto_curve", oracle=_SQL_PARETO)
+def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: customers ranked by revenue
+    (descending), split into 10 equal-count deciles, with each
+    decile's revenue and the cumulative revenue share — the "top 10%
+    of sources = how much of the corpus?" audit, complementing
+    ``stats_gini_revenue_by_nation`` with the full curve.
+
+    Scale: ranks come from ``functions.ranks.global_rank_desc``
+    (percentile-bucketed exact global ranking — no global window, the
+    registry-wide plan gate forbids those); decile assignment is
+    integer arithmetic on the rank; the 10-row cumulative is a tiny
+    self-join, not a window. All reductions are exact int64 cents; the
+    two output ratios are single IEEE divisions.
+    """
+    tune(spark)
+    from ..functions.ranks import global_rank_desc
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("cents")
+    )
+    ranked, n_total = global_rank_desc(rev, "cents", "ck", rank_col="r")
+    by_dec = ranked.groupBy(
+        (((F.col("r") - 1) * 10) / n_total).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("dc"),
+    )
+    by_dec = by_dec.withColumn("decile", F.col("decile") + 1)
+    total = ranked.agg(F.sum("cents").cast("long").alias("total"))
+    a = by_dec.select(
+        F.col("decile").alias("da"),
+        F.col("n_customers").alias("na"),
+        F.col("dc").alias("dca"),
+    )
+    b = by_dec.select(F.col("decile").alias("db"), F.col("dc").alias("dcb"))
+    cum = (
+        a.join(F.broadcast(b), F.col("db") <= F.col("da"))
+        .groupBy("da", "na", "dca")
+        .agg(F.sum("dcb").cast("long").alias("cum_c"))
+    )
+    return cum.crossJoin(F.broadcast(total)).select(
+        F.col("da").alias("decile"),
+        F.col("na").alias("n_customers"),
+        (F.col("dca").cast("double") / 100).alias("decile_revenue"),
+        (F.col("cum_c").cast("double") / F.col("total").cast("double")).alias(
+            "cum_revenue_share"
+        ),
+    )

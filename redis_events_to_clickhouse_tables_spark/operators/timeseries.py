@@ -1176,3 +1176,94 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (F.abs(cusum) > F.lit(_CUSUM_THRESHOLD)).alias("is_shift"),
     )
+
+
+# --------------------------------------------------------------------
+# Autocorrelation of daily revenue at lags 1..7
+# --------------------------------------------------------------------
+
+_SQL_ACF = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT l.lag, a.v AS x, b.v AS y
+      FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT lag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS acf
+    FROM s
+"""
+
+
+@query("timeseries_autocorrelation", oracle=_SQL_ACF)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 days —
+    the weekly-seasonality detector feeding forecast/drift monitors
+    (complements ``timeseries_seasonal_profile`` with the classical
+    ACF statistic).
+
+    Scale: the series is aggregated to one exact-integer value per DAY
+    first (map-side combine), so every later stage — lag fan-out,
+    self-join on integer day number, per-lag power sums — operates on
+    the tiny day table, never on orders. Missing days drop their pairs
+    (inner join), the standard treatment for gappy series.
+
+    Determinism: day values are floored to whole dollars (exact int64
+    with products << 2^63 at test scales — at much larger SF move the
+    floor up a power of ten); the Pearson formula is +,-,*,/ and a
+    correctly-rounded SQRT on exactly-representable doubles, so both
+    engines agree bit-for-bit.
+    """
+    tune(spark)
+    from ..functions.numeric import dec
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("v").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("v").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # every product is promoted to double BEFORE multiplying (matching
+    # the oracle's CAST(.. AS DOUBLE) * ..): sy*sy exceeds int64 at
+    # sf0.01 already, and int64->double conversion is correctly
+    # rounded and identical in both engines.
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "lag",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("acf"),
+    )
