@@ -1171,3 +1171,116 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__dropped").isNull().alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Embedding drift between two corpus halves
+# --------------------------------------------------------------------
+
+_DRIFT_FP = 10_000  # 1e4 quantum: keeps sum-of-products << 2^63
+
+_SQL_DRIFT = f"""
+    WITH u AS (
+      SELECT vec_id % 2 AS half, p.pos,
+             CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE)
+                        * {_DRIFT_FP}) AS BIGINT) AS xi
+      FROM embeddings, UNNEST(range(len(embedding))) AS p(pos)),
+    sums AS (
+      SELECT half, pos, CAST(SUM(xi) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY half, pos),
+    j AS (
+      SELECT a.pos, a.s AS s1, b.s AS s2, a.n AS n1, b.n AS n2
+      FROM sums a JOIN sums b ON a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1),
+    dots AS (
+      SELECT CAST(SUM(s1 * s2) AS BIGINT) AS nd,
+             CAST(SUM(s1 * s1) AS BIGINT) AS d1,
+             CAST(SUM(s2 * s2) AS BIGINT) AS d2,
+             CAST(MAX(ABS(s1 * n2 - s2 * n1)) AS BIGINT) AS maxnum,
+             MIN(n1) AS n1, MIN(n2) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS dims
+      FROM j)
+    SELECT n1 AS n_even, n2 AS n_odd, dims,
+           CAST(nd AS DOUBLE)
+             / (SQRT(CAST(d1 AS DOUBLE)) * SQRT(CAST(d2 AS DOUBLE)))
+             AS mean_cosine,
+           CAST(maxnum AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * {_DRIFT_FP})
+             AS max_dim_shift
+    FROM dots
+"""
+
+
+@query("embedding_drift_halves", oracle=_SQL_DRIFT)
+def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift check: cosine between the mean
+    vectors of two corpus halves (vec_id parity as the split — stands
+    in for yesterday/today or shard A/B) plus the largest per-
+    dimension mean shift. mean_cosine ~ 1 and max_dim_shift ~ 0 mean
+    the embedding distribution is stable; production pipelines run
+    exactly this check before trusting an ANN index built on older
+    vectors.
+
+    Scale: one explode to (half, pos, xi) fixed-point longs, one
+    map-side-combined aggregate to 2*dims rows, then dims-sized
+    algebra — the corpus is touched once, everything downstream is
+    model-sized. Determinism: 1e-4 fixed-point per coordinate (sums of
+    products stay < 2^63 for ~10^9-vector halves at 64 dims); cosine
+    works on the raw integer sums (scale cancels), the max shift uses
+    the exact cross-multiplied numerator |s1*n2 - s2*n1| so no
+    division happens before the single final IEEE expression.
+    int64->double conversions are correctly rounded in both engines.
+    """
+    tune(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "half",
+        "pos",
+        F.round(F.col("x").cast("double") * _DRIFT_FP).cast("long").alias("xi"),
+    )
+    sums = u.groupBy("half", "pos").agg(
+        F.sum("xi").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "pos", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "pos", F.col("s").alias("s2"), F.col("n").alias("n2")
+    )
+    j = a.join(b, "pos")
+    dots = j.agg(
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("nd"),
+        F.sum(F.col("s1") * F.col("s1")).cast("long").alias("d1"),
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("d2"),
+        F.max(F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")))
+        .cast("long")
+        .alias("maxnum"),
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("dims"),
+    )
+    return dots.select(
+        F.col("n1").alias("n_even"),
+        F.col("n2").alias("n_odd"),
+        "dims",
+        (
+            F.col("nd").cast("double")
+            / (
+                F.sqrt(F.col("d1").cast("double"))
+                * F.sqrt(F.col("d2").cast("double"))
+            )
+        ).alias("mean_cosine"),
+        (
+            F.col("maxnum").cast("double")
+            / (
+                F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+                * F.lit(float(_DRIFT_FP))
+            )
+        ).alias("max_dim_shift"),
+    )

@@ -102,6 +102,7 @@ _EXTERNALLY_VERIFIED = frozenset(
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
     "pipeline_token_budget_waterfill",
+    "embedding_drift_halves",
     "customer_pareto_curve",
     "timeseries_autocorrelation",
     "stats_corr_matrix",
