@@ -212,3 +212,70 @@ def test_quantized_log2_is_cross_engine_identical(spark):
     }
     diffs = {n: (got[n], want[n]) for n in ns if got[n] != want[n]}
     assert not diffs, dict(list(diffs.items())[:5])
+
+
+def test_waterfill_allocation_properties(spark, tmp_path):
+    """Water-filling on a hostile skewed distribution (one source with
+    ~90% of tokens, several tiny ones): small sources pass through
+    whole, the dominant source is capped, the total allocation
+    exhausts the budget up to a residual < #capped sources, and no
+    allocation exceeds either its source count or the water level."""
+    import pandas as pd
+
+    from redis_events_to_clickhouse_tables_spark.operators.pipeline import (
+        pipeline_token_budget_waterfill,
+    )
+
+    docs = []
+    did = 0
+    # giant: 50 docs x 200 tokens = 10000; minors: 4 sources x 5 docs x 10
+    for _ in range(50):
+        docs.append((did, " ".join(["w"] * 200), "en", "giant", 200)); did += 1
+    for s in range(4):
+        for _ in range(5):
+            docs.append((did, " ".join(["w"] * 10), "en", f"minor{s}", 10))
+            did += 1
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "sf" / "documents.parquet"))
+
+    rows = {r["source"]: r for r in
+            pipeline_token_budget_waterfill(spark, sf).collect()}
+    total = 10000 + 4 * 50
+    budget = total // 2
+    assert rows["giant"]["budget"] == budget
+    for s in range(4):  # minors fit under the level untouched
+        assert rows[f"minor{s}"]["alloc_tokens"] == 50
+    lam = rows["giant"]["lam_floor"]
+    assert rows["giant"]["alloc_tokens"] == lam <= 10000
+    got = sum(r["alloc_tokens"] for r in rows.values())
+    n_capped = sum(
+        1 for r in rows.values() if r["alloc_tokens"] < r["c_tokens"]
+    )
+    assert budget - n_capped < got <= budget
+    for r in rows.values():
+        assert r["alloc_tokens"] <= r["c_tokens"]
+
+
+def test_pareto_curve_properties(spark):
+    """Pareto deciles: 10 rows, near-equal customer counts (exact-rank
+    split), decile revenues non-increasing (ranked descending), shares
+    strictly increasing to exactly 1.0."""
+    from redis_events_to_clickhouse_tables_spark.operators.advanced import (
+        customer_pareto_curve,
+    )
+
+    rows = sorted(
+        customer_pareto_curve(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    counts = [r["n_customers"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    revs = [r["decile_revenue"] for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+    shares = [r["cum_revenue_share"] for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 1.0
