@@ -580,3 +580,187 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------
+
+_SQL_BENFORD = """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs),
+    e AS (
+      SELECT d, c, n,
+             CAST(FLOOR(log2(1.0 + 1.0 / CAST(d AS DOUBLE))
+                        / log2(CAST(10 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS p6
+      FROM obs, tot)
+    SELECT d AS first_digit, c AS observed,
+           CAST(c AS DOUBLE) / n AS observed_share,
+           CAST(p6 AS DOUBLE) / 1000000 AS benford_share,
+           CAST(c * 1000000 - n * p6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000)
+             AS excess
+    FROM e
+"""
+
+
+@query("dq_benford_first_digit", oracle=_SQL_BENFORD)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-/synthetic-value detector: organic multiplicative
+    quantities put ~30.1% of first digits at 1; uniform generators
+    (like this synthetic fixture) sit near 1/9 each, and the ``excess``
+    column quantifies the gap per digit.
+
+    Scale: first digit extracted in codegen (string head of the exact
+    integer cents — no float log for extraction), one map-side 9-row
+    aggregate. Determinism: the Benford expectation log10(1+1/d) is
+    evaluated once per DIGIT (9 model entries) as log2/log2 —
+    DuckDB's log10 differs from ln/log2-derived values by a ulp, so
+    both engines use the identical log2 ratio — then floor-quantized;
+    observed-vs-expected excess is exact integer cross-multiplication
+    with one final IEEE division.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 14) * 100).cast("long")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = obs.agg(F.sum("c").cast("long").alias("n"))
+    p6 = (
+        F.floor(
+            F.log2(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
+            / F.log2(F.lit(10).cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("p6")
+    )
+    e = obs.crossJoin(F.broadcast(tot)).select("d", "c", "n", p6)
+    return e.select(
+        F.col("d").alias("first_digit"),
+        F.col("c").alias("observed"),
+        (F.col("c").cast("double") / F.col("n")).alias("observed_share"),
+        (F.col("p6").cast("double") / 1e6).alias("benford_share"),
+        (
+            (F.col("c") * 1000000 - F.col("n") * F.col("p6")).cast("double")
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("excess"),
+    )
+
+
+# --------------------------------------------------------------------
+# Jensen-Shannon divergence between language char distributions
+# --------------------------------------------------------------------
+
+_SQL_JSD = """
+    WITH chars AS (
+      SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS grp,
+             unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0),
+    cnt AS (
+      SELECT grp, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY grp, ch),
+    wide AS (
+      SELECT ch,
+             CAST(COALESCE(SUM(CASE WHEN grp = 0 THEN c END), 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN c END), 0) AS BIGINT) AS cb
+      FROM cnt GROUP BY ch),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM wide),
+    terms AS (
+      -- KL(p||m) terms with m = (p+q)/2, all ratios exact integer
+      -- cross-products inside one IEEE division before the log
+      SELECT ca, cb, na, nb,
+             CASE WHEN ca > 0 THEN CAST(FLOOR(log2(
+               (2.0 * CAST(ca AS DOUBLE) * nb)
+               / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)
+             ) * 1000000) AS BIGINT) ELSE 0 END AS la6,
+             CASE WHEN cb > 0 THEN CAST(FLOOR(log2(
+               (2.0 * CAST(cb AS DOUBLE) * na)
+               / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)
+             ) * 1000000) AS BIGINT) ELSE 0 END AS lb6
+      FROM wide, tot)
+    SELECT (SELECT COUNT(*) FROM wide) AS n_chars,
+           CAST(SUM(ca * la6) AS DOUBLE) / (2000000.0 * MIN(na))
+             + CAST(SUM(cb * lb6) AS DOUBLE) / (2000000.0 * MIN(nb))
+             AS jsd_bits
+    FROM terms
+"""
+
+
+@query("text_js_divergence_en_rest", oracle=_SQL_JSD)
+def text_js_divergence_en_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the character
+    distribution of English documents and everything else — the
+    bounded, symmetric distribution-shift measure a curation pipeline
+    tracks per language/source slice (0 = identical, 1 = disjoint).
+
+    Scale: one explode + one (grp, char) aggregate; the JSD itself is
+    algebra on the ALPHABET-sized table. Determinism: each KL term's
+    ratio 2*p/(p+m-form) is expressed as ONE division of exact integer
+    cross-products (no pre-divided probabilities), its log2 is
+    floor-quantized per character (model-level), and the two KL sums
+    are exact integer dot products with one final IEEE expression.
+    Absent-side characters contribute 0 to their own KL term by the
+    0*log convention.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        F.when(F.col("lang") == "en", 0).otherwise(1).alias("grp"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    cnt = chars.groupBy("grp", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wide = cnt.groupBy("ch").agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == 0, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = wide.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    na, nb = F.col("na"), F.col("nb")
+    denom = ca * nb + cb * na
+    la6 = (
+        F.when(
+            F.col("ca") > 0,
+            F.floor(F.log2((F.lit(2.0) * ca * nb) / denom) * 1e6).cast("long"),
+        ).otherwise(F.lit(0))
+    ).alias("la6")
+    lb6 = (
+        F.when(
+            F.col("cb") > 0,
+            F.floor(F.log2((F.lit(2.0) * cb * na) / denom) * 1e6).cast("long"),
+        ).otherwise(F.lit(0))
+    ).alias("lb6")
+    terms = wide.crossJoin(F.broadcast(tot)).select(
+        "ca", "cb", "na", "nb", la6, lb6
+    )
+    n_chars = wide.agg(F.count(F.lit(1)).alias("nc"))
+    agg = terms.agg(
+        (
+            F.sum(F.col("ca") * F.col("la6")).cast("double")
+            / (F.lit(2000000.0) * F.min("na"))
+            + F.sum(F.col("cb") * F.col("lb6")).cast("double")
+            / (F.lit(2000000.0) * F.min("nb"))
+        ).alias("jsd_bits")
+    )
+    return n_chars.crossJoin(F.broadcast(agg)).select(
+        F.col("nc").cast("long").alias("n_chars"), "jsd_bits"
+    )

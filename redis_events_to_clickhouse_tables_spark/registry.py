@@ -102,6 +102,8 @@ _EXTERNALLY_VERIFIED = frozenset(
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
     "pipeline_token_budget_waterfill",
+    "dq_benford_first_digit",
+    "text_js_divergence_en_rest",
     "embedding_drift_halves",
     "customer_pareto_curve",
     "timeseries_autocorrelation",
