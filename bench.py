@@ -72,7 +72,13 @@ def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
 
 
 _SCALE_FACTOR = 2.5
-_SCALE_FAMILY_PREFIXES = ("dedup_", "graph_", "split_")
+_SCALE_FAMILY_PREFIXES = (
+    "dedup_", "graph_", "split_",
+    # round-5 corpus-science additions whose heavy stage is a full
+    # corpus explode (chars / bigrams / tokens)
+    "text_char_entropy", "text_bigram_lm_bits", "text_zipf_slope",
+    "text_js_divergence",
+)
 
 
 def build_scaled_corpus(spark, sf_dir: str, factor: float) -> str:
