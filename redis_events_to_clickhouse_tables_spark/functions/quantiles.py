@@ -1,0 +1,128 @@
+"""Exact per-group quantile VALUES without sorting whole groups.
+
+``Window.partitionBy(group).orderBy(value)`` rank selection is exact
+but streams each group's entire row set through one task — for a
+3-value grouping key over a 100-TB lineitem that is 1/3 of the table
+per task, the same scale-killer as a global window (the registry plan
+gate only catches the EMPTY partitionSpec case). This helper is the
+bracketed-exact replacement, sibling of ``ranks.global_rank_desc``
+(which buckets a global rank) and ``ranks.bottomk_per_group`` (which
+cutoff-prefilters a hash order):
+
+1. ONE aggregate per group computes the exact count and an
+   approximate value bracket [vlo, vhi] around each target rank
+   (``percentile_approx`` with rank error <= n/accuracy — the
+   approximation affects PRUNING only, never the result);
+2. ONE counting scan pins the bracket exactly: r_lo = #rows below
+   vlo, s = #rows inside the bracket (all targets in one pass,
+   corpus never duplicated);
+3. a 1-scalar probe asserts every target rank k lands inside its
+   bracket (1 <= k - r_lo <= s); a miss widens the bracket 4x and
+   retries — at width 0.5 the bracket degenerates to [min, max], so
+   termination and exactness are unconditional;
+4. massive-tie groups short-circuit: vlo == vhi means the answer IS
+   that value (no rows sorted at all — a constant-valued group costs
+   nothing instead of everything);
+5. only bracket survivors (~4n/accuracy rows per group per target)
+   flow into the per-(group, target) window that picks position
+   k - r_lo. The selected VALUE is deterministic under ties: position
+   k of a sorted multiset is the same value under any tie permutation.
+
+The result exactly equals the plain-window rank selection — which is
+what DuckDB oracles should keep expressing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantile_values_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[tuple[str, int, int]],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """For each group and each target ``(label, num, den)`` in ``qs``,
+    return the exact value at 1-based sorted position
+    ceil(num*n/den) = (num*n + den - 1) div den — one output row per
+    (group, label) with columns ``group_cols + [q_label, value]``.
+
+    Requires 0 < num/den <= 1 and non-null values.
+    """
+    base = df.select(*group_cols, F.col(value_col).alias("__v"))
+    d = 4.0 / accuracy
+    while True:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for lbl, a, b in qs:
+            q = a / b
+            aggs.append(
+                F.percentile_approx(
+                    "__v",
+                    [max(0.0, q - d), min(1.0, q + d)],
+                    accuracy,
+                ).alias(f"__br_{lbl}")
+            )
+        br = base.groupBy(*group_cols).agg(*aggs)
+        j = base.join(F.broadcast(br), list(group_cols))
+        stat_aggs = []
+        for lbl, _a, _b in qs:
+            vlo = F.element_at(f"__br_{lbl}", 1)
+            vhi = F.element_at(f"__br_{lbl}", 2)
+            stat_aggs.append(
+                F.count(F.when(F.col("__v") < vlo, 1)).alias(f"__rlo_{lbl}")
+            )
+            stat_aggs.append(
+                F.count(
+                    F.when((F.col("__v") >= vlo) & (F.col("__v") <= vhi), 1)
+                ).alias(f"__s_{lbl}")
+            )
+        stat = j.groupBy(
+            *group_cols,
+            "__n",
+            *[f"__br_{lbl}" for lbl, _a, _b in qs],
+        ).agg(*stat_aggs)
+        # long form: one row per (group, target)
+        entries = []
+        for lbl, a, b in qs:
+            entries.append(
+                F.struct(
+                    F.lit(lbl).alias("q_label"),
+                    F.expr(f"({a} * __n + {b} - 1) div {b}")
+                    .cast("long")
+                    .alias("k"),
+                    F.element_at(f"__br_{lbl}", 1).alias("vlo"),
+                    F.element_at(f"__br_{lbl}", 2).alias("vhi"),
+                    F.col(f"__rlo_{lbl}").cast("long").alias("r_lo"),
+                    F.col(f"__s_{lbl}").cast("long").alias("s"),
+                )
+            )
+        longf = stat.select(
+            *group_cols, F.explode(F.array(*entries)).alias("e")
+        ).select(*group_cols, "e.*")
+        bad = longf.filter(
+            ~(
+                (F.col("k") - F.col("r_lo") >= 1)
+                & (F.col("k") - F.col("r_lo") <= F.col("s"))
+            )
+        ).count()  # 1-scalar probe, O(#groups * #targets) work
+        if bad == 0:
+            break
+        d = min(0.5, d * 4.0)
+    # tie short-circuit: bracket collapsed to a single value
+    eq = longf.filter(F.col("vlo") == F.col("vhi")).select(
+        *group_cols, "q_label", F.col("vlo").alias("value")
+    )
+    rest = longf.filter(F.col("vlo") != F.col("vhi"))
+    surv = base.join(F.broadcast(rest), list(group_cols)).filter(
+        (F.col("__v") >= F.col("vlo")) & (F.col("__v") <= F.col("vhi"))
+    )
+    w = Window.partitionBy(*group_cols, "q_label").orderBy("__v")
+    sel = (
+        surv.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == F.col("k") - F.col("r_lo"))
+        .select(*group_cols, "q_label", F.col("__v").alias("value"))
+    )
+    return eq.unionByName(sel)

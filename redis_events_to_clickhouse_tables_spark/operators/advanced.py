@@ -482,27 +482,28 @@ def agg_exact_p90_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently than in DuckDB's decimal literals.
 
     This is the distributed-exact-quantile shape for when a group is
-    too large to buffer: one count aggregate plus the per-group sort
-    Spark already performs for any window — no percentile UDAF holding
-    the whole group in executor memory (the trade the approx sketch
-    family avoids paying at all). The selected VALUE is deterministic
-    under ties even though row_number's tie order isn't: position k of
-    the sorted multiset is the same value under any tie permutation.
+    too large to buffer: ``functions.quantiles.
+    exact_quantile_values_per_group`` brackets the target rank with a
+    percentile_approx sketch, pins it with exact counts, and sorts
+    only the ~4n/10000 bracket survivors — never a whole group
+    through one window task (l_returnflag has 3 values, so the plain
+    partitioned window would stream a third of lineitem per task at
+    scale). The selected VALUE is deterministic under ties: position
+    k of the sorted multiset is the same value under any tie
+    permutation, and the oracle keeps expressing the plain-window
+    semantics the helper exactly reproduces.
     """
     tune(spark)
+    from ..functions.quantiles import exact_quantile_values_per_group
+
     li = table(spark, sf_dir, "lineitem")
-    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    r = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(w).alias("rn"),
+    vals = exact_quantile_values_per_group(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [("p90", 9, 10)],
     )
-    return (
-        r.join(F.broadcast(n), "l_returnflag")
-        .filter(F.col("rn") == F.expr("(n * 9 + 9) div 10"))
-        .select("l_returnflag", F.col("v").alias("p90_price"))
-    )
+    return vals.select("l_returnflag", F.col("value").alias("p90_price"))
 
 
 @query(

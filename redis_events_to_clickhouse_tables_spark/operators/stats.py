@@ -680,38 +680,29 @@ def stats_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate a quality pipeline prefers over the raw mean when a few
     extreme rows (pathological docs, mispriced orders) would dominate.
 
-    Two passes: (1) exact rank-selected P5/P95 per group (the
-    ``agg_exact_p90_rank`` integer-position pattern — ceil(q*n) as
-    (q*100*n + 99) div 100 so both engines agree in integer
-    arithmetic), broadcast back; (2) clamp inside codegen and take an
-    exact decimal mean. The clamp values are deterministic under ties
-    (position k of the sorted multiset); the mean is
-    ``div_avg``-exact.
+    Two passes: (1) exact P5/P95 per group via
+    ``functions.quantiles.exact_quantile_values_per_group`` (sketch-
+    bracketed rank selection — only bracket survivors are ever
+    sorted, never a whole 3-value group through one window task;
+    positions ceil(q*n) as (q*100*n + 99) div 100 so both engines
+    agree in integer arithmetic), broadcast back; (2) clamp inside
+    codegen and take an exact decimal mean. The clamp values are
+    deterministic under ties (position k of the sorted multiset); the
+    mean is ``div_avg``-exact.
     """
     tune(spark)
-    from pyspark.sql import Window
+    from ..functions.quantiles import exact_quantile_values_per_group
 
     li = table(spark, sf_dir, "lineitem")
-    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    r = li.select(
-        "l_returnflag", F.col("l_extendedprice").alias("v")
-    ).withColumn("rn", F.row_number().over(w))
-    cuts = (
-        r.join(F.broadcast(n), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("v")
-                )
-            ).alias("lo"),
-            F.min(
-                F.when(
-                    F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("v")
-                )
-            ).alias("hi"),
-        )
+    vals = exact_quantile_values_per_group(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [("lo", 5, 100), ("hi", 95, 100)],
+    )
+    cuts = vals.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("q_label") == "lo", F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("q_label") == "hi", F.col("value"))).alias("hi"),
     )
     clamped = li.join(F.broadcast(cuts), "l_returnflag").select(
         "l_returnflag",

@@ -279,3 +279,50 @@ def test_pareto_curve_properties(spark):
     shares = [r["cum_revenue_share"] for r in rows]
     assert all(a < b for a, b in zip(shares, shares[1:]))
     assert shares[-1] == 1.0
+
+
+def test_exact_quantile_values_equal_plain_window(spark):
+    """exact_quantile_values_per_group (the bracketed rank selection
+    behind agg_exact_p90_rank and stats_winsorized_price) must equal
+    the plain partitioned-window selection EXACTLY on: a large group,
+    a group smaller than the bracket, a constant-valued group (the
+    tie short-circuit), and a 2-row group — and the widen-retry loop
+    (deliberately tiny accuracy) must converge to the same answer."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.functions.quantiles import (
+        exact_quantile_values_per_group,
+    )
+
+    rnd = random.Random(7)
+    rows = (
+        [("big", rnd.randint(0, 10**6)) for _ in range(20000)]
+        + [("small", i * 3) for i in range(50)]
+        + [("const", 42)] * 3000
+        + [("tiny", 9), ("tiny", 8)]
+    )
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    qs = [("p05", 5, 100), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1)]
+
+    w = Window.partitionBy("g").orderBy("v")
+    n = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    r = df.join(n, "g").withColumn("rn", F.row_number().over(w))
+    want = sorted(
+        row
+        for lbl, a, b in qs
+        for row in r.filter(
+            F.col("rn") == F.expr(f"({a} * n + {b} - 1) div {b}")
+        )
+        .select("g", F.lit(lbl).alias("q_label"), F.col("v").alias("value"))
+        .collect()
+    )
+    for acc in (10_000, 20):  # 20 undershoots: forces the retry path
+        got = sorted(
+            exact_quantile_values_per_group(
+                df, ["g"], "v", qs, accuracy=acc
+            ).collect()
+        )
+        assert got == want, f"accuracy={acc}"
