@@ -1627,3 +1627,118 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_clusters").cast("double") / F.col("n_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# LSH parameter sweep: candidate load per (bands, rows) config
+# --------------------------------------------------------------------
+
+_LSH_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))  # b * r = _N_HASHES
+
+
+def _sweep_threshold(b: int, r: int) -> float:
+    """~50%-collision Jaccard threshold (1/b)^(1/r), floor-quantized
+    at 1e-6 so Python's libm pow (Spark-side literal) and DuckDB's POW
+    agree post-quantization (3 model-level values)."""
+    import math
+
+    return math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6) / 1e6
+
+
+_SQL_LSH_SWEEP = f"""
+    {_SQL_MINHASH},
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_SWEEP_CONFIGS)}) c(b, r)),
+    bands AS (
+      SELECT b, r, doc_id, h // r AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS bkey
+      FROM sig, cfg GROUP BY b, r, doc_id, h // r),
+    buckets AS (
+      SELECT b, r, band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bands GROUP BY b, r, band, bkey)
+    SELECT b AS bands, r AS rows_per_band,
+           CAST(FLOOR(POW(CAST(1 AS DOUBLE) / b, CAST(1 AS DOUBLE) / r)
+                      * 1000000) AS BIGINT) / 1000000.0 AS jaccard_50,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY b, r
+"""
+
+
+@query("dedup_lsh_parameter_sweep", oracle=_SQL_LSH_SWEEP)
+def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning table: for each (bands, rows-per-band) split of the
+    16-hash MinHash signature, the ~50%-collision Jaccard threshold
+    (1/b)^(1/r), bucket count, hottest-bucket size, and total
+    candidate-pair load sum n*(n-1)/2 — computed WITHOUT emitting a
+    single pair. This is the sheet an engineer reads before picking
+    banding for a 100-TB dedup run: more rows per band = higher
+    precision (higher threshold) = fewer candidates; ``max_bucket``
+    directly flags the hot-bucket risk the chunked pair emitters
+    (``chunked_pairs``) exist for.
+
+    Scale: signatures are the shared ``_minhash_signature`` long form
+    (shuffle ~docs x 128 B); the 3 configs fan out via a literal
+    explode, band keys are ~r-element bounded collect_lists, and the
+    per-config stats are pure counting aggregates — candidate PAIRS
+    are counted via n*(n-1)/2 per bucket, never materialized.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    sigl = _minhash_signature(d)
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                for b, r in _LSH_SWEEP_CONFIGS
+            ]
+        )
+    ).alias("cfg")
+    fanned = sigl.select("doc_id", "h", "minhash", cfg).select(
+        "doc_id", "h", "minhash", "cfg.b", "cfg.r"
+    )
+    bands = (
+        fanned.withColumn("band", F.expr("h div r"))
+        .groupBy("b", "r", "doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("h", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("bkey")
+        )
+    )
+    buckets = bands.groupBy("b", "r", "band", "bkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    out = buckets.groupBy("b", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("candidate_pairs"),
+    )
+    thr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("tb"), F.lit(_sweep_threshold(b, r)).alias("t")
+            )
+            for b, r in _LSH_SWEEP_CONFIGS
+        ]
+    )
+    return out.select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        F.element_at(
+            F.map_from_arrays(
+                F.transform(thr, lambda s: s["tb"]),
+                F.transform(thr, lambda s: s["t"]),
+            ),
+            F.col("b"),
+        ).alias("jaccard_50"),
+        "n_buckets",
+        "max_bucket",
+        "candidate_pairs",
+    )

@@ -596,3 +596,65 @@ def features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------
+# Behavioral entropy per user
+# --------------------------------------------------------------------
+
+_SQL_USER_ENTROPY = """
+    WITH cnts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s
+      FROM cnts GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           CAST(n_events * CAST(FLOOR(log2(CAST(n_events AS DOUBLE))
+                                      * 1000000) AS BIGINT) - s AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * 1000000) AS entropy_bits
+    FROM u
+"""
+
+
+@query("events_user_type_entropy", oracle=_SQL_USER_ENTROPY)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    predictability signal (0 bits = a single-action bot, ~log2(5) =
+    uniform across all five types) feeding abuse/bot triage next to
+    ``events_markov_transitions``.
+
+    Scale: two map-side-combined aggregates, both partitioned by
+    user_id — the per-user histogram is bounded by the event-type
+    vocabulary, so shuffle volume is ~users x |types| rows. Same
+    quantized-log determinism as ``text_char_entropy``:
+    floor(log2(count)*1e6) per integer count, exact int64 reductions,
+    one final IEEE division.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cnts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ilog_c = F.floor(F.log2(F.col("c").cast("double")) * 1e6).cast("long")
+    u = cnts.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * ilog_c).cast("long").alias("s"),
+    )
+    ilog_n = F.floor(
+        F.log2(F.col("n_events").cast("double")) * 1e6
+    ).cast("long")
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            (F.col("n_events") * ilog_n - F.col("s")).cast("double")
+            / (F.col("n_events").cast("double") * F.lit(1e6))
+        ).alias("entropy_bits"),
+    )

@@ -101,6 +101,8 @@ _EXTERNALLY_VERIFIED = frozenset(
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
+    "dedup_lsh_parameter_sweep",
+    "events_user_type_entropy",
     "pipeline_token_budget_waterfill",
     "dq_benford_first_digit",
     "text_js_divergence_en_rest",
