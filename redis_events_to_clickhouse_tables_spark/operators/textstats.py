@@ -722,6 +722,15 @@ def text_js_divergence_en_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = chars.groupBy("grp", "ch").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return jsd_from_counts(cnt)
+
+
+def jsd_from_counts(cnt: DataFrame) -> DataFrame:
+    """JSD (bits) from a mergeable (grp, ch, c) count frame — the
+    algebra half of ``text_js_divergence_en_rest``, shared with the
+    streaming drift monitor (``streaming/textdrift.py``), whose
+    per-batch partials are exactly this frame. Deterministic per the
+    quantize-the-model doctrine (module docstring)."""
     wide = cnt.groupBy("ch").agg(
         F.coalesce(F.sum(F.when(F.col("grp") == 0, F.col("c"))), F.lit(0))
         .cast("long")
