@@ -744,6 +744,15 @@ def pipeline_token_budget_waterfill(
         .cast("long")
         .alias("c")
     )
+    return waterfill_from_counts(src)
+
+
+def waterfill_from_counts(src: DataFrame) -> DataFrame:
+    """Water-filling allocation from a mergeable (source, c) token
+    count frame — the algebra half of
+    ``pipeline_token_budget_waterfill``, shared with the streaming
+    mixture monitor (``streaming/mixture.py``), whose per-batch
+    partials merge into exactly this frame."""
     tot = src.agg(
         F.sum("c").cast("long").alias("total"),
         (F.sum("c") / 2).cast("long").alias("b"),
