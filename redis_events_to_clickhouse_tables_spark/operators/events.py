@@ -658,3 +658,93 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_events").cast("double") * F.lit(1e6))
         ).alias("entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------
+# Multi-touch linear attribution
+# --------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+
+
+_SQL_ATTRIBUTION = f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    clicks AS (
+      SELECT user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'),
+    touched AS (
+      SELECT p.event_id, p.cents, COUNT(*) AS n_touches
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts < p.ts
+       AND c.click_ts >= p.ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+      GROUP BY p.event_id, p.cents)
+    SELECT p.event_id AS purchase_id,
+           CAST(COALESCE(t.n_touches, 0) AS BIGINT) AS n_touches,
+           CAST(p.cents AS DOUBLE) / 100 AS purchase_value,
+           CAST(CASE WHEN t.n_touches IS NULL THEN NULL
+                     ELSE p.cents // t.n_touches END AS BIGINT)
+             AS credit_cents_per_touch,
+           CAST(CASE WHEN t.n_touches IS NULL THEN NULL
+                     ELSE p.cents % t.n_touches END AS BIGINT)
+             AS remainder_cents
+    FROM purchases p LEFT JOIN touched t ON t.event_id = p.event_id
+"""
+
+
+@query("events_attribution_linear", oracle=_SQL_ATTRIBUTION)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value is split
+    evenly across the user's clicks in the preceding 7 days —
+    the classic marketing-credit workload next to the last-touch
+    ``asof_purchase_last_click``. Purchases with no preceding click
+    surface with NULL credit (the 'unattributable' bucket a marketing
+    team reconciles).
+
+    Scale: the touch join is an equi-join on user_id with a range
+    predicate — partitioned by user, never a cross join; per-purchase
+    touch counts are one hash aggregate. Determinism: credits are
+    EXACT integer division of cents (credit + remainder reconstruct
+    the total: n*credit + remainder == cents), sidestepping the
+    order-dependent float sums a naive value/n split would shuffle.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    touched = (
+        purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") < F.col("ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")
+            ),
+        )
+        .groupBy("event_id", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    )
+    return purchases.join(
+        touched.select("event_id", "n_touches"), "event_id", "left"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.coalesce(F.col("n_touches"), F.lit(0)).cast("long").alias("n_touches"),
+        (F.col("cents").cast("double") / 100).alias("purchase_value"),
+        F.expr("CAST(cents div n_touches AS BIGINT)").alias(
+            "credit_cents_per_touch"
+        ),
+        F.expr("CAST(cents % n_touches AS BIGINT)").alias("remainder_cents"),
+    )
