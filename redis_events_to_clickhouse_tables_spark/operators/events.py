@@ -748,3 +748,137 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(cents % n_touches AS BIGINT)").alias("remainder_cents"),
     )
+
+
+# --------------------------------------------------------------------
+# Kaplan-Meier survival: signup -> first purchase
+# --------------------------------------------------------------------
+
+_SQL_KAPLAN_MEIER = """
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    sign AS (
+      SELECT user_id, MIN(ts) AS start FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    subj AS (
+      SELECT s.user_id, s.start,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.start
+                      THEN e.ts END) AS pts
+      FROM sign s LEFT JOIN events e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.start),
+    durs AS (
+      SELECT date_diff('day', CAST(start AS DATE),
+                       CAST(COALESCE(pts, max_ts) AS DATE)) AS dur,
+             CASE WHEN pts IS NULL THEN 0 ELSE 1 END AS ev
+      FROM subj, mx),
+    dt AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM durs GROUP BY dur),
+    risk AS (
+      SELECT a.dur, a.d,
+             CAST(SUM(b.c) AS BIGINT) AS n_at_risk
+      FROM dt a JOIN dt b ON b.dur >= a.dur
+      WHERE a.d > 0 GROUP BY a.dur, a.d),
+    f AS (
+      SELECT dur, d, n_at_risk,
+             CAST(FLOOR(log2(CAST(n_at_risk - d AS DOUBLE) / n_at_risk)
+                        * 1000000) AS BIGINT) AS lf6
+      FROM risk WHERE n_at_risk > d)
+    SELECT a.dur AS duration_days,
+           a.n_at_risk, a.d AS n_events,
+           CAST(SUM(b.lf6) AS DOUBLE) / 1000000 AS log2_survival
+    FROM f a JOIN f b ON b.dur <= a.dur
+    GROUP BY a.dur, a.n_at_risk, a.d
+"""
+
+
+@query("events_kaplan_meier", oracle=_SQL_KAPLAN_MEIER)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve for signup -> first purchase,
+    right-censored at the observation horizon (the corpus max
+    timestamp) — THE time-to-event estimator for activation/conversion
+    analyses; drops durations where everyone converts (n == d, the
+    curve would hit exact 0 and leave log space).
+
+    Scale: subjects reduce to one (duration, event) row per signup
+    user (two hash aggregates over events); everything after — risk
+    sets, factors, the cumulative product — runs on the DISTINCT
+    DURATION table (bounded by the observation window in days), via
+    bounded self-joins, never a global window. Determinism: each
+    factor log2((n-d)/n) is one IEEE division + a floor-quantized
+    log2 per distinct duration (model-level); the survival curve is
+    emitted in exact log2 space (integer sums, one final division) —
+    S(t) = 2^log2_survival for human reading.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    sign = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("start")
+    )
+    evs = e.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("et2"),
+        F.col("ts").alias("ts2"),
+    )
+    subj = (
+        sign.join(evs, sign.user_id == F.col("u2"), "left")
+        .groupBy("user_id", "start")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("et2") == "purchase") & (F.col("ts2") >= F.col("start")),
+                    F.col("ts2"),
+                )
+            ).alias("pts")
+        )
+    )
+    durs = subj.crossJoin(F.broadcast(mx)).select(
+        F.datediff(
+            F.to_date(F.coalesce(F.col("pts"), F.col("max_ts"))),
+            F.to_date("start"),
+        ).alias("dur"),
+        F.when(F.col("pts").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    dt = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    a = dt.select(F.col("dur").alias("da"), F.col("d").alias("d"))
+    b = dt.select(F.col("dur").alias("db"), F.col("c").alias("cb"))
+    risk = (
+        a.filter(F.col("d") > 0)
+        .join(F.broadcast(b), F.col("db") >= F.col("da"))
+        .groupBy("da", "d")
+        .agg(F.sum("cb").cast("long").alias("n_at_risk"))
+    )
+    f = risk.filter(F.col("n_at_risk") > F.col("d")).select(
+        "da",
+        "d",
+        "n_at_risk",
+        F.floor(
+            F.log2(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lf6"),
+    )
+    fa = f.select(
+        F.col("da").alias("ta"),
+        F.col("n_at_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+    )
+    fb = f.select(F.col("da").alias("tb"), F.col("lf6").alias("lf6"))
+    return (
+        fa.join(F.broadcast(fb), F.col("tb") <= F.col("ta"))
+        .groupBy("ta", "n_at_risk", "n_events")
+        .agg((F.sum("lf6").cast("double") / F.lit(1e6)).alias("log2_survival"))
+        .select(
+            F.col("ta").alias("duration_days"),
+            "n_at_risk",
+            "n_events",
+            "log2_survival",
+        )
+    )

@@ -102,6 +102,7 @@ _EXTERNALLY_VERIFIED = frozenset(
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
     "dedup_lsh_parameter_sweep",
+    "events_kaplan_meier",
     "events_attribution_linear",
     "events_user_type_entropy",
     "pipeline_token_budget_waterfill",
