@@ -133,3 +133,56 @@ def bottomk_per_group(
         .filter(F.col("rk") <= k)
         .drop("__n")
     )
+
+
+def bucketed_prefix_sums(
+    df: DataFrame,
+    key: str,
+    sum_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Attach exact ASCENDING-order running totals ``cum_<c>`` of each
+    ``sum_cols`` column along ``key`` order — the distributed "scan"
+    primitive — without a global window.
+
+    Same recipe as :func:`global_rank_desc`: approximate range
+    boundaries (load balance only, never values), per-bucket totals
+    via one O(n_buckets) collect, broadcast exclusive offsets, then a
+    within-bucket ordered window over ~N/n_buckets rows. ``key``
+    values must be unique rows (pre-aggregate duplicates first) and
+    integral, ``sum_cols`` integral.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile_approx(key, qs, 10_000).alias("bs")).first()
+    bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col(key)))
+    else:
+        bucket = F.lit(0)
+    sb = df.withColumn("__pf_bucket", bucket)
+    totals = {
+        r["__pf_bucket"]: r
+        for r in sb.groupBy("__pf_bucket")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    offsets: dict[str, list[int]] = {c: [] for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    for b in range(len(bounds) + 1):
+        for c in sum_cols:
+            offsets[c].append(acc[c])
+            acc[c] += totals[b][c] if b in totals else 0
+    w = (
+        Window.partitionBy("__pf_bucket")
+        .orderBy(F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = sb
+    for c in sum_cols:
+        off = F.element_at(
+            F.array(*[F.lit(o) for o in offsets[c]]),
+            F.col("__pf_bucket") + 1,
+        )
+        out = out.withColumn(f"cum_{c}", off + F.sum(c).over(w))
+    return out.drop("__pf_bucket")

@@ -716,3 +716,92 @@ def stats_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         )
     )
+
+
+# --------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test
+# --------------------------------------------------------------------
+
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+
+_SQL_KS = f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+      FROM orders
+      WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')),
+    dv AS (
+      SELECT cents, CAST(SUM(ia) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS b
+      FROM rows_ GROUP BY cents),
+    cum AS (
+      SELECT SUM(a) OVER (ORDER BY cents) AS ca,
+             SUM(b) OVER (ORDER BY cents) AS cb
+      FROM dv),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM dv)
+    SELECT na, nb,
+           CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * nb) AS d_stat
+    FROM cum, tot GROUP BY na, nb
+"""
+
+
+@query("stats_ks_two_sample", oracle=_SQL_KS)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between URGENT
+    and LOW order-value distributions: D = sup |F_a - F_b| — the
+    distribution-shift test a pipeline runs between data slices
+    (train/val drift, pre/post deploy) when means hide the difference.
+
+    Scale: the supremum needs CDFs, i.e. running totals along the
+    global value order — the classic "needs one sorted pass" shape.
+    Here it's ``functions.ranks.bucketed_prefix_sums``: approximate
+    range boundaries bucket the DISTINCT-value table, per-bucket
+    totals collect O(n_buckets) scalars, broadcast exclusive offsets
+    feed within-bucket ordered windows (~N/n_buckets rows per task) —
+    an exact distributed scan, no global window (plan-gated
+    registry-wide). Evaluating at distinct values (not raw rows)
+    keeps tied values at a single CDF point, the correct KS
+    treatment. Determinism: cents are exact int64, the sup is a max
+    of exact cross-multiplied integers |ca*nb - cb*na| (max is
+    order-free), and D is one final IEEE division.
+    """
+    tune(spark)
+    from ..functions.ranks import bucketed_prefix_sums
+
+    o = table(spark, sf_dir, "orders")
+    rows = o.filter(
+        F.col("o_orderpriority").isin(_KS_A, _KS_B)
+    ).select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == _KS_A, 1).otherwise(0).alias("ia"),
+    )
+    dv = rows.groupBy("cents").agg(
+        F.sum("ia").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("b"),
+    )
+    cum = bucketed_prefix_sums(dv, "cents", ["a", "b"])
+    tot = dv.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            (
+                F.max(
+                    F.abs(
+                        F.col("cum_a") * F.col("nb")
+                        - F.col("cum_b") * F.col("na")
+                    )
+                ).cast("double")
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("d_stat")
+        )
+        .select("na", "nb", "d_stat")
+    )

@@ -101,6 +101,7 @@ _EXTERNALLY_VERIFIED = frozenset(
 # 50-query external sample reaches them this round.
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
+    "stats_ks_two_sample",
     "dedup_lsh_parameter_sweep",
     "events_kaplan_meier",
     "events_attribution_linear",

@@ -326,3 +326,52 @@ def test_exact_quantile_values_equal_plain_window(spark):
             ).collect()
         )
         assert got == want, f"accuracy={acc}"
+
+
+def test_bucketed_prefix_sums_equal_global_window(spark):
+    """bucketed_prefix_sums (the distributed scan behind
+    stats_ks_two_sample) must equal a global ordered window's running
+    totals exactly — including on a heavily skewed key distribution
+    (hot range) and on a frame smaller than the bucket count."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.functions.ranks import (
+        bucketed_prefix_sums,
+    )
+
+    rnd = random.Random(11)
+    keys = set()
+    while len(keys) < 5000:
+        # 80% of keys crammed into 1% of the range: hostile boundaries
+        keys.add(
+            rnd.randint(0, 10**4)
+            if rnd.random() < 0.8
+            else rnd.randint(0, 10**6)
+        )
+    rows = [(k, k % 7, (k * 13) % 5) for k in sorted(keys)]
+    df = spark.createDataFrame(rows, "k LONG, a LONG, b LONG")
+
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in bucketed_prefix_sums(df, "k", ["a", "b"]).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "k",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    assert got == want
+
+    tiny = spark.createDataFrame([(5, 1, 1), (9, 2, 0)], "k LONG, a LONG, b LONG")
+    got2 = sorted(
+        (r["k"], r["cum_a"], r["cum_b"])
+        for r in bucketed_prefix_sums(tiny, "k", ["a", "b"]).collect()
+    )
+    assert got2 == [(5, 1, 1), (9, 3, 1)]
