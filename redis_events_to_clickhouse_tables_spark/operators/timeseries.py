@@ -1267,3 +1267,110 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------
+# Changepoint detection: max-CUSUM binary segmentation (first split)
+# --------------------------------------------------------------------
+
+_SQL_CHANGEPOINT = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT d,
+             SUM(v) OVER (ORDER BY d) AS cv,
+             ROW_NUMBER() OVER (ORDER BY d) AS k
+      FROM daily),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      FROM daily),
+    t AS (
+      SELECT d, k, cv, n, s,
+             ABS(n * cv - k * s) AS tstat
+      FROM cum, tot WHERE k < n),
+    mx AS (SELECT MAX(tstat) AS m FROM t)
+    SELECT MIN(d) AS change_day_num,
+           MIN(k) AS k_pre,
+           MIN(n) AS n_days,
+           CAST(MIN(tstat) AS DOUBLE)
+             / (CAST(MIN(n) AS DOUBLE) * MIN(s)) AS cusum_norm,
+           CAST(MIN(cv) AS DOUBLE) / MIN(k) AS mean_pre,
+           CAST(MIN(s) - MIN(cv) AS DOUBLE) / (MIN(n) - MIN(k)) AS mean_post
+    FROM t, mx WHERE tstat = m AND d = (SELECT MIN(d) FROM t, mx
+                                        WHERE tstat = m)
+"""
+
+
+@query("timeseries_changepoint_cusum", oracle=_SQL_CHANGEPOINT)
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-split changepoint of the daily-revenue series: the day k*
+    maximizing the CUSUM statistic |n*S_k - k*S_n| (the binary-
+    segmentation pivot every mean-shift detector starts from), with
+    the exact pre/post means — the offline complement of the streaming
+    ``events_cusum_drift``.
+
+    Scale: the running totals come from ``functions.ranks.
+    bucketed_prefix_sums`` over the per-day aggregate (no global
+    window anywhere, plan-gated); the statistic is exact integer
+    cross-multiplication, its max is an order-free exact-int max, and
+    the argmax tiebreak is MIN(day) among maximizers — fully
+    deterministic. The three output ratios are single IEEE divisions.
+    """
+    tune(spark)
+    from ..functions.numeric import dec
+    from ..functions.ranks import bucketed_prefix_sums
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(
+        F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    cum = bucketed_prefix_sums(daily, "d", ["v", "one"])
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    t = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_one") < F.col("n"))
+        .select(
+            "d",
+            F.col("cum_one").alias("k"),
+            F.col("cum_v").alias("cv"),
+            "n",
+            "s",
+            F.abs(
+                F.col("n") * F.col("cum_v") - F.col("cum_one") * F.col("s")
+            ).alias("tstat"),
+        )
+    )
+    mx = t.agg(F.max("tstat").alias("m"))
+    arg = (
+        t.join(F.broadcast(mx), F.col("tstat") == F.col("m"))
+        .agg(F.min("d").alias("dmin"))
+    )
+    row = (
+        t.join(F.broadcast(arg), F.col("d") == F.col("dmin"))
+        .select(
+            F.col("d").alias("change_day_num"),
+            F.col("k").alias("k_pre"),
+            F.col("n").alias("n_days"),
+            (
+                F.col("tstat").cast("double")
+                / (F.col("n").cast("double") * F.col("s"))
+            ).alias("cusum_norm"),
+            (F.col("cv").cast("double") / F.col("k")).alias("mean_pre"),
+            (
+                (F.col("s") - F.col("cv")).cast("double")
+                / (F.col("n") - F.col("k"))
+            ).alias("mean_post"),
+        )
+    )
+    return row
