@@ -805,3 +805,85 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("na", "nb", "d_stat")
     )
+
+
+# --------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index
+# --------------------------------------------------------------------
+
+_SQL_HHI = """
+    WITH rev AS (
+      SELECT n.n_regionkey AS rk, l.l_suppkey AS sk,
+             CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_regionkey, l.l_suppkey),
+    agg AS (
+      SELECT rk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(v) AS BIGINT) AS t,
+             CAST(SUM(v * v) AS BIGINT) AS sq
+      FROM rev GROUP BY rk)
+    SELECT r.r_name AS region, n_suppliers,
+           CAST(t AS DOUBLE) AS total_revenue,
+           CAST(sq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+             AS hhi,
+           CAST(1 AS DOUBLE) / n_suppliers AS hhi_uniform
+    FROM agg JOIN region r ON r.r_regionkey = rk
+"""
+
+
+@query("stats_hhi_supplier_concentration", oracle=_SQL_HHI)
+def stats_hhi_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per region — sum of squared market shares, the antitrust-grade
+    concentration number (1/n = perfectly even, 1 = monopoly); the
+    single-number sibling of the Gini/Pareto pair, and the audit a
+    data pipeline runs on "is one provider dominating this slice?".
+
+    Scale: one lineitem scan with broadcast supplier/nation dims into
+    per-(region, supplier) exact cent sums; HHI = sum(cents^2)/T^2
+    needs no shares materialized — revenues are floored to exact
+    whole-dollar int64 first so the squared sums stay inside int64
+    (cents^2 would overflow), and int64->double conversion is
+    correctly rounded identically in both engines. HHI is
+    scale-invariant, so dollars vs cents changes nothing.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("rk"), "l_suppkey")
+        .agg(
+            F.floor(F.sum(dec("l_extendedprice", 14)))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    agg = rev.groupBy("rk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("v").cast("long").alias("t"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sq"),
+    )
+    return agg.join(
+        F.broadcast(r), F.col("rk") == F.col("r_regionkey")
+    ).select(
+        F.col("r_name").alias("region"),
+        "n_suppliers",
+        F.col("t").cast("double").alias("total_revenue"),
+        (
+            F.col("sq").cast("double")
+            / (F.col("t").cast("double") * F.col("t").cast("double"))
+        ).alias("hhi"),
+        (F.lit(1).cast("double") / F.col("n_suppliers")).alias("hhi_uniform"),
+    )
