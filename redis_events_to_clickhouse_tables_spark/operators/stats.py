@@ -887,3 +887,95 @@ def stats_hhi_supplier_concentration(
         ).alias("hhi"),
         (F.lit(1).cast("double") / F.col("n_suppliers")).alias("hhi_uniform"),
     )
+
+
+# --------------------------------------------------------------------
+# Theil-T between-group inequality decomposition
+# --------------------------------------------------------------------
+
+_SQL_THEIL = """
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey),
+    tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS t,
+             CAST(SUM(n_cust) AS BIGINT) AS n
+      FROM rev),
+    terms AS (
+      -- log2 of the exact ratio (cents*n)/(t*n_cust): one division of
+      -- exactly-representable products, quantized per NATION
+      SELECT cents, t,
+             CAST(FLOOR(log2((CAST(cents AS DOUBLE) * n)
+                             / (CAST(t AS DOUBLE) * n_cust)) * 1000000)
+                  AS BIGINT) AS lg6
+      FROM rev, tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(cents * lg6) AS DOUBLE)
+             / (MIN(CAST(t AS DOUBLE)) * 1000000) AS theil_between_bits
+    FROM terms
+"""
+
+
+@query("stats_theil_between_nations", oracle=_SQL_THEIL)
+def stats_theil_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-group component of the Theil-T inequality index over
+    customer revenue, grouped by nation (in bits): sum over groups of
+    share_g * log2(share_g / population_share_g). Unlike Gini, Theil
+    decomposes additively into between + within — this is the
+    between term, the "which slices are over-represented per capita"
+    number that pairs with ``stats_gini_revenue_by_nation`` (total
+    inequality) and ``stats_hhi_supplier_concentration`` (market
+    shares).
+
+    Scale: one orders scan into per-nation exact cent sums and
+    customer counts (25 rows); the statistic is algebra on that tiny
+    frame. Determinism (chi2 precedent): each group's log2 argument
+    is ONE division of exactly-representable integer cross-products,
+    floor-quantized per NATION (model-level); the weighted sum
+    cents*lg6 is EXACT int64 arithmetic (|cents| < 2^47 per nation
+    through sf1, |lg6| < 2^23 — products < 2^70/2^6 fit), so the
+    reduction is order-free, and the index is one final IEEE
+    division.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        )
+    )
+    tot = rev.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.sum("n_cust").cast("long").alias("n"),
+    )
+    terms = rev.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "t",
+        F.floor(
+            F.log2(
+                (F.col("cents").cast("double") * F.col("n"))
+                / (F.col("t").cast("double") * F.col("n_cust"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lg6"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        (
+            F.sum(F.col("cents") * F.col("lg6")).cast("double")
+            / (F.min(F.col("t").cast("double")) * F.lit(1e6))
+        ).alias("theil_between_bits"),
+    )
