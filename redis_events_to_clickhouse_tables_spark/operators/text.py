@@ -1311,3 +1311,94 @@ def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_per_group(
         base, ["lang"], "h", ["doc_id"], _RESERVOIR_K
     ).select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
+# --------------------------------------------------------------------
+# Top-3 keywords per document (quantized-log TF-IDF ranking)
+# --------------------------------------------------------------------
+
+_KW_K = 3
+
+_SQL_KEYWORDS = f"""
+    WITH td AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT td.doc_id, td.tok,
+             td.tf * CAST(FLOOR(log2(CAST(n_docs AS DOUBLE)
+                                     / CAST(df AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS s6
+      FROM td JOIN dfreq USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, s6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s6 DESC, tok) AS rk
+      FROM scored)
+    SELECT doc_id, rk, tok,
+           CAST(s6 AS DOUBLE) / 1000000 AS tfidf_bits
+    FROM ranked WHERE rk <= {_KW_K}
+"""
+
+
+@query("text_keywords_topk", oracle=_SQL_KEYWORDS)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by TF-IDF — the snippet/tagging
+    primitive a retrieval pipeline derives from the same counts as
+    ``text_tf_idf``. Ranking is fully deterministic: the score is
+    tf * floor(log2(N/df)*1e6) — EXACT integer arithmetic with the
+    idf log quantized once per distinct document frequency
+    (model-level, quantize-the-model doctrine) — with token text as
+    the tiebreak, so cross-engine order ties can't flap the way raw
+    float tf*ln(N/df) ordering would (text_tf_idf_scores is rows-only
+    for exactly that reason).
+
+    Scale: per-doc windows partition on doc_id with partitions
+    bounded by a document's vocabulary — never a corpus-wide or
+    hot-group sort.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = td.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        td.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log2(
+                        F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")
+                    )
+                    * 1e6
+                ).cast("long")
+            ).alias("s6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s6"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KW_K)
+        .select(
+            "doc_id",
+            "rk",
+            "tok",
+            (F.col("s6").cast("double") / F.lit(1e6)).alias("tfidf_bits"),
+        )
+    )
