@@ -301,8 +301,10 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int, n_queries: int, topk: int) -> str:
-    """The identical k-means pipeline unrolled as DuckDB CTEs."""
+def _km_fin_parts(k: int, iters: int) -> list[str]:
+    """CTE parts unrolling the deterministic Lloyd pipeline up to the
+    final assignment ``fin(vec_id, v, cid)`` — shared by every oracle
+    that consumes the trained quantizer (top-k search, label purity)."""
 
     def dot(a: str, b: str) -> str:
         return f"list_dot_product({a}, {b})"
@@ -343,6 +345,16 @@ def _kmeans_oracle_sql(k: int, iters: int, n_queries: int, topk: int) -> str:
         f" FROM v CROSS JOIN {prev})"
     )
     parts.append("fin AS (SELECT vec_id, v, cid FROM af WHERE rk = 1)")
+    return parts
+
+
+def _kmeans_oracle_sql(k: int, iters: int, n_queries: int, topk: int) -> str:
+    """The identical k-means top-k pipeline unrolled as DuckDB CTEs."""
+
+    def dot(a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    parts = _km_fin_parts(k, iters)
     cos = f"{dot('a.v', 'b.v')} / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('b.v', 'b.v')}))"
     return (
         ",\n".join(parts)
@@ -1284,3 +1296,166 @@ def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_dim_shift"),
     )
+
+
+# --------------------------------------------------------------------
+# Cluster-vs-label agreement: purity and NMI of the learned quantizer
+# --------------------------------------------------------------------
+
+
+def _km_purity_oracle_sql(k: int, iters: int) -> str:
+    parts = _km_fin_parts(k, iters)
+    return (
+        ",\n".join(parts)
+        + """,
+    cont AS (
+      SELECT f.cid, e.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fin f JOIN embeddings e ON e.vec_id = f.vec_id
+      GROUP BY f.cid, e.label),
+    mc AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS cc FROM cont GROUP BY cid),
+    ml AS (SELECT label, CAST(SUM(c) AS BIGINT) AS cl FROM cont
+           GROUP BY label),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cont),
+    pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS p
+            FROM (SELECT cid, MAX(c) AS mx FROM cont GROUP BY cid)),
+    mi AS (
+      SELECT CAST(SUM(c * lp6) AS BIGINT) AS smi FROM (
+        SELECT c, CAST(FLOOR(log2(CAST(c AS DOUBLE) * n
+                                  / (CAST(cc AS DOUBLE) * cl)) * 1000000)
+                       AS BIGINT) AS lp6
+        FROM cont JOIN mc USING (cid) JOIN ml USING (label)
+                  CROSS JOIN nn)),
+    hc AS (
+      SELECT CAST(SUM(cc * l6) AS BIGINT) AS shc FROM (
+        SELECT cc, CAST(FLOOR(log2(CAST(n AS DOUBLE) / cc) * 1000000)
+                        AS BIGINT) AS l6
+        FROM mc CROSS JOIN nn)),
+    hl AS (
+      SELECT CAST(SUM(cl * l6) AS BIGINT) AS shl FROM (
+        SELECT cl, CAST(FLOOR(log2(CAST(n AS DOUBLE) / cl) * 1000000)
+                        AS BIGINT) AS l6
+        FROM ml CROSS JOIN nn))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mc) AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ml) AS n_labels,
+           CAST(p AS DOUBLE) / n AS purity,
+           (CAST(smi AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000))
+             / (0.5 * (CAST(shc AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000)
+                       + CAST(shl AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1000000))) AS nmi
+    FROM pur, nn, mi, hc, hl
+"""
+    )
+
+
+@query(
+    "sim_kmeans_label_purity",
+    oracle=_km_purity_oracle_sql(_K_CLUSTERS, _KM_ITERS),
+)
+def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External validation of the learned coarse quantizer: purity
+    (majority-label mass per cluster) and normalized mutual
+    information between the k-means assignment and the embeddings'
+    ground-truth labels — the index-quality report that says whether
+    the ANN clustering respects the data's semantic structure.
+
+    Reuses the identical deterministic Lloyd pipeline as
+    ``sim_ivf_kmeans_topk`` (same oracle CTE prefix via
+    ``_km_fin_parts``), then: contingency cells and marginals are a
+    K x |labels| model-level frame; every entropy/MI log2 is
+    floor-quantized per CELL (quantize-the-model doctrine), the dot
+    products are exact int64, and purity/NMI are final IEEE
+    expressions — bit-exact cross-engine despite the iterative
+    training inside.
+    """
+    tune(spark)
+    v = _km_vectors(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < _K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    prev = None
+    for _ in range(_KM_ITERS):
+        cents = _km_update(_km_assign(v, cents)).persist()
+        cents.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
+    assigned = _km_assign(v, cents)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        assigned.join(F.broadcast(e), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mc = cont.groupBy("cid").agg(F.sum("c").cast("long").alias("cc"))
+    ml = cont.groupBy("label").agg(F.sum("c").cast("long").alias("cl"))
+    nn = cont.agg(F.sum("c").cast("long").alias("n"))
+    pur = (
+        cont.groupBy("cid")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("p"))
+    )
+    lp6 = (
+        F.floor(
+            F.log2(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("cc").cast("double") * F.col("cl"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lp6")
+    )
+    mi = (
+        cont.join(F.broadcast(mc), "cid")
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(nn))
+        .select("c", lp6)
+        .agg(F.sum(F.col("c") * F.col("lp6")).cast("long").alias("smi"))
+    )
+
+    def _entropy_sum(marg: DataFrame, cnt: str, alias: str) -> DataFrame:
+        l6 = (
+            F.floor(
+                F.log2(F.col("n").cast("double") / F.col(cnt)) * 1e6
+            )
+            .cast("long")
+            .alias("l6")
+        )
+        return (
+            marg.crossJoin(F.broadcast(nn))
+            .select(cnt, l6)
+            .agg(F.sum(F.col(cnt) * F.col("l6")).cast("long").alias(alias))
+        )
+
+    hc = _entropy_sum(mc, "cc", "shc")
+    hl = _entropy_sum(ml, "cl", "shl")
+    ncl = mc.agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    nlb = ml.agg(F.count(F.lit(1)).cast("long").alias("n_labels"))
+    base = (
+        ncl.crossJoin(F.broadcast(nlb))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+    )
+    nd = F.col("n").cast("double") * F.lit(1e6)
+    out = base.select(
+        "n_clusters",
+        "n_labels",
+        (F.col("p").cast("double") / F.col("n")).alias("purity"),
+        (
+            (F.col("smi").cast("double") / nd)
+            / (
+                F.lit(0.5)
+                * (
+                    F.col("shc").cast("double") / nd
+                    + F.col("shl").cast("double") / nd
+                )
+            )
+        ).alias("nmi"),
+    ).persist()
+    out.count()
+    cents.unpersist()
+    return out
