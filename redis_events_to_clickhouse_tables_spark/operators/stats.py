@@ -979,3 +979,94 @@ def stats_theil_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.min(F.col("t").cast("double")) * F.lit(1e6))
         ).alias("theil_between_bits"),
     )
+
+
+# --------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) two-sample test
+# --------------------------------------------------------------------
+
+_SQL_MWU = f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+      FROM orders
+      WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')),
+    dv AS (
+      SELECT cents, CAST(SUM(ia) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS b
+      FROM rows_ GROUP BY cents),
+    cum AS (
+      SELECT a, b, SUM(b) OVER (ORDER BY cents) AS cb
+      FROM dv),
+    s AS (
+      SELECT CAST(SUM(a * (2 * (cb - b) + b)) AS BIGINT) AS two_u
+      FROM cum),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM dv)
+    SELECT na, nb,
+           CAST(two_u AS DOUBLE) / 2 AS u_stat,
+           (CAST(two_u AS DOUBLE) / 2
+            - CAST(na AS DOUBLE) * nb / 2)
+             / SQRT(CAST(na AS DOUBLE) * nb
+                    * (CAST(na AS DOUBLE) + nb + 1) / CAST(12 AS DOUBLE))
+             AS z_approx
+    FROM s, tot
+"""
+
+
+@query("stats_mann_whitney_u", oracle=_SQL_MWU)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between URGENT and LOW order values: the
+    rank-sum location test that pairs with ``stats_ks_two_sample``
+    (KS sees any shape difference, U sees a location shift) — the
+    nonparametric A/B readout when values are skewed and a t-test
+    would mislead.
+
+    U = #(a > b pairs) + #(ties)/2, computed WITHOUT ranking rows:
+    per distinct value v, a_v * (2*cum_b(<v) + b_v) summed — exact
+    int64 via the same ``bucketed_prefix_sums`` scan as the KS test
+    (tied values contribute half in the doubled domain, so arithmetic
+    stays integral). z_approx is the no-tie-correction normal
+    approximation, one fixed IEEE tail identical in both engines;
+    halves are exactly representable so u_stat is bit-exact.
+    """
+    tune(spark)
+    from ..functions.ranks import bucketed_prefix_sums
+
+    o = table(spark, sf_dir, "orders")
+    rows = o.filter(
+        F.col("o_orderpriority").isin(_KS_A, _KS_B)
+    ).select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == _KS_A, 1).otherwise(0).alias("ia"),
+    )
+    dv = rows.groupBy("cents").agg(
+        F.sum("ia").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("b"),
+    )
+    cum = bucketed_prefix_sums(dv, "cents", ["b"])
+    s = cum.agg(
+        F.sum(
+            F.col("a")
+            * (2 * (F.col("cum_b") - F.col("b")) + F.col("b"))
+        )
+        .cast("long")
+        .alias("two_u")
+    )
+    tot = dv.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb")
+    u = F.col("two_u").cast("double") / 2
+    return s.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        u.alias("u_stat"),
+        (
+            (u - na * nb / 2)
+            / F.sqrt(na * nb * (na + nb + 1) / F.lit(12).cast("double"))
+        ).alias("z_approx"),
+    )
