@@ -1070,3 +1070,98 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(na * nb * (na + nb + 1) / F.lit(12).cast("double"))
         ).alias("z_approx"),
     )
+
+
+# --------------------------------------------------------------------
+# Spearman rank correlation (tie-aware, exact midranks)
+# --------------------------------------------------------------------
+
+_SQL_SPEARMAN = """
+    WITH rows_ AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem),
+    dx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY x),
+    dy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY y),
+    -- doubled midrank: 2*(rows before) + count + 1, exact integer
+    rx AS (SELECT x, 2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1 AS mr2
+           FROM dx),
+    ry AS (SELECT y, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS mr2
+           FROM dy),
+    m AS (
+      SELECT rx.mr2 AS a, ry.mr2 AS b
+      FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM m)
+    SELECT n AS n_rows,
+           (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+             / SQRT((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                    * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+             AS spearman_rho
+    FROM s
+"""
+
+
+@query("stats_spearman_rho", oracle=_SQL_SPEARMAN)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation between quantity and
+    extended price over lineitem — the monotonic-association measure
+    that survives the skew/outliers Pearson (``stats_corr_matrix``)
+    is blind to.
+
+    Exact at scale: per-variable MIDRANKS come from
+    ``bucketed_prefix_sums`` over the distinct-value tables (doubled
+    domain 2*prev + count + 1 keeps tie midpoints integral — no
+    row-level rank windows, and tie order can't flap the result the
+    way row_number ranks would); rows join their midranks on the
+    value (hash join, partitioned by value), and Pearson-on-midranks
+    runs as exact int64 power sums (products < 2^63 through sf0.1;
+    swap to decimal sums beyond) with one IEEE tail. int64->double
+    conversions are correctly rounded identically in both engines.
+    """
+    tune(spark)
+    from ..functions.ranks import bucketed_prefix_sums
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        (dec("l_quantity", 12) * 100).cast("long").alias("x"),
+        (dec("l_extendedprice", 14) * 100).cast("long").alias("y"),
+    )
+
+    def midranks(col: str):
+        d = rows.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        p = bucketed_prefix_sums(d, col, ["c"])
+        return p.select(
+            col,
+            (
+                2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1
+            ).alias("mr2"),
+        )
+
+    rx = midranks("x").withColumnRenamed("mr2", "a")
+    ry = midranks("y").withColumnRenamed("mr2", "b")
+    m = rows.join(rx, "x").join(ry, "y")
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb")
+    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    return s.select(
+        F.col("n").alias("n_rows"),
+        (
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * F.col("sa")) * (n * sbb - sb.cast("double") * sb))
+        ).alias("spearman_rho"),
+    )

@@ -102,6 +102,7 @@ _EXTERNALLY_VERIFIED = frozenset(
 _SAMPLE_PRIORITY = (
     # latest round-5 additions the sample should hit first
     "stats_ks_two_sample",
+    "stats_spearman_rho",
     "stats_mann_whitney_u",
     "sim_kmeans_label_purity",
     "text_keywords_topk",
