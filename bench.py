@@ -161,7 +161,69 @@ def bench_scaling_sweep(spark, registry, sf_dir: str) -> dict:
     return {"corpus_factor": _SCALE_FACTOR, "queries": sweep}
 
 
+def run_sweep(
+    spark, registry, sf_dir: str
+) -> tuple[dict[str, float], dict[str, str], list[str]]:
+    """Time every registered query once (retrying outliers), returning
+    (timings, errors, retried-outlier names).
+
+    One-off stalls (a JIT recompilation, an unlucky OS scheduling
+    window) occasionally inflate a single query 5-15x in a long
+    sweep — a different query each run. Re-measure any first attempt
+    above the threshold once and keep the minimum (the standard
+    min-over-repetitions estimator of true cost); the retry count is
+    reported so the record stays honest — and MANY retries in one
+    sweep are the load-guard trigger in main().
+    """
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    retry_threshold_s = 5.0
+    retried: list[str] = []
+    for name, spec in registry.items():
+        attempts = []
+        n = -1
+        for _ in range(2):
+            try:
+                start = time.perf_counter()
+                df = spec.build(spark, sf_dir)
+                n = df.count()
+                attempts.append(time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                # a failed RETRY must not discard a valid first
+                # measurement; only a query with zero successful
+                # attempts is recorded as an error
+                if not attempts:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                spark.catalog.clearCache()
+                break
+            # Iterative queries intentionally return persisted
+            # results (their lineage would otherwise replay on
+            # reuse); across a 140-query sweep those blocks
+            # accumulate and degrade later queries 2-3x (measured:
+            # 2.09s fresh vs 15.8s late in an uncleared sweep).
+            # Clearing between measurements keeps them independent
+            # — the clear itself is outside the timed window.
+            spark.catalog.clearCache()
+            if attempts[0] <= retry_threshold_s:
+                break
+            if name not in retried:
+                retried.append(name)
+        if not attempts:
+            continue
+        timings[name] = round(min(attempts), 4)
+        note = f" (min of {len(attempts)})" if len(attempts) > 1 else ""
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={n}{note}", file=sys.stderr
+        )
+    return timings, errors, retried
+
+
 def main() -> None:
+    # Ambient machine load BEFORE our own Spark session exists: a high
+    # number here means another tenant is burning the cores and any
+    # wall-clock record this run produces will overstate engine cost.
+    loadavg_ambient = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -207,53 +269,31 @@ def main() -> None:
     # One failing query must never zero out the whole benchmark (the
     # BENCH_r02/r03 records were lost to a single AnalysisException):
     # record the failure per-query and keep timing the rest.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    # One-off stalls (a JIT recompilation, an unlucky OS scheduling
-    # window) occasionally inflate a single query 5-15x in a long
-    # sweep — a different query each run. Re-measure any first attempt
-    # above the threshold once and keep the minimum (the standard
-    # min-over-repetitions estimator of true cost); the retry count is
-    # reported so the record stays honest.
-    retry_threshold_s = 5.0
-    retried: list[str] = []
-    for name, spec in registry.items():
-        attempts = []
-        n = -1
-        for _ in range(2):
-            try:
-                start = time.perf_counter()
-                df = spec.build(spark, sf_dir)
-                n = df.count()
-                attempts.append(time.perf_counter() - start)
-            except Exception as exc:  # noqa: BLE001 — isolate per query
-                # a failed RETRY must not discard a valid first
-                # measurement; only a query with zero successful
-                # attempts is recorded as an error
-                if not attempts:
-                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                    print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-                spark.catalog.clearCache()
-                break
-            # Iterative queries intentionally return persisted
-            # results (their lineage would otherwise replay on
-            # reuse); across a 140-query sweep those blocks
-            # accumulate and degrade later queries 2-3x (measured:
-            # 2.09s fresh vs 15.8s late in an uncleared sweep).
-            # Clearing between measurements keeps them independent
-            # — the clear itself is outside the timed window.
-            spark.catalog.clearCache()
-            if attempts[0] <= retry_threshold_s:
-                break
-            if name not in retried:
-                retried.append(name)
-        if not attempts:
-            continue
-        timings[name] = round(min(attempts), 4)
-        note = f" (min of {len(attempts)})" if len(attempts) > 1 else ""
+    timings, errors, retried = run_sweep(spark, registry, sf_dir)
+
+    # Load guard (VERDICT r5 item 1): the r5 round-final record was
+    # taken under heavy external machine load — 8 retried outliers and
+    # 2-10x inflation vs idle re-timings — and bench.py recorded it
+    # anyway. A sweep that retried many outliers is load-suspect: run
+    # the WHOLE sweep again and keep the per-query minimum (the
+    # min-over-repetitions estimator, now across sweeps), and record
+    # both totals so the disagreement itself is part of the record.
+    resweep_totals: list[float] = []
+    if len(retried) >= 5:
         print(
-            f"# {name}: {timings[name]:.3f}s rows={n}{note}", file=sys.stderr
+            f"# load guard: {len(retried)} retried outliers in sweep 1 — "
+            "re-running the full sweep and min-merging",
+            file=sys.stderr,
         )
+        resweep_totals.append(round(sum(timings.values()), 4))
+        t2, e2, _ = run_sweep(spark, registry, sf_dir)
+        resweep_totals.append(round(sum(t2.values()), 4))
+        for name, sec in t2.items():
+            timings[name] = min(timings.get(name, sec), sec)
+        for name in list(errors):
+            if name in t2:  # succeeded on the re-sweep
+                del errors[name]
+        errors.update({k: v for k, v in e2.items() if k not in timings})
 
     try:
         ingest_sec, ingest_events = bench_layer_a_ingest(spark, sf_dir)
@@ -290,6 +330,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        "loadavg_ambient": round(loadavg_ambient, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "resweep_totals": resweep_totals,
         "retried_outliers": retried,
         "scaling": scaling,
         "layer_a_ingest_events": ingest_events,
@@ -344,6 +387,8 @@ def main() -> None:
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "loadavg_ambient": round(loadavg_ambient, 2),
+                "resweep_totals": resweep_totals,
                 "full_timings": "BENCH_FULL.json",
                 "layer_a_ingest_events": ingest_events,
                 "layer_a_ingest_events_per_sec": events_per_sec,

@@ -118,10 +118,20 @@ def bottomk_per_group(
             hash_space
         )
         surv = df.join(counts, list(group_cols)).filter(F.col(hash_col) < cutoff)
+        # Probe from COUNTS, not from survivors: a group whose every
+        # hash lands above the cutoff has zero surviving rows and would
+        # be invisible to a survivor-side aggregate — left-join the
+        # survivor counts onto the full group list and treat a missing
+        # group as __s = 0 so it triggers the widen-retry.
+        surv_counts = surv.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__s")
+        )
         short = (
-            surv.groupBy(*group_cols, "__n")
-            .agg(F.count(F.lit(1)).alias("__s"))
-            .filter(F.col("__s") < F.least(F.lit(k), F.col("__n")))
+            counts.join(surv_counts, list(group_cols), "left")
+            .filter(
+                F.coalesce(F.col("__s"), F.lit(0))
+                < F.least(F.lit(k), F.col("__n"))
+            )
             .count()  # 1-scalar probe, O(#groups) work
         )
         if short == 0:

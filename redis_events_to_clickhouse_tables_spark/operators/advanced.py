@@ -993,8 +993,11 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("cents")
     )
     ranked, n_total = global_rank_desc(rev, "cents", "ck", rank_col="r")
+    # Integer `div`, matching the oracle's `//`: the double-divide +
+    # cast pattern rounds above 2^53 ranks and could misplace a
+    # boundary customer's decile at extreme scale.
     by_dec = ranked.groupBy(
-        (((F.col("r") - 1) * 10) / n_total).cast("long").alias("decile")
+        F.expr(f"((r - 1) * 10) div {int(n_total)}").alias("decile")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("dc"),

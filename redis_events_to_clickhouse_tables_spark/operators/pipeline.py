@@ -753,9 +753,12 @@ def waterfill_from_counts(src: DataFrame) -> DataFrame:
     ``pipeline_token_budget_waterfill``, shared with the streaming
     mixture monitor (``streaming/mixture.py``), whose per-batch
     partials merge into exactly this frame."""
+    # Integer `div`, not double `/` + cast: above 2^53 total tokens
+    # (real at 100-TB corpora) the double round-trip rounds while the
+    # DuckDB oracle's `//` stays exact — keep both sides integral.
     tot = src.agg(
         F.sum("c").cast("long").alias("total"),
-        (F.sum("c") / 2).cast("long").alias("b"),
+        F.expr("sum(c) div 2").cast("long").alias("b"),
         F.count(F.lit(1)).cast("long").alias("n_src"),
     )
     a = src.select(F.col("source").alias("sa"), F.col("c").alias("ca"))
@@ -789,7 +792,7 @@ def waterfill_from_counts(src: DataFrame) -> DataFrame:
     )
     lam = best.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("m") == 0, F.lit(None).cast("long"))
-        .otherwise(((F.col("b") - F.col("s")) / F.col("m")).cast("long"))
+        .otherwise(F.expr("(b - s) div m").cast("long"))
         .alias("lam_floor"),
         F.col("m").alias("m_best"),
         "b",

@@ -462,11 +462,15 @@ _SQL_BOOTSTRAP = f"""
       FROM events e
       CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) r
       GROUP BY e.event_type, r.b),
+    -- nb = 0 (all-zero Poisson weights, prob e^-n per replicate) makes
+    -- mean_b NULL; Spark ranks NULLs first, DuckDB last, so the CI
+    -- rank selection would pick different replicates cross-engine.
+    -- Drop empty replicates BEFORE ranking, identically on both sides.
     means AS (
       SELECT event_type, b, CAST(sb AS DOUBLE) / nb AS mean_b,
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY CAST(sb AS DOUBLE) / nb, b) AS rk
-      FROM reps),
+      FROM reps WHERE nb > 0),
     ci AS (
       SELECT event_type,
              MAX(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
@@ -536,8 +540,12 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         Window.partitionBy("event_type").orderBy("mean_b", "b")
     )
+    # Drop nb == 0 replicates before ranking (mirrors the oracle's
+    # WHERE nb > 0): a NULL mean_b would rank first in Spark but last
+    # in DuckDB, shifting which replicate the CI bounds select.
     ci = (
-        reps.select("event_type", "b", mean_b)
+        reps.filter(F.col("nb") > 0)
+        .select("event_type", "b", mean_b)
         .withColumn("rk", rk)
         .groupBy("event_type")
         .agg(
@@ -1092,17 +1100,23 @@ _SQL_SPEARMAN = """
     m AS (
       SELECT rx.mr2 AS a, ry.mr2 AS b
       FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+    -- power sums in exact 128-bit integers (HUGEINT), converted to
+    -- double only once at the end: midranks scale with 2n, so
+    -- sum(a*a) ~ n*(2n)^2 wraps int64 past ~sf0.3 — HUGEINT holds it
+    -- exactly to ~1.7e38, and HUGEINT->DOUBLE is correctly rounded,
+    -- matching Spark's DECIMAL(38,0)->double conversion bit-for-bit.
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
-             CAST(SUM(a * b) AS BIGINT) AS sab,
-             CAST(SUM(a * a) AS BIGINT) AS saa,
-             CAST(SUM(b * b) AS BIGINT) AS sbb
+             CAST(SUM(CAST(a AS HUGEINT)) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(b AS HUGEINT)) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb
       FROM m)
     SELECT n AS n_rows,
-           (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
-             / SQRT((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
-                    * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+           (CAST(n AS DOUBLE) * sab - sa * sb)
+             / SQRT((CAST(n AS DOUBLE) * saa - sa * sa)
+                    * (CAST(n AS DOUBLE) * sbb - sb * sb))
              AS spearman_rho
     FROM s
 """
@@ -1121,9 +1135,12 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level rank windows, and tie order can't flap the result the
     way row_number ranks would); rows join their midranks on the
     value (hash join, partitioned by value), and Pearson-on-midranks
-    runs as exact int64 power sums (products < 2^63 through sf0.1;
-    swap to decimal sums beyond) with one IEEE tail. int64->double
-    conversions are correctly rounded identically in both engines.
+    runs as exact DECIMAL(38,0) power sums — midranks scale with 2n,
+    so sum(a*a) ~ n*(2n)^2 wraps int64 past ~sf0.3; decimal sums stay
+    exact to ~1e38 (enough for 100-TB row counts) — with one IEEE
+    tail. DECIMAL(38,0)->double (Spark, Java BigDecimal) and
+    HUGEINT->DOUBLE (DuckDB oracle) are both correctly rounded, so
+    the single final conversion agrees bit-for-bit.
     """
     tune(spark)
     from ..functions.ranks import bucketed_prefix_sums
@@ -1147,21 +1164,29 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = midranks("x").withColumnRenamed("mr2", "a")
     ry = midranks("y").withColumnRenamed("mr2", "b")
     m = rows.join(rx, "x").join(ry, "y")
+    # decimal(18,0) per-row (midranks < 1e18 at any plausible scale);
+    # decimal(18)*decimal(18) -> decimal(37,0) per-row product, summed
+    # into decimal(38,0): exact, no silent int64 wrap.
+    a18 = F.col("a").cast("decimal(18,0)")
+    b18 = F.col("b").cast("decimal(18,0)")
     s = m.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("a").cast("long").alias("sa"),
-        F.sum("b").cast("long").alias("sb"),
-        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
-        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
-        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(a18).cast("decimal(38,0)").alias("sa"),
+        F.sum(b18).cast("decimal(38,0)").alias("sb"),
+        F.sum(a18 * b18).cast("decimal(38,0)").alias("sab"),
+        F.sum(a18 * a18).cast("decimal(38,0)").alias("saa"),
+        F.sum(b18 * b18).cast("decimal(38,0)").alias("sbb"),
     )
     n = F.col("n").cast("double")
-    sa, sb = F.col("sa").cast("double"), F.col("sb")
-    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
     return s.select(
         F.col("n").alias("n_rows"),
         (
             (n * sab - sa * sb)
-            / F.sqrt((n * saa - sa * F.col("sa")) * (n * sbb - sb.cast("double") * sb))
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
         ).alias("spearman_rho"),
     )

@@ -1193,17 +1193,22 @@ _SQL_ACF = """
       FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
       JOIN daily a ON TRUE
       JOIN daily b ON b.d = a.d + l.lag),
+    -- power sums in exact HUGEINT, one correctly-rounded DOUBLE
+    -- conversion at the end: sum(v*v) over the day table wraps int64
+    -- just past sf1 (daily revenue ~1e8 cents-scale dollars squared,
+    -- summed over ~2400 days). Mirrors Spark's DECIMAL(38,0) sums.
     s AS (
       SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
       FROM pairs GROUP BY lag)
     SELECT lag, n,
-           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy))
              AS acf
     FROM s
 """
@@ -1222,11 +1227,11 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny day table, never on orders. Missing days drop their pairs
     (inner join), the standard treatment for gappy series.
 
-    Determinism: day values are floored to whole dollars (exact int64
-    with products << 2^63 at test scales — at much larger SF move the
-    floor up a power of ten); the Pearson formula is +,-,*,/ and a
-    correctly-rounded SQRT on exactly-representable doubles, so both
-    engines agree bit-for-bit.
+    Determinism: day values are floored to whole dollars (exact
+    int64); power sums accumulate in DECIMAL(38,0) / HUGEINT — exact
+    at any plausible scale, no silent int64 wrap — and each sum is
+    converted to double exactly once (correctly rounded identically
+    in both engines) before the IEEE Pearson tail.
     """
     tune(spark)
     from ..functions.numeric import dec
@@ -1244,21 +1249,24 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(lags))
         .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
     )
+    # power sums in exact DECIMAL(38,0) (sum(v*v) wraps int64 just
+    # past sf1), then ONE correctly-rounded conversion to double per
+    # sum — identical to the oracle's HUGEINT->DOUBLE path.
+    x18 = F.col("x").cast("decimal(18,0)")
+    y18 = F.col("y").cast("decimal(18,0)")
     s = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(x18).cast("decimal(38,0)").alias("sx"),
+        F.sum(y18).cast("decimal(38,0)").alias("sy"),
+        F.sum(x18 * y18).cast("decimal(38,0)").alias("sxy"),
+        F.sum(x18 * x18).cast("decimal(38,0)").alias("sxx"),
+        F.sum(y18 * y18).cast("decimal(38,0)").alias("syy"),
     )
-    # every product is promoted to double BEFORE multiplying (matching
-    # the oracle's CAST(.. AS DOUBLE) * ..): sy*sy exceeds int64 at
-    # sf0.01 already, and int64->double conversion is correctly
-    # rounded and identical in both engines.
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
     return s.select(
         "lag",
         "n",

@@ -174,6 +174,36 @@ def test_bottomk_per_group_equals_plain_window_under_skew(spark):
     assert surv_frac < 0.02
 
 
+def test_bottomk_per_group_zero_survivor_group_not_dropped(spark):
+    """ADVICE r5 (medium): a group whose EVERY hash lands above the
+    cutoff has zero surviving rows; the old probe aggregated only
+    survivors, so such a group was silently dropped from the output
+    instead of triggering the widen-retry. The probe must left-join
+    the full group list so an all-pruned group counts as short.
+
+    Construct it deterministically: literal hash values pinned just
+    below 2**60 so any cutoff fraction < 1.0 prunes the whole group.
+    """
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.functions.ranks import (
+        bottomk_per_group,
+    )
+
+    top = 2**60
+    rows = [("unlucky", i, top - 1 - i) for i in range(4)] + [
+        ("normal", i, i + 1) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, id LONG, h LONG")
+    got = (
+        bottomk_per_group(df, ["g"], "h", ["id"], k=1, c0=0.25)
+        .select("g", "id")
+        .collect()
+    )
+    by_g = {r["g"]: r["id"] for r in got}
+    assert by_g == {"unlucky": 3, "normal": 0}, by_g
+
+
 def test_quantized_log2_is_cross_engine_identical(spark):
     """The quantize-the-model determinism trick (textstats module:
     entropy / bigram LM / MI / Zipf) rests on floor(log2(n)*1e6)
