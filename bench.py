@@ -59,16 +59,27 @@ def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
         )
     finally:
         shutil.rmtree(warm, ignore_errors=True)
-    tmp = tempfile.mkdtemp(prefix="ingest-bench-")
+    # median of 3 full-batch runs: a single run after a 2k-row warm
+    # batch still lands 1.5-2x above steady state (JSON reader +
+    # codegen JIT keeps warming through the first full-scale pass),
+    # which is what made r5's recorded ingest look like a regression
+    # vs r4. The reference's 20 events/s ceiling is itself a
+    # steady-state number, so steady state is the commensurable
+    # measurement.
+    runs: list[float] = []
     try:
-        engine = IngestEngine(spark, TableStore(spark, tmp))
-        start = time.perf_counter()
-        engine.process_raw_batch(raw, 0)
-        elapsed = time.perf_counter() - start
+        for _ in range(3):
+            tmp = tempfile.mkdtemp(prefix="ingest-bench-")
+            try:
+                engine = IngestEngine(spark, TableStore(spark, tmp))
+                start = time.perf_counter()
+                engine.process_raw_batch(raw, 0)
+                runs.append(time.perf_counter() - start)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
     finally:
         raw.unpersist()
-        shutil.rmtree(tmp, ignore_errors=True)
-    return elapsed, n
+    return sorted(runs)[len(runs) // 2], n
 
 
 _SCALE_FACTOR = 2.5
@@ -135,30 +146,82 @@ def build_scaled_corpus(spark, sf_dir: str, factor: float) -> str:
     return out
 
 
+# The two candidate-emission queries whose x2.5 growth ran hottest in
+# round 5 (2.72x — the only entries above 2.5x). VERDICT r5 item 6:
+# give them a second scaling point (x5) and record RESULT ROW COUNTS
+# (candidate pairs) alongside wall time, so any superlinear growth is
+# attributable — pairs growing superlinearly with near-dup density is
+# a property of the DATA; seconds growing faster than pairs would be
+# a property of the ENGINE.
+_SCALE_SUPERLINEAR_PROBE = (
+    "dedup_minhash_lsh_candidates",
+    "dedup_jaccard_verify_candidates",
+)
+_PROBE_FACTOR = 5.0
+
+
+def _timed_count(spec, spark, d: str) -> dict:
+    start = time.perf_counter()
+    n = spec.build(spark, d).count()
+    out = {"sec": round(time.perf_counter() - start, 4), "rows": int(n)}
+    spark.catalog.clearCache()
+    return out
+
+
 def bench_scaling_sweep(spark, registry, sf_dir: str) -> dict:
-    """Time the dedup/graph family on the scaled corpus. Linear-scaling
-    evidence: scaled wall / base wall should track the corpus factor,
-    not its square."""
+    """Time the dedup/graph family on the scaled corpus, recording the
+    result row count next to each wall time. Linear-scaling evidence:
+    scaled wall / base wall should track the corpus factor, not its
+    square — and where it doesn't, rows tell you whether the output
+    itself grew."""
     import shutil
 
     scaled_dir = build_scaled_corpus(spark, sf_dir, _SCALE_FACTOR)
-    sweep: dict[str, float] = {}
+    sweep: dict[str, dict] = {}
     try:
         for name, spec in registry.items():
             if not name.startswith(_SCALE_FAMILY_PREFIXES):
                 continue
-            start = time.perf_counter()
             try:
-                spec.build(spark, scaled_dir).count()
+                sweep[name] = _timed_count(spec, spark, scaled_dir)
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 print(f"# scale:{name}: FAILED {exc}"[:300], file=sys.stderr)
                 continue
-            sweep[name] = round(time.perf_counter() - start, 4)
-            print(f"# scale:{name}: {sweep[name]:.3f}s", file=sys.stderr)
-            spark.catalog.clearCache()  # see the main loop's rationale
+            print(
+                f"# scale:{name}: {sweep[name]['sec']:.3f}s"
+                f" rows={sweep[name]['rows']}",
+                file=sys.stderr,
+            )
     finally:
         shutil.rmtree(scaled_dir, ignore_errors=True)
-    return {"corpus_factor": _SCALE_FACTOR, "queries": sweep}
+
+    # superlinear probe: base (x1) and x5 points for the two suspects;
+    # the x2.5 point is already in `sweep`.
+    probe: dict[str, dict] = {}
+    probe_dir = build_scaled_corpus(spark, sf_dir, _PROBE_FACTOR)
+    try:
+        for name in _SCALE_SUPERLINEAR_PROBE:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            try:
+                pts = {
+                    "x1": _timed_count(spec, spark, sf_dir),
+                    "x2.5": sweep.get(name, {}),
+                    "x5": _timed_count(spec, spark, probe_dir),
+                }
+            except Exception as exc:  # noqa: BLE001
+                print(f"# probe:{name}: FAILED {exc}"[:300], file=sys.stderr)
+                continue
+            probe[name] = pts
+            print(f"# probe:{name}: {pts}", file=sys.stderr)
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
+    return {
+        "corpus_factor": _SCALE_FACTOR,
+        "queries": sweep,
+        "superlinear_probe": {"factors": [1, _SCALE_FACTOR, _PROBE_FACTOR], **probe},
+    }
 
 
 def run_sweep(

@@ -114,10 +114,18 @@ def bottomk_per_group(
     hash_space = float(2**60)
     c = c0
     while True:
-        cutoff = F.least(F.lit(1.0), F.lit(c * k) / F.col("__n")) * F.lit(
-            hash_space
+        frac = F.least(F.lit(1.0), F.lit(c * k) / F.col("__n"))
+        # When the fraction saturates at 1.0 the group must keep every
+        # row unconditionally: comparing the LONG hash against the
+        # DOUBLE cutoff promotes the hash to double, and values in
+        # [2**60 - 512, 2**60) round UP to exactly 2**60, so a strict
+        # `<` would reject them even at full width — and since frac
+        # can never exceed 1.0, the widen-retry loop would then spin
+        # forever (the probe fix surfaced this: before it, such a
+        # group was silently dropped instead).
+        surv = df.join(counts, list(group_cols)).filter(
+            (frac >= 1.0) | (F.col(hash_col) < frac * F.lit(hash_space))
         )
-        surv = df.join(counts, list(group_cols)).filter(F.col(hash_col) < cutoff)
         # Probe from COUNTS, not from survivors: a group whose every
         # hash lands above the cutoff has zero surviving rows and would
         # be invisible to a survivor-side aggregate — left-join the

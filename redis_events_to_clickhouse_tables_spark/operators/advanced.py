@@ -803,7 +803,37 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_mergeable_rollup", oracle=None)
+_SQL_HLL_ROLLUP = """
+    WITH days AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events),
+    daily AS (
+      SELECT week, day, COUNT(DISTINCT user_id) AS du
+      FROM days GROUP BY week, day),
+    dd AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(du) AS BIGINT) AS sum_daily_exact
+      FROM daily GROUP BY week),
+    weekly AS (
+      SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_week_users
+      FROM days GROUP BY week)
+    -- the sketch estimate itself is engine-specific; the ORACLE-side
+    -- contract is that every Spark-computed invariant column is TRUE
+    -- (hash-match fails if the estimate drifts out of HLL error or
+    -- the daily-merge path diverges from the direct weekly sketch)
+    SELECT dd.week, dd.n_days, weekly.exact_week_users,
+           dd.sum_daily_exact,
+           TRUE AS est_within_error,
+           TRUE AS merge_equals_direct,
+           TRUE AS est_le_sum_daily
+    FROM dd JOIN weekly ON dd.week = weekly.week
+    ORDER BY dd.week
+"""
+
+
+@query("sketch_hll_mergeable_rollup", oracle=_SQL_HLL_ROLLUP)
 def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting: per-day HLL sketches of
     user_id, merged upward to per-week estimates WITHOUT rescanning
@@ -813,11 +843,15 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what a continuous rollup would persist; the weekly layer here
     is built purely by ``hll_union_agg`` over those sketches.
 
-    No oracle: DuckDB's approx_count_distinct is a different sketch.
-    The pytest invariant (tests/test_rows_only_invariants.py) asserts
-    each weekly estimate is within HLL error of the exact distinct
-    count computed alongside, and that merged-sketch estimates equal
-    estimates of sketches built directly from the raw week.
+    DuckDB's approx_count_distinct is a different sketch, so the raw
+    estimate can't be oracle-matched — instead the output carries the
+    exact rollup columns PLUS the sketch invariants as booleans the
+    oracle asserts TRUE (VERDICT r5 item 4): the merged estimate sits
+    within HLL error (lgConfigK=12, rsd ~1.6%, bound 8%) of the exact
+    weekly count; merging daily sketches equals sketching the raw
+    week directly (register-max is associative, so this is exact
+    equality, the mergeability property itself); and the estimate
+    never exceeds 1.08x the sum of daily exact counts.
     """
     tune(spark)
     e = table(spark, sf_dir, "events")
@@ -831,21 +865,32 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_day_users"),
     )
     weekly = daily.groupBy("week").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_week_users"),
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("exact_day_users").alias("sum_daily_exact"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("exact_day_users").cast("long").alias("sum_daily_exact"),
     )
-    exact_week = days.groupBy("week").agg(
-        F.countDistinct("user_id").alias("exact_week_users")
+    direct = days.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_est"
+        ),
+        F.countDistinct("user_id").cast("long").alias("exact_week_users"),
     )
+    est, exact = F.col("est"), F.col("exact_week_users")
     return (
-        weekly.join(exact_week, "week")
+        weekly.join(direct, "week")
         .select(
             "week",
             "n_days",
-            "est_week_users",
             "exact_week_users",
             "sum_daily_exact",
+            (
+                F.abs(est - exact)
+                <= F.greatest(F.lit(2.0), 0.08 * exact.cast("double"))
+            ).alias("est_within_error"),
+            (est == F.col("direct_est")).alias("merge_equals_direct"),
+            (est <= 1.08 * F.col("sum_daily_exact").cast("double")).alias(
+                "est_le_sum_daily"
+            ),
         )
         .orderBy("week")
     )

@@ -49,109 +49,141 @@ def query(name: str, oracle: str | None = None):
 
 
 # Queries the external correctness gate has already verified in rounds
-# 1-4 (union of its 50-query samples, which take the FIRST 50 of this
+# 1-5 (union of its 50-query samples, which take the FIRST 50 of this
 # dict in order). Listing them lets load_all put the never-yet-sampled
 # queries first, so each round's sample covers new ground instead of
 # re-verifying the same prefix. Purely an ordering hint — every query
 # stays registered and locally oracle-checked regardless.
 _EXTERNALLY_VERIFIED = frozenset(
     {
-        "window_moving_avg_spend", "window_ranking_family",
-        "grouping_sets_status_priority", "agg_stats_explicit",
-        "agg_median_exact", "scalar_regex_functions",
-        "approx_distinct_users", "window_time_range_frame",
-        "window_first_nth_last", "scalar_conditional_functions",
-        "approx_percentile_prices", "agg_mode_priority",
-        "agg_bitwise_line_masks", "agg_exact_p90_rank",
-        "dedup_exact_documents", "dedup_ngram_jaccard",
-        "dedup_minhash_signatures", "dedup_minhash_lsh_candidates",
-        "dedup_jaccard_verify_candidates", "dedup_levenshtein_verify",
-        "dedup_simhash", "dedup_simhash_neardup",
-        "dedup_cluster_components", "dedup_incremental_snapshot",
-        "dedup_jaccard_stop_shingles", "graph_pagerank_neardup",
-        "rollup_daily_gapfill", "set_except_all_heavy_lineitems",
-        "set_intersect_all_orderkeys", "json_extract_props",
-        "unpivot_lineitem_measures", "stringagg_custkeys_by_status",
-        "layout_zorder_orders", "events_flagship_daily",
-        "events_hourly_windows", "events_sessionize",
-        "events_pivot_type_counts", "ingest_normalize_events",
-        "events_session_window", "events_sliding_windows",
-        "events_funnel_conversion", "events_markov_transitions",
-        "grouped_user_gap_stats", "multimodal_binary_stats",
-        "multimodal_fake_decode", "multimodal_resize",
-        "multimodal_frame_sample", "multimodal_audio_features",
-        "contamination_ngram_overlap", "pack_sequences_contiguous",
-        "text_repetition_filter", "corpus_composition_stats",
-        "embedding_outlier_filter", "shard_manifest",
-        "curation_keep_mask", "q1_pricing_summary",
-        "q6_forecast_revenue", "agg_distinct_counts",
-        "agg_rollup_flag_status", "agg_cube_status_priority",
-        "agg_having_hot_brands", "distinct_projection",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q10_returned_items", "join_semi_urgent_customers",
-        "join_anti_inactive_customers", "join_left_outer_customer_spend",
+        "agg_bitwise_line_masks",
+        "agg_cube_status_priority",
+        "agg_distinct_counts",
+        "agg_exact_p90_rank",
+        "agg_having_hot_brands",
+        "agg_median_exact",
+        "agg_mode_priority",
+        "agg_rollup_flag_status",
+        "agg_stats_explicit",
+        "agg_weighted_median",
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "contamination_ngram_overlap",
+        "corpus_composition_stats",
+        "curation_keep_mask",
+        "customer_pareto_curve",
+        "customer_rfm_segments",
+        "dedup_cluster_components",
+        "dedup_exact_documents",
+        "dedup_incremental_snapshot",
+        "dedup_jaccard_stop_shingles",
+        "dedup_jaccard_verify_candidates",
+        "dedup_levenshtein_verify",
+        "dedup_lsh_parameter_sweep",
+        "dedup_minhash_lsh_candidates",
+        "dedup_minhash_signatures",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_simhash_neardup",
+        "distinct_projection",
+        "dq_benford_first_digit",
+        "dq_events_rules",
+        "dq_k_anonymity",
+        "dq_referential_integrity",
+        "dq_rule_violations",
+        "embedding_drift_halves",
+        "embedding_outlier_filter",
+        "events_attribution_linear",
+        "events_cusum_drift",
+        "events_flagship_daily",
+        "events_funnel_conversion",
+        "events_hourly_windows",
+        "events_kaplan_meier",
+        "events_markov_transitions",
+        "events_pivot_type_counts",
+        "events_session_window",
+        "events_sessionize",
+        "events_sliding_windows",
+        "events_user_type_entropy",
+        "features_point_in_time",
+        "graph_pagerank_neardup",
+        "grouped_user_gap_stats",
+        "grouping_sets_status_priority",
+        "ingest_normalize_events",
+        "join_anti_inactive_customers",
+        "join_bloom_prefilter",
+        "join_left_outer_customer_spend",
+        "join_semi_urgent_customers",
+        "json_extract_props",
+        "layout_zorder_orders",
+        "multimodal_audio_features",
+        "multimodal_binary_stats",
+        "multimodal_fake_decode",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "orders_ship_latency_percentiles",
+        "pack_sequences_contiguous",
+        "pipeline_token_budget_waterfill",
+        "q10_returned_items",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "rolling_distinct_users_7d",
+        "rollup_daily_gapfill",
+        "scalar_conditional_functions",
+        "scalar_regex_functions",
+        "set_except_all_heavy_lineitems",
+        "set_intersect_all_orderkeys",
+        "shard_manifest",
+        "sim_kmeans_label_purity",
+        "sim_srp_lsh_topk",
+        "sim_srp_recall",
+        "sketch_histogram_percentiles",
+        "sketch_hll_mergeable_rollup",
+        "snapshot_diff_orders",
+        "stats_ab_test_conversion",
+        "stats_chi2_nation_segment",
+        "stats_corr_matrix",
+        "stats_gini_revenue_by_nation",
+        "stats_hhi_supplier_concentration",
+        "stats_ks_two_sample",
+        "stats_mann_whitney_u",
+        "stats_mutual_information_lang_source",
+        "stats_regression_price_qty",
+        "stats_spearman_rho",
+        "stats_theil_between_nations",
+        "stats_winsorized_price",
+        "stringagg_custkeys_by_status",
+        "text_bigram_lm_bits",
+        "text_char_entropy",
+        "text_heaps_law",
+        "text_js_divergence_en_rest",
+        "text_keywords_topk",
+        "text_repetition_filter",
+        "text_vocab_coverage",
+        "text_zipf_slope",
+        "timeseries_autocorrelation",
+        "timeseries_changepoint_cusum",
+        "timeseries_m4_downsample",
+        "timeseries_seasonal_profile",
+        "timeseries_twap_locf",
+        "unpivot_lineitem_measures",
+        "user_churn_features",
+        "window_first_nth_last",
+        "window_moving_avg_spend",
+        "window_ranking_family",
+        "window_time_range_frame",
     }
 )
 
 
-# Head of the ordering: queries whose external verification was
-# explicitly requested (the round-4 review asked for a green external
-# row for the rewritten user_ltv_deciles and for surfacing BM25) plus
-# the operators added after the last sample — listed first so the
-# 50-query external sample reaches them this round.
+# Head of the ordering: the 101 queries the external gate has NEVER
+# sampled across rounds 1-5 (VERDICT r5 item 7 — rotate sampled names
+# to the back so round 6's 50-query sample covers new ground). New
+# round-6 queries are appended at the FRONT of this tuple as they are
+# added, so they get sampled too.
 _SAMPLE_PRIORITY = (
-    # latest round-5 additions the sample should hit first
-    "stats_ks_two_sample",
-    "stats_spearman_rho",
-    "stats_mann_whitney_u",
-    "sim_kmeans_label_purity",
-    "text_keywords_topk",
-    "stats_theil_between_nations",
-    "stats_hhi_supplier_concentration",
-    "timeseries_changepoint_cusum",
-    "dedup_lsh_parameter_sweep",
-    "events_kaplan_meier",
-    "events_attribution_linear",
-    "events_user_type_entropy",
-    "pipeline_token_budget_waterfill",
-    "dq_benford_first_digit",
-    "text_js_divergence_en_rest",
-    "embedding_drift_halves",
-    "customer_pareto_curve",
-    "timeseries_autocorrelation",
-    "stats_corr_matrix",
-    "text_heaps_law",
-    "text_zipf_slope",
-    "stats_gini_revenue_by_nation",
-    "stats_winsorized_price",
-    "stats_mutual_information_lang_source",
-    "text_char_entropy",
-    "text_bigram_lm_bits",
-    "timeseries_seasonal_profile",
-    "events_cusum_drift",
-    "sim_srp_lsh_topk",
-    "sim_srp_recall",
-    "stats_regression_price_qty",
-    "stats_chi2_nation_segment",
-    "stats_ab_test_conversion",
-    "dq_k_anonymity",
-    "sketch_histogram_percentiles",
-    "dq_referential_integrity",
-    "dq_rule_violations",
-    "snapshot_diff_orders",
-    "timeseries_twap_locf",
-    "timeseries_m4_downsample",
-    "agg_weighted_median",
-    "join_bloom_prefilter",
-    "text_vocab_coverage",
-    "user_churn_features",
-    "sketch_hll_mergeable_rollup",
-    "orders_ship_latency_percentiles",
-    "dq_events_rules",
-    "features_point_in_time",
-    # earlier round-5 additions
-    "rolling_distinct_users_7d",
-    "customer_rfm_segments",
     "classifier_hashed_linear",
     "events_activity_streaks",
     "orders_open_backlog_daily",
@@ -171,6 +203,88 @@ _SAMPLE_PRIORITY = (
     "dedup_minhash_estimate_vs_exact",
     "revenue_concentration_gini",
     "interval_overlap_incidents",
+    "scalar_map_struct_functions",
+    "sketch_countmin_user_counts",
+    "scalar_bitwise_functions",
+    "scalar_try_functions",
+    "dedup_exact_substring",
+    "graph_triangle_count",
+    "dedup_containment_verify",
+    "dedup_cluster_representatives",
+    "corpus_dedup_summary",
+    "url_canonicalize",
+    "user_event_type_diversity",
+    "multimodal_magic_sniff",
+    "curation_token_budget",
+    "join_broadcast_brand_volume",
+    "q4_late_shipment_priority",
+    "window_rank_top_orders",
+    "window_running_customer_spend",
+    "window_lag_order_gap",
+    "topk_expensive_items",
+    "set_union_active_custkeys",
+    "set_intersect_loyal_custkeys",
+    "set_except_churned_custkeys",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "conditional_customer_tiers",
+    "join_full_outer_nation_presence",
+    "join_cross_region_nation",
+    "sim_bruteforce_topk",
+    "sim_ivf_bucketed_topk",
+    "sim_embedding_neardup",
+    "sim_ivf_kmeans_topk",
+    "sim_ivf_recall",
+    "embedding_label_centroids",
+    "sim_truncated_dims_recall",
+    "dedup_semdedup_prune",
+    "salted_join_user_totals",
+    "salted_agg_user_value",
+    "stats_bootstrap_mean_ci",
+    "q2_cheapest_supplier_per_part",
+    "q12_late_shipment_modes",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_revenue_supplier",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "asof_purchase_last_click",
+    "range_join_error_context",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_tf_idf",
+    "text_tf_idf_scores",
+    "text_bpe_token_counts",
+    "sample_stratified_documents",
+    "sample_train_val_test",
+    "text_chunk_sliding",
+    "sample_temperature_by_lang",
+    "text_unk_rare_tokens",
+    "scalar_array_functions",
+    "index_inverted_postings",
+    "augment_token_dropout",
+    "sample_bottomk_reservoir",
+    "events_retention_rolling",
+    "timeseries_interpolate_hourly",
+    "events_value_histogram",
+    "events_anomaly_zscore",
+    "events_cohort_matrix",
+    "events_mad_outliers",
+    "events_dau_wau_mau",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "basket_brand_pairs_lift",
+    "supplier_otif_rate",
 )
 
 

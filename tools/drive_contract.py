@@ -1,4 +1,11 @@
-"""Driver simulation: plain session, every query vs DuckDB at sf0.01."""
+"""Driver simulation: plain session, every query vs DuckDB at sf0.01.
+
+Set SPARK_GRAFT_ANSI=1 to run the same sweep under
+spark.sql.ansi.enabled=true — the structural overflow audit (VERDICT
+r5 item 3): ANSI turns any silent int64 wrap or bad cast anywhere in
+the 219-query registry into a hard error instead of a wrong value.
+"""
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -18,6 +25,9 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
+if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    print("ANSI mode: spark.sql.ansi.enabled=true")
 
 import __spark_entry__ as e
 
