@@ -204,3 +204,80 @@ def bucketed_prefix_sums(
         )
         out = out.withColumn(f"cum_{c}", off + F.sum(c).over(w))
     return out.drop("__pf_bucket")
+
+
+def topk_by_value_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: int,
+    c0: float = 4.0,
+) -> DataFrame:
+    """Rows whose rank under (``value_col`` DESC, tiebreaks ASC)
+    within each ``group_cols`` partition is <= k, with ``rk``
+    attached — without streaming whole groups through single window
+    tasks.
+
+    :func:`bottomk_per_group` prunes with an analytic hash cutoff;
+    that only works because hashes are uniform. For an arbitrary
+    VALUE ordering (top-N docs per source by length, top spenders
+    per nation) the cutoff must come from the data: one grouped
+    aggregate computes each group's count and its approximate value
+    quantiles at a fixed keep-fraction grid (1, 1/2, 1/4, ... —
+    percentile_approx is a mergeable sketch, so this stage is
+    map-side combinable). Each group then picks the grid cutoff
+    whose keep fraction is ~c0*k/n, a codegen'd scan-stage filter
+    keeps ``value >= cutoff`` (ties included, so the true top-k
+    always survives whenever the probe passes), and the window ranks
+    only those survivors. The same 1-scalar probe as
+    bottomk_per_group guards exactness: any group with fewer than
+    min(k, n) survivors (sketch rank error) widens its fraction 4x
+    and retries; the last grid step keeps the whole group, so
+    termination is unconditional. Result EXACTLY equals the plain
+    partitioned window the DuckDB oracle expresses.
+    """
+    grid_bits = 20  # keep fractions 2^0 .. 2^-20
+    qs = [1.0 - 2.0**-i for i in range(grid_bits + 1)]
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.percentile_approx(value_col, qs, 10_000).alias("__qs"),
+    )
+    widen = 0  # grid steps subtracted by the retry loop
+    while True:
+        # smallest grid index whose keep fraction >= c0*k/n, minus the
+        # accumulated widen steps; index 0 keeps every row.
+        idx = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(grid_bits),
+                F.floor(F.log2(F.col("__n") / F.lit(float(c0 * k)))).cast("int"),
+            )
+            - F.lit(widen),
+        )
+        cutoff = F.element_at(F.col("__qs"), idx + 1)
+        surv = df.join(stats, list(group_cols)).filter(
+            (idx <= 0) | (F.col(value_col) >= cutoff)
+        )
+        surv_counts = surv.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__s")
+        )
+        short = (
+            stats.join(surv_counts, list(group_cols), "left")
+            .filter(
+                F.coalesce(F.col("__s"), F.lit(0))
+                < F.least(F.lit(k), F.col("__n"))
+            )
+            .count()  # 1-scalar probe, O(#groups)
+        )
+        if short == 0:
+            break
+        widen += 2  # fraction *= 4
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(value_col), *[F.asc(c) for c in tiebreak_cols]
+    )
+    return (
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("__n", "__qs")
+    )

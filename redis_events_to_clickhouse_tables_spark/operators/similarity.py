@@ -1459,3 +1459,92 @@ def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     cents.unpersist()
     return out
+
+
+# --------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-normalization table)
+# --------------------------------------------------------------------
+
+_DIMSTAT_FP = 10_000_000  # same 1e-7 fixed-point quantum as the k-means path
+
+
+_SQL_DIM_STATS = f"""
+    WITH u AS (
+      SELECT p.pos AS pos, CAST(embedding[p.pos + 1] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS p(pos)),
+    f AS (
+      SELECT pos, x, CAST(ROUND(x * {_DIMSTAT_FP}) AS BIGINT) AS xi
+      FROM u),
+    s AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(xi AS HUGEINT)) AS sx,
+             SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM f GROUP BY pos)
+    SELECT CAST(pos AS INTEGER) AS pos, n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / {_DIMSTAT_FP} AS mean_x,
+           SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE)) / {_DIMSTAT_FP} AS std_x,
+           min_x, max_x
+    FROM s ORDER BY pos
+"""
+
+
+@query("embedding_dimension_stats", oracle=_SQL_DIM_STATS)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / sample-std / min / max of the embedding
+    matrix — the statistics table behind feature standardization
+    (z-scoring before k-means or PQ), dead-dimension detection
+    (std ~ 0), and range checks on an embedding export.
+
+    Scale: posexplode fans each vector into (pos, x) rows once; the
+    per-dimension aggregate is a single map-side-combinable groupBy
+    on pos (at 1000 executors each task pre-aggregates its slice of
+    vectors into #dims partials, and the shuffle moves only
+    #dims x #tasks scalar rows, never the matrix). No window, no
+    join, no collect.
+
+    Determinism: float32 -> double casts are exact; sums quantize to
+    the 1e-7 fixed-point grid (the k-means/_FP_SCALE doctrine) and
+    accumulate in DECIMAL(38,0)/HUGEINT — sum(xi^2) ~ n*1e14 wraps
+    int64 past ~90k vectors, so the wide type is load-bearing, not
+    defensive. min/max involve no arithmetic at all. One
+    correctly-rounded double conversion per sum, then an IEEE tail
+    both engines execute identically.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    u = e.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x")
+    )
+    f = u.withColumn(
+        "xi", F.round(F.col("x") * _DIMSTAT_FP).cast("long")
+    )
+    xi18 = F.col("xi").cast("decimal(18,0)")
+    s = f.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xi18).cast("decimal(38,0)").alias("sx"),
+        F.sum(xi18 * F.col("xi")).cast("decimal(38,0)").alias("sxx"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+    n20 = F.col("n").cast("decimal(20,0)")
+    var_num = (n20 * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    return s.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double") / _DIMSTAT_FP).alias(
+            "mean_x"
+        ),
+        (
+            F.sqrt(
+                var_num.cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            )
+            / _DIMSTAT_FP
+        ).alias("std_x"),
+        "min_x",
+        "max_x",
+    ).orderBy("pos")

@@ -17,7 +17,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
-from ..functions.ranks import bottomk_per_group, global_rank_desc
+from ..functions.ranks import (
+    bottomk_per_group,
+    global_rank_desc,
+    topk_by_value_per_group,
+)
 from ..registry import query
 from ..session import tune
 from ..sources.tables import fanout, table
@@ -1311,6 +1315,52 @@ def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_per_group(
         base, ["lang"], "h", ["doc_id"], _RESERVOIR_K
     ).select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
+_LONGEST_K = 3
+
+
+@query(
+    "sample_topk_longest_per_source",
+    oracle=f"""
+    SELECT source, doc_id, n_tokens, rk FROM (
+      SELECT source, doc_id, n_tokens,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rk
+      FROM (SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents) t) r
+    WHERE rk <= {_LONGEST_K}
+    """,
+)
+def sample_topk_longest_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k per group by a VALUE ordering: the k longest
+    documents (whitespace token count, doc_id tiebreak) per source
+    domain — the curation shape "keep the N best per domain by some
+    score".
+
+    :func:`sample_bottomk_reservoir` prunes with an analytic cutoff
+    that only exists because its hash is uniform; a data-dependent
+    score has no such formula. This rides the round-6
+    :func:`topk_by_value_per_group` primitive instead: one mergeable
+    grouped sketch (count + percentile_approx at a power-of-two
+    keep-fraction grid) picks a per-group score cutoff, a scan-stage
+    filter keeps ~4k rows per group, the window ranks only those, and
+    the bottomk-style 1-scalar probe widens-and-retries on sketch
+    rank error, so the result EXACTLY equals the plain-window
+    semantics the DuckDB oracle expresses. No group ever streams
+    through a single task, however skewed the per-source doc counts.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return topk_by_value_per_group(
+        base, ["source"], "n_tokens", ["doc_id"], _LONGEST_K
+    ).select("source", "doc_id", "n_tokens", F.col("rk").cast("int").alias("rk"))
 
 
 # --------------------------------------------------------------------

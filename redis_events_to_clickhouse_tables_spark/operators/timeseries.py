@@ -1382,3 +1382,115 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row
+
+
+# --------------------------------------------------------------------
+# Exponentially-weighted moving average of daily revenue (exact)
+# --------------------------------------------------------------------
+
+# kernel truncation depth: weights 2^-j for j > _EWMA_BITS are exactly
+# zero in the fixed-point arithmetic (2^-32 of a day's revenue is far
+# below a cent), so the convolution window is 32 calendar days.
+_EWMA_BITS = 31
+
+_SQL_EWMA = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    d0 AS (SELECT MIN(d) AS dmin FROM daily),
+    num AS (
+      SELECT a.d, MIN(a.v) AS v,
+             SUM(CAST(b.v AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << ({_EWMA_BITS} - (a.d - b.d))))
+               AS num_fp
+      FROM daily a JOIN daily b
+        ON b.d BETWEEN a.d - {_EWMA_BITS} AND a.d
+      GROUP BY a.d)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS TIMESTAMP) AS day,
+           v AS revenue,
+           CAST(num_fp AS DOUBLE)
+             / CAST((CAST(1 AS HUGEINT) << ({_EWMA_BITS} + 1))
+                    - (CAST(1 AS HUGEINT)
+                       << ({_EWMA_BITS} - LEAST({_EWMA_BITS}, d - dmin)))
+                    AS DOUBLE)
+             AS ewma_revenue
+    FROM num CROSS JOIN d0
+    ORDER BY day
+"""
+
+
+@query("timeseries_ewma_revenue", oracle=_SQL_EWMA)
+def timeseries_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life 1 day,
+    alpha = 1/2) of daily order revenue — the smoothing curve behind
+    revenue dashboards and drift alarms, computed EXACTLY.
+
+    EWMA is usually written as the sequential recurrence
+    ``s_t = a*x_t + (1-a)*s_(t-1)`` — a serial scan that cannot
+    partition, and in floats whose result depends on evaluation
+    order. Two choices make it distributed AND bit-reproducible:
+
+    - alpha = 1/2 makes every kernel weight a power of two, so each
+      product ``revenue * 2^(31-j)`` is an exact integer; weights
+      below 2^-31 are exactly zero, truncating the kernel to a
+      32-calendar-day window (the pandas ``ewm(adjust=True)``
+      normalization over the observed span, missing days contributing
+      zero revenue but still decaying the weights).
+    - the kernel convolution runs on the DAILY table: one map-side
+      combinable exact-decimal aggregate collapses orders to one row
+      per day, then a 32-day range self-join of that model-level
+      frame (broadcast — it is #days long at any corpus size) builds
+      numerators in DECIMAL(38,0)/HUGEINT. The normalizer has the
+      closed form 2^32 - 2^(31-min(31, d-d0)), so it needs no join at
+      all. One correctly-rounded double division per row at the end.
+    """
+    tune(spark)
+    from ..functions.numeric import dec
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"))
+    a = daily.select(F.col("d").alias("da"), F.col("v").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("v").alias("y"))
+    num = (
+        a.join(
+            F.broadcast(b),
+            (F.col("db") >= F.col("da") - _EWMA_BITS)
+            & (F.col("db") <= F.col("da")),
+        )
+        .groupBy("da")
+        .agg(
+            F.min("x").alias("v"),
+            F.sum(
+                F.col("y").cast("decimal(18,0)")
+                * F.expr(
+                    f"shiftleft(1L, {_EWMA_BITS} - (da - db))"
+                ).cast("decimal(12,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("num_fp"),
+        )
+    )
+    dmin = daily.agg(F.min("d").alias("dmin"))
+    den = (
+        F.lit(2 ** (_EWMA_BITS + 1)).cast("long")
+        - F.expr(
+            f"shiftleft(1L, {_EWMA_BITS} - least({_EWMA_BITS}, da - dmin))"
+        )
+    ).cast("double")
+    return (
+        num.crossJoin(F.broadcast(dmin))
+        .select(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("da"))
+            .cast("timestamp")
+            .alias("day"),
+            F.col("v").alias("revenue"),
+            (F.col("num_fp").cast("double") / den).alias("ewma_revenue"),
+        )
+        .orderBy("day")
+    )

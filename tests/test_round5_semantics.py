@@ -405,3 +405,47 @@ def test_bucketed_prefix_sums_equal_global_window(spark):
         for r in bucketed_prefix_sums(tiny, "k", ["a", "b"]).collect()
     )
     assert got2 == [(5, 1, 1), (9, 3, 1)]
+
+
+def test_topk_by_value_per_group_equals_plain_window(spark):
+    """topk_by_value_per_group (quantile-cutoff top-k behind
+    sample_topk_longest_per_source) must equal the plain partitioned
+    window EXACTLY: hostile skew (one group 100x larger), heavy ties
+    at the cutoff value, groups smaller than k, and the widen-retry
+    path (deliberately-undershooting c0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.functions.ranks import (
+        topk_by_value_per_group,
+    )
+
+    rows = (
+        # hot group: values collide heavily (mod 7) to stress ties
+        [("hot", i, (i * 37) % 7) for i in range(3000)]
+        + [("mid", i, i % 13) for i in range(40)]
+        + [("tiny", i, 1) for i in range(2)]  # smaller than k
+    )
+    df = spark.createDataFrame(rows, "g STRING, id LONG, v LONG")
+    k = 5
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = sorted(
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("g", "id", "rk")
+        .collect()
+    )
+    for c0 in (4.0, 0.25):  # 0.25 undershoots: forces the retry path
+        got = sorted(
+            topk_by_value_per_group(df, ["g"], "v", ["id"], k, c0=c0)
+            .select("g", "id", "rk")
+            .collect()
+        )
+        assert got == want, f"c0={c0}"
+    # the prefilter actually prunes the hot group (the point of it):
+    # ties at the cutoff inflate survivors, but far below full size
+    surv_frac = (
+        topk_by_value_per_group(df, ["g"], "v", ["id"], k).count()
+        / len(rows)
+    )
+    assert surv_frac < 0.5
