@@ -1068,3 +1068,152 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_share"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Mergeable histogram rollup: daily bins -> weekly percentiles
+# --------------------------------------------------------------------
+
+_HROLL_W = 25  # bin width over the observed 0..500 value range
+_HROLL_TOP = 19  # top bin open-ended
+
+
+_SQL_HIST_ROLLUP = f"""
+    WITH days AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(ts AS DATE) AS day, value
+      FROM events),
+    db AS (
+      SELECT week, day,
+             LEAST(CAST(FLOOR(value / {_HROLL_W}) AS BIGINT),
+                   {_HROLL_TOP}) AS bin,
+             COUNT(*) AS cnt
+      FROM days GROUP BY 1, 2, 3),
+    wb AS (
+      SELECT week, bin, CAST(SUM(cnt) AS BIGINT) AS w_cnt
+      FROM db GROUP BY 1, 2),
+    tot AS (SELECT week, CAST(SUM(w_cnt) AS BIGINT) AS n FROM wb GROUP BY 1),
+    cum AS (
+      SELECT week, bin,
+             SUM(w_cnt) OVER (PARTITION BY week ORDER BY bin) AS cum
+      FROM wb),
+    pb AS (
+      SELECT c.week,
+             MIN(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.bin END)
+               AS p50_bin,
+             MIN(CASE WHEN c.cum >= (9 * t.n + 9) // 10 THEN c.bin END)
+               AS p90_bin
+      FROM cum c JOIN tot t USING (week) GROUP BY c.week),
+    rnk AS (
+      SELECT week, value,
+             ROW_NUMBER() OVER (PARTITION BY week ORDER BY value) AS r,
+             COUNT(*) OVER (PARTITION BY week) AS n
+      FROM days),
+    ex AS (
+      SELECT week,
+             MIN(CASE WHEN r = (n + 1) // 2 THEN value END) AS p50_exact,
+             MIN(CASE WHEN r = (9 * n + 9) // 10 THEN value END)
+               AS p90_exact
+      FROM rnk GROUP BY week)
+    SELECT pb.week, tot.n, pb.p50_bin, pb.p90_bin,
+           ex.p50_exact, ex.p90_exact,
+           pb.p50_bin = LEAST(CAST(FLOOR(ex.p50_exact / {_HROLL_W})
+                                   AS BIGINT), {_HROLL_TOP}) AS p50_in_bin,
+           pb.p90_bin = LEAST(CAST(FLOOR(ex.p90_exact / {_HROLL_W})
+                                   AS BIGINT), {_HROLL_TOP}) AS p90_in_bin
+    FROM pb JOIN tot USING (week) JOIN ex USING (week)
+    ORDER BY pb.week
+"""
+
+
+@query("sketch_histogram_weekly_rollup", oracle=_SQL_HIST_ROLLUP)
+def sketch_histogram_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable percentiles: per-day fixed-bin histograms of
+    the event value, merged upward to per-week P50/P90 WITHOUT
+    rescanning raw events — the quantile sibling of
+    ``sketch_hll_mergeable_rollup``. The daily (week, day, bin, cnt)
+    layer is what a continuous rollup persists; weekly percentiles
+    come purely from summing those counts (integer-exact and
+    associative, so daily partials from different machines or
+    backfills merge losslessly), reading the first bin whose running
+    total reaches ceil(q*n).
+
+    The rollup's answer is a BIN (value known to within the bin
+    width); the output also carries the exact type-1 percentile
+    computed independently via bracketed rank selection
+    (``exact_quantile_values_per_group`` — never a whole-group window
+    sort) and the invariant columns the oracle asserts: the exact
+    percentile always lands inside the histogram's answer bin, by
+    construction of cumulative counts.
+    """
+    tune(spark)
+    from ..functions.quantiles import exact_quantile_values_per_group
+
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    bin_of = lambda c: F.least(  # noqa: E731
+        F.floor(c / _HROLL_W).cast("long"), F.lit(_HROLL_TOP).cast("long")
+    )
+    db = days.groupBy("week", "day", bin_of(F.col("value")).alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = db.groupBy("week", "bin").agg(F.sum("cnt").cast("long").alias("w_cnt"))
+    tot = wb.groupBy("week").agg(F.sum("w_cnt").cast("long").alias("n"))
+    cum = wb.withColumn(
+        "cum",
+        F.sum("w_cnt").over(Window.partitionBy("week").orderBy("bin")),
+    )
+    pb = (
+        cum.join(F.broadcast(tot), "week")
+        .groupBy("week")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("bin"))
+            ).alias("p50_bin"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("bin")
+                )
+            ).alias("p90_bin"),
+        )
+    )
+    ex = (
+        exact_quantile_values_per_group(
+            days.select("week", "value"),
+            ["week"],
+            "value",
+            [("p50", 1, 2), ("p90", 9, 10)],
+        )
+        .groupBy("week")
+        .agg(
+            F.min(F.when(F.col("q_label") == "p50", F.col("value"))).alias(
+                "p50_exact"
+            ),
+            F.min(F.when(F.col("q_label") == "p90", F.col("value"))).alias(
+                "p90_exact"
+            ),
+        )
+    )
+    return (
+        pb.join(F.broadcast(tot), "week")
+        .join(F.broadcast(ex), "week")
+        .select(
+            "week",
+            "n",
+            "p50_bin",
+            "p90_bin",
+            "p50_exact",
+            "p90_exact",
+            (F.col("p50_bin") == bin_of(F.col("p50_exact"))).alias(
+                "p50_in_bin"
+            ),
+            (F.col("p90_bin") == bin_of(F.col("p90_exact"))).alias(
+                "p90_in_bin"
+            ),
+        )
+        .orderBy("week")
+    )

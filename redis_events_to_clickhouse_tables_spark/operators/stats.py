@@ -1190,3 +1190,100 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------
+# Theil-Sen robust trend of daily revenue
+# --------------------------------------------------------------------
+
+# slope fixed-point quantum: the model's quantize-the-model doctrine
+# (textstats log2 family) — the statistic IS the quantized slope, so
+# both engines select the median of identical integers.
+_SEN_FP = 1_000_000
+
+
+_SQL_THEIL_SEN = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CAST(FLOOR(CAST(b.v - a.v AS DOUBLE)
+                        / CAST(b.d - a.d AS DOUBLE) * {_SEN_FP})
+                  AS BIGINT) AS s_fp
+      FROM daily a JOIN daily b ON b.d > a.d),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+    ranked AS (
+      SELECT s_fp, ROW_NUMBER() OVER (ORDER BY s_fp) AS r FROM pairs)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           m.n_pairs,
+           CAST(ranked.s_fp AS DOUBLE) / {_SEN_FP} AS sen_slope
+    FROM ranked CROSS JOIN m
+    WHERE ranked.r = (m.n_pairs + 1) // 2
+"""
+
+
+@query("stats_theil_sen_trend", oracle=_SQL_THEIL_SEN)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the median of
+    the slopes of all day pairs — the robust alternative to the OLS
+    slope (``stats_regression_price_qty``), immune to up to ~29%
+    outlier days (holiday spikes, backfill gaps).
+
+    Scale: orders collapse to the model-level day table first (one
+    exact-decimal map-side aggregate), so the O(days^2) pair fan-out
+    is quadratic only in CALENDAR DAYS — bounded by the date span, not
+    the corpus (2,400 days -> ~3M pair rows at any corpus size). The
+    median is selected by exact bracketed rank
+    (``exact_quantile_values_per_group``), never by sorting the pair
+    table through one window task.
+
+    Determinism: each pair slope is one IEEE division of exact
+    integers (identical in both engines), quantized to the 1e-6
+    fixed-point grid — the quantized slope IS the statistic, so the
+    median selects the same integer everywhere. Lower median
+    (position ceil(m/2)) avoids cross-engine interpolation.
+    """
+    tune(spark)
+    from ..functions.quantiles import exact_quantile_values_per_group
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"))
+    a = daily.select(F.col("d").alias("da"), F.col("v").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("v").alias("y"))
+    # greatest(.., 1) never changes a value the join emits (db > da
+    # implies db - da >= 1); it exists because Catalyst may fuse this
+    # projection into a downstream join/filter condition and evaluate
+    # it SPECULATIVELY on rows the db > da condition hasn't filtered
+    # yet — under ANSI mode a db == da row would then raise
+    # DIVIDE_BY_ZERO from inside the fused stage even though it can
+    # never appear in the output.
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.floor(
+            (F.col("y") - F.col("x")).cast("double")
+            / F.greatest(F.col("db") - F.col("da"), F.lit(1)).cast("double")
+            * _SEN_FP
+        )
+        .cast("long")
+        .alias("s_fp"),
+        F.lit(1).alias("g"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    med = exact_quantile_values_per_group(
+        pairs, ["g"], "s_fp", [("med", 1, 2)]
+    )
+    return (
+        med.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.col("value").cast("double") / _SEN_FP).alias("sen_slope"),
+        )
+    )

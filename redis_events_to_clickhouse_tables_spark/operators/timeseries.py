@@ -1494,3 +1494,81 @@ def timeseries_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------
+# MASE: seasonal-naive forecast quality of the daily revenue series
+# --------------------------------------------------------------------
+
+_SQL_MASE = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    e7 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n7,
+             SUM(CAST(ABS(a.v - b.v) AS HUGEINT)) AS s7
+      FROM daily a JOIN daily b ON b.d = a.d - 7),
+    e1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+             SUM(CAST(ABS(a.v - b.v) AS HUGEINT)) AS s1
+      FROM daily a JOIN daily b ON b.d = a.d - 1)
+    SELECT n7, n1,
+           CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS mae_seasonal7,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mae_naive1,
+           (CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+             / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+    FROM e7 CROSS JOIN e1
+"""
+
+
+@query("timeseries_mase_naive7", oracle=_SQL_MASE)
+def timeseries_mase_naive7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecastability score of the daily revenue series:
+    the mean absolute error of the week-ago seasonal-naive forecast
+    (v_hat_t = v_(t-7)) scaled by the in-sample MAE of the one-step
+    naive forecast (v_hat_t = v_(t-1)). MASE < 1 means weekly
+    seasonality beats persistence — the standard pre-flight check
+    before fitting anything fancier, and scale-free so it compares
+    across series.
+
+    Scale: one exact-decimal map-side aggregate collapses orders to
+    the model-level day table; both error terms are equi-joins of
+    that tiny frame on integer day offsets. Absolute differences of
+    exact int64 day values sum in DECIMAL(38,0)/HUGEINT; two
+    correctly-rounded double divisions and one final ratio.
+    """
+    tune(spark)
+    from ..functions.numeric import dec
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"))
+
+    def err(offset: int, n_name: str, s_name: str) -> DataFrame:
+        a = daily.select(F.col("d").alias("da"), F.col("v").alias("x"))
+        b = daily.select(F.col("d").alias("db"), F.col("v").alias("y"))
+        return (
+            a.join(F.broadcast(b), F.col("db") == F.col("da") - offset)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_name),
+                F.sum(
+                    F.abs(F.col("x") - F.col("y")).cast("decimal(38,0)")
+                ).alias(s_name),
+            )
+        )
+
+    e7, e1 = err(7, "n7", "s7"), err(1, "n1", "s1")
+    mae7 = F.col("s7").cast("double") / F.col("n7").cast("double")
+    mae1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    return e7.crossJoin(F.broadcast(e1)).select(
+        "n7",
+        "n1",
+        mae7.alias("mae_seasonal7"),
+        mae1.alias("mae_naive1"),
+        (mae7 / mae1).alias("mase"),
+    )
