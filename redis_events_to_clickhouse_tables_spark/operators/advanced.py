@@ -249,20 +249,46 @@ def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", oracle=None)  # HLL sketches are engine-specific
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_error
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++) next to the exact
     count — the constant-memory path for 100-TB cardinality estimates.
-    Rows-only check: sketch estimates legitimately differ per engine.
+
+    The raw estimate is engine-specific (DuckDB's
+    approx_count_distinct is a different sketch), so — same contract
+    as ``sketch_hll_mergeable_rollup`` — the output carries the exact
+    columns PLUS the sketch invariant as a boolean the oracle asserts
+    TRUE: the estimate sits within 3x the nominal relative standard
+    deviation (rsd 0.05) of the exact count, with a small absolute
+    floor for tiny groups.
     """
     tune(spark)
+    approx, exact = F.col("approx_users"), F.col("exact_users")
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(approx - exact)
+                <= F.greatest(F.lit(2.0), 0.15 * exact.cast("double"))
+            ).alias("est_within_error"),
         )
     )
 
@@ -361,26 +387,74 @@ def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentile_prices", oracle=None)  # sketch-based: rows-only
+@query(
+    "approx_percentile_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok,
+           TRUE AS monotone
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of order value per priority via Spark's
-    percentile_approx (KLL-style sketch). Rows-only by design: sketch
-    internals are engine-specific, exactly like approx_distinct_users
-    — the exact-median counterpart is ``agg_median_exact``.
+    percentile_approx (KLL-style sketch); the exact-median counterpart
+    is ``agg_median_exact``.
 
-    Output is four scalar columns (one percentile_approx sketch, flattened
-    with element_at) rather than one array column: the driver's result
-    canonicalizer sorts values and cannot hash array cells (round-1 gate
-    failure ``TypeError: unhashable type: 'numpy.ndarray'``)."""
+    The sketch values are engine-specific, so — same contract as
+    ``sketch_hll_mergeable_rollup`` — the output carries the exact
+    group counts PLUS the sketch's defining guarantee as booleans the
+    oracle asserts TRUE: each estimate is an actual group element
+    whose EXACT rank (one counting pass over the group, r_lo strictly
+    below / r_le at-or-below) lies within the documented n/accuracy
+    rank error of the target ceil(q*n), and the four estimates are
+    monotone in q.
+    """
     tune(spark)
     o = table(spark, sf_dir, "orders")
     sketch = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000)
-    return o.groupBy("o_orderpriority").agg(
+    est = o.groupBy("o_orderpriority").agg(
         F.element_at(sketch, 1).alias("p25"),
         F.element_at(sketch, 2).alias("p50"),
         F.element_at(sketch, 3).alias("p75"),
         F.element_at(sketch, 4).alias("p95"),
-        F.count(F.lit(1)).alias("n_orders"),
+    )
+    j = o.join(F.broadcast(est), "o_orderpriority")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_orders")]
+    for p in ("p25", "p50", "p75", "p95"):
+        aggs.append(
+            F.count(F.when(F.col("o_totalprice") < F.col(p), 1)).alias(
+                f"rlo_{p}"
+            )
+        )
+        aggs.append(
+            F.count(F.when(F.col("o_totalprice") <= F.col(p), 1)).alias(
+                f"rle_{p}"
+            )
+        )
+    stats = j.groupBy("o_orderpriority", "p25", "p50", "p75", "p95").agg(*aggs)
+    n = F.col("n_orders")
+    tol = n.cast("double") / 10_000 + 2  # rank error + discrete step
+
+    def ok(p: str, q: float):
+        return (
+            (F.col(f"rle_{p}").cast("double") >= q * n - tol)
+            & (F.col(f"rlo_{p}").cast("double") <= q * n + tol)
+        ).alias(f"{p}_ok")
+
+    return stats.select(
+        "o_orderpriority",
+        "n_orders",
+        ok("p25", 0.25),
+        ok("p50", 0.5),
+        ok("p75", 0.75),
+        ok("p95", 0.95),
+        (
+            (F.col("p25") <= F.col("p50"))
+            & (F.col("p50") <= F.col("p75"))
+            & (F.col("p75") <= F.col("p95"))
+        ).alias("monotone"),
     )
 
 

@@ -158,3 +158,71 @@ def start_countmin_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------
+# Continuous distinct-count sketch (HyperLogLog partials)
+# --------------------------------------------------------------------
+
+_HLL_SCHEMA = "week timestamp, event_day timestamp, sk binary"
+
+
+def _merge_hll(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("week", "event_day").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+
+
+class ContinuousDistinct:
+    """Streaming-maintained distinct-user counts: per-(week, day)
+    HyperLogLog sketches, merged upward on read.
+
+    The streaming face of ``sketch_hll_mergeable_rollup``
+    (operators/advanced.py): HLL registers merge by element-wise MAX,
+    an idempotent commutative monoid — so a micro-batch's sketch
+    unions losslessly into the day's sketch, a replayed batch unions
+    the SAME registers and changes nothing (idempotence beyond what
+    PartialStore's overwrite already guarantees), and weekly
+    estimates come from ``hll_union_agg`` over daily sketches without
+    rescanning events. The parity test pins the mergeability law the
+    batch query asserts as its ``merge_equals_direct`` invariant:
+    merging incrementally-built daily sketches yields the identical
+    estimate to sketching the raw week in one pass.
+
+    At 100 TB the partial per batch is #days x ~4 KB regardless of
+    batch size.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+        self.spark = spark
+        self.store = PartialStore(spark, root, _HLL_SCHEMA, _merge_hll)
+
+    def process_batch(self, events: DataFrame, batch_id: int | None = None) -> None:
+        part = events.groupBy(
+            F.date_trunc("week", "ts").alias("week"),
+            F.to_date("ts").cast("timestamp").alias("event_day"),
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        self.store.write(part, batch_id)
+
+    def daily(self) -> DataFrame:
+        """(week, event_day, est_users) from merged daily sketches."""
+        return _merge_hll(self.store.read()).select(
+            "week",
+            "event_day",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+        )
+
+    def weekly(self) -> DataFrame:
+        """(week, est_users) by unioning the maintained daily sketches."""
+        return (
+            _merge_hll(self.store.read())
+            .groupBy("week")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                    "est_users"
+                )
+            )
+        )
+
+    def compact(self) -> None:
+        self.store.compact()

@@ -1,11 +1,19 @@
-"""Real invariants for the 5 registered queries that have no DuckDB
-oracle (VERDICT r4 item 3). "Ran and produced rows" is not a check;
-each query here gets the strongest property its semantics admit:
+"""Direct invariants for sketch/stub queries whose natural output is
+engine-specific (VERDICT r4 item 3). "Ran and produced rows" is not a
+check; each query here gets the strongest property its semantics
+admit. Round 6 converted the sketch queries to the invariant-column
+contract (exact columns + booleans the DuckDB oracle asserts TRUE),
+so only text_tf_idf_scores and the two codec stubs remain rows-only;
+the tests here re-assert every boolean directly so a failure names
+the offending group:
 
 - approx_distinct_users: HLL++ estimate within its error bound of the
-  exact count computed IN THE SAME RESULT.
+  exact count computed IN THE SAME RESULT (oracle-backed since r6).
 - approx_percentile_prices: every sketch percentile is an actual data
-  value whose empirical rank brackets the requested quantile.
+  value whose exact rank brackets the requested quantile
+  (oracle-backed since r6).
+- sketch_hll_mergeable_rollup: merged daily sketches == direct weekly
+  sketch, estimate within HLL error (oracle-backed since r6).
 - text_tf_idf_scores: equals the oracle-checked integer-form sibling
   (text_tf_idf) after recomputing tf*ln(N/df) in Python, to 1e-12.
 - multimodal_fake_decode / multimodal_resize: byte-deterministic
@@ -29,42 +37,31 @@ def _build(spark, name):
 
 
 def test_approx_distinct_within_hll_error(spark):
+    """The query now emits its HLL invariant as a boolean column the
+    oracle asserts TRUE (same contract as the HLL rollup); re-assert
+    it directly so a failure names the group."""
     rows = _build(spark, "approx_distinct_users").collect()
     assert rows
     for r in rows:
-        # Spark's approx_count_distinct default rsd is 0.05; allow 3x
-        # the nominal relative standard deviation plus a small absolute
-        # floor for tiny groups.
-        tol = max(3 * 0.05 * r.exact_users, 2)
-        assert abs(r.approx_users - r.exact_users) <= tol, (
-            f"{r.event_type}: approx {r.approx_users} vs exact "
-            f"{r.exact_users} exceeds HLL error bound {tol}"
-        )
+        assert r.est_within_error, r
+        assert 0 < r.exact_users <= r.n_events, r
 
 
 def test_approx_percentiles_bracket_true_quantiles(spark, ddb):
+    """The query now emits the sketch rank-error guarantee as boolean
+    columns the oracle asserts TRUE; re-assert them directly, plus the
+    group counts against DuckDB."""
     rows = _build(spark, "approx_percentile_prices").collect()
     assert rows
-    prices = {}
-    for pri, vals in ddb.sql(
-        "SELECT o_orderpriority, LIST(o_totalprice ORDER BY o_totalprice) "
-        "FROM orders GROUP BY 1"
-    ).fetchall():
-        prices[pri] = vals
+    counts = dict(
+        ddb.sql(
+            "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
     for r in rows:
-        vals = prices[r.o_orderpriority]
-        n = len(vals)
-        assert n == r.n_orders
-        for q, p in [(0.25, r.p25), (0.5, r.p50), (0.75, r.p75), (0.95, r.p95)]:
-            # percentile_approx returns an actual element of the group
-            assert p in vals, f"{r.o_orderpriority} q{q}: {p} not a data value"
-            below = sum(1 for v in vals if v < p)
-            at_or_below = sum(1 for v in vals if v <= p)
-            # rank-error bound: n/accuracy (accuracy=10000) plus one
-            # discrete step; expressed as a fraction of the group
-            tol = 1 / 10000 + 2 / n
-            assert below / n <= q + tol, f"q{q} rank too high"
-            assert at_or_below / n >= q - tol, f"q{q} rank too low"
+        assert r.n_orders == counts[r.o_orderpriority]
+        assert r.p25_ok and r.p50_ok and r.p75_ok and r.p95_ok, r
+        assert r.monotone, r
 
 
 def test_tf_idf_scores_match_integer_form(spark):
