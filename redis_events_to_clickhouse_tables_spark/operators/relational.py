@@ -837,3 +837,106 @@ def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_home"),
     )
+
+
+# --------------------------------------------------------------------
+# argmax/argmin aggregates and the latest-row-per-key (FINAL) pattern
+# --------------------------------------------------------------------
+
+_SQL_ARGMAX_FAMILY = """
+    WITH r AS (
+      SELECT event_type, user_id, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rd,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts ASC, event_id ASC) AS ra
+      FROM events)
+    SELECT l.event_type,
+           l.user_id AS latest_user, l.ts AS latest_ts,
+           f.user_id AS first_user, f.ts AS first_ts,
+           n.n_events
+    FROM (SELECT * FROM r WHERE rd = 1) l
+    JOIN (SELECT * FROM r WHERE ra = 1) f USING (event_type)
+    JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type) n USING (event_type)
+"""
+
+
+@query("agg_argmax_family", oracle=_SQL_ARGMAX_FAMILY)
+def agg_argmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by aggregate family: per event type, who produced
+    the latest and the earliest event and when — the argmax/argmin
+    aggregates every monitoring dashboard leans on.
+
+    Scale: ONE map-side-combinable aggregate — max_by keeps a single
+    (ordering key, value) pair per partition per group and merges
+    pairs, so the shuffle carries #groups rows, never the event log.
+    The plain-SQL formulation (two ROW_NUMBER windows + three joins,
+    which the oracle uses) streams every group through window sort
+    tasks; the aggregate form is the 100-TB shape. Determinism under
+    ties: the ordering key is struct(ts, event_id) — event_id is
+    unique, so the order is total and both engines pick the same row.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", okey).alias("latest_user"),
+        F.max(okey).getField("ts").alias("latest_ts"),
+        F.min_by("user_id", okey).alias("first_user"),
+        F.min(okey).getField("ts").alias("first_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(
+        "event_type",
+        "latest_user",
+        "latest_ts",
+        "first_user",
+        "first_ts",
+        "n_events",
+    )
+
+
+_SQL_CDC_LATEST = """
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           ts AS last_ts,
+           CAST(n_user_events AS BIGINT) AS n_user_events
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_user_events
+      FROM events) t
+    WHERE rk = 1
+"""
+
+
+@query("cdc_latest_state_per_user", oracle=_SQL_CDC_LATEST)
+def cdc_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key compaction: each user's most recent event
+    (type, value, timestamp) plus their event count — the read-side
+    FINAL of a ReplacingMergeTree-style table, i.e. the query shape
+    that turns an append-only CDC log into current state. The
+    reference's pipeline appends events to ClickHouse tables
+    (clickhouse-batch-client.class.ts inserts, sorted by sent_at);
+    this is the canonical query a consumer of those tables runs, and
+    the batch analog of the store's ``upsert`` merge mode
+    (streaming/store.py).
+
+    Scale: one max_by aggregate over struct(ts, event_id) — map-side
+    combinable, shuffle carries one row per user — instead of the
+    ROW_NUMBER window the oracle uses, which would stream each user's
+    history through a sort. Ties are impossible (event_id unique), so
+    both engines pick the same row.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    last = F.max_by(
+        F.struct(F.col("event_type"), F.col("value"), F.col("ts")), okey
+    )
+    return e.groupBy("user_id").agg(
+        last.getField("event_type").alias("last_type"),
+        last.getField("value").alias("last_value"),
+        last.getField("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_user_events"),
+    )
