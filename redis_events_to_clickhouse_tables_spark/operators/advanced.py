@@ -1291,3 +1291,40 @@ def sketch_histogram_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------
+# Boolean / conditional aggregate family
+# --------------------------------------------------------------------
+
+_SQL_BOOL_FAMILY = """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT)
+             AS n_big,
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+             AS n_anon,
+           BOOL_AND(value >= 0) AS all_nonneg,
+           BOOL_OR(value > 400) AS any_huge,
+           BOOL_AND(user_id IS NOT NULL) AS fully_attributed
+    FROM events GROUP BY event_type
+"""
+
+
+@query("agg_boolean_family", oracle=_SQL_BOOL_FAMILY)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family — count_if, bool_and
+    (EVERY), bool_or (ANY/SOME) — the SQL surface behind data-quality
+    assertions ("all values non-negative", "any value out of range",
+    "fully attributed type"). All are map-side-combinable monoids
+    (sum / and / or), so the shuffle carries #groups rows; boolean
+    results are exact by construction, no float doctrine needed.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).cast("long").alias("n_big"),
+        F.count_if(F.col("user_id").isNull()).cast("long").alias("n_anon"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 400).alias("any_huge"),
+        F.bool_and(F.col("user_id").isNotNull()).alias("fully_attributed"),
+    )
