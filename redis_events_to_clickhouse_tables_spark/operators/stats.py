@@ -1273,6 +1273,12 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_fp"),
         F.lit(1).alias("g"),
     )
+    # the pair fan-out is cheap to hold (#days^2 rows of one long) and
+    # the bracketed-rank primitive walks it three times (bracket agg,
+    # counting scan, survivor selection) plus the n_pairs count —
+    # persist so the BNLJ fan-out runs once (same precedent as the
+    # Lloyd pipeline's per-round persist in similarity.py).
+    pairs = pairs.persist()
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     med = exact_quantile_values_per_group(
