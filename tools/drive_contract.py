@@ -1,9 +1,11 @@
 """Driver simulation: plain session, every query vs DuckDB at sf0.01.
 
-Set SPARK_GRAFT_ANSI=1 to run the same sweep under
-spark.sql.ansi.enabled=true — the structural overflow audit (VERDICT
-r5 item 3): ANSI turns any silent int64 wrap or bad cast anywhere in
-the 219-query registry into a hard error instead of a wrong value.
+Set SPARK_GRAFT_ANSI=1 to pin spark.sql.ansi.enabled=true for the
+sweep — the structural overflow audit (VERDICT r5 item 3): ANSI turns
+any silent int64 wrap or bad cast anywhere in the registry into a
+hard error instead of a wrong value. (Spark 4 defaults ANSI on, so
+the plain sweep already runs under it; the flag makes the audit
+explicit and robust to a session that turned it off.)
 """
 import os
 import sys
