@@ -297,3 +297,55 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", 12)).cast("double").alias("total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# LATERAL correlated subquery (per-row top-N)
+# --------------------------------------------------------------------
+
+_SQL_LATERAL_TOP2 = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice,
+           CAST(t.rk AS INTEGER) AS rk
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                       o_orderkey) AS rk
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("lateral_top2_orders_per_customer", oracle=_SQL_LATERAL_TOP2)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's two most expensive
+    orders — the ANSI `CROSS JOIN LATERAL ... ORDER BY ... LIMIT k`
+    form of per-row top-N, written as literal SQL to exercise Spark's
+    lateral-subquery planner.
+
+    The plan is the reason this query exists: Catalyst decorrelates
+    the lateral into a join + window and inserts WindowGroupLimit
+    (Partial, then Final) — a MAP-SIDE top-k per key that discards
+    all but ~k rows per group per partition BEFORE the shuffle, the
+    built-in cousin of this repo's cutoff-prefilter primitives
+    (``bottomk_per_group`` / ``topk_by_value_per_group``). Customers
+    with no orders drop out (inner lateral), ties are impossible
+    (o_orderkey tiebreak), and both engines run the same ANSI text —
+    DuckDB executes the LATERAL directly.
+    """
+    tune(spark)
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice,
+               CAST(t.rk AS INT) AS rk
+        FROM {c} c,
+        LATERAL (SELECT o_orderkey, o_totalprice,
+                        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey) AS rk
+                 FROM {o} o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
