@@ -1452,3 +1452,76 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s6").cast("double") / F.lit(1e6)).alias("tfidf_bits"),
         )
     )
+
+
+_SQL_LANG_CONFUSION = f"""
+    WITH g AS (
+      SELECT lang,
+             CASE
+               WHEN {_lang_score_sql(_LANG_MARKERS["en"])} >= {_lang_score_sql(_LANG_MARKERS["de"])}
+                AND {_lang_score_sql(_LANG_MARKERS["en"])} >= {_lang_score_sql(_LANG_MARKERS["fr"])}
+                AND {_lang_score_sql(_LANG_MARKERS["en"])} >= {_lang_score_sql(_LANG_MARKERS["es"])}
+                 THEN 'en'
+               WHEN {_lang_score_sql(_LANG_MARKERS["de"])} >= {_lang_score_sql(_LANG_MARKERS["fr"])}
+                AND {_lang_score_sql(_LANG_MARKERS["de"])} >= {_lang_score_sql(_LANG_MARKERS["es"])}
+                 THEN 'de'
+               WHEN {_lang_score_sql(_LANG_MARKERS["fr"])} >= {_lang_score_sql(_LANG_MARKERS["es"])}
+                 THEN 'fr'
+               ELSE 'es'
+             END AS lang_guess
+      FROM documents),
+    cells AS (
+      SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY lang, lang_guess),
+    act AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual
+            FROM cells GROUP BY lang),
+    pred AS (SELECT lang_guess, CAST(SUM(n) AS BIGINT) AS n_pred
+             FROM cells GROUP BY lang_guess)
+    SELECT c.lang, c.lang_guess, c.n,
+           CAST(c.n AS DOUBLE) / CAST(a.n_actual AS DOUBLE) AS recall,
+           CAST(c.n AS DOUBLE) / CAST(p.n_pred AS DOUBLE) AS precision
+    FROM cells c JOIN act a USING (lang) JOIN pred p USING (lang_guess)
+    ORDER BY c.lang, c.lang_guess
+"""
+
+
+@query("eval_lang_confusion_matrix", oracle=_SQL_LANG_CONFUSION)
+def eval_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation table for the stopword-marker language
+    ID: the confusion matrix of guessed vs ground-truth language with
+    per-cell recall (n / actual-class total) and precision (n /
+    predicted-class total) — the metric sheet a curation pipeline
+    reviews before trusting a cheap heuristic to route documents.
+
+    Scale: the per-document scoring is the same codegen'd scan-stage
+    expression as ``text_lang_guess``; everything after is
+    #langs x #langs cells — two broadcast marginal joins over a
+    16-row frame. Counts are exact; recall/precision are one IEEE
+    division each.
+    """
+    tune(spark)
+    cells = (
+        text_lang_guess(spark, sf_dir)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    act = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("n_actual"))
+    pred = cells.groupBy("lang_guess").agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    return (
+        cells.join(F.broadcast(act), "lang")
+        .join(F.broadcast(pred), "lang_guess")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            (F.col("n").cast("double") / F.col("n_actual").cast("double")).alias(
+                "recall"
+            ),
+            (F.col("n").cast("double") / F.col("n_pred").cast("double")).alias(
+                "precision"
+            ),
+        )
+        .orderBy("lang", "lang_guess")
+    )
