@@ -1293,3 +1293,531 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value").cast("double") / _SEN_FP).alias("sen_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Kruskal-Wallis H (k-sample rank test, tie-corrected)
+# --------------------------------------------------------------------
+
+_KW_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _kw_r2_cases() -> str:
+    parts = []
+    for i, p in enumerate(_KW_PRIOS):
+        parts.append(
+            f"CAST(SUM(CASE WHEN g = '{p}' THEN CAST(cg AS HUGEINT) * mr2 "
+            f"ELSE 0 END) AS DOUBLE) AS r2_{i},\n        "
+            f"CAST(SUM(CASE WHEN g = '{p}' THEN cg ELSE 0 END) AS BIGINT) "
+            f"AS n_{i}"
+        )
+    return ",\n        ".join(parts)
+
+
+_SQL_KRUSKAL = f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderpriority AS g
+      FROM orders),
+    gv AS (SELECT cents, g, CAST(COUNT(*) AS BIGINT) AS cg
+           FROM rows_ GROUP BY cents, g),
+    dv AS (SELECT cents, CAST(SUM(cg) AS BIGINT) AS c FROM gv GROUP BY cents),
+    mr AS (SELECT cents, 2 * (SUM(c) OVER (ORDER BY cents) - c) + c + 1
+                    AS mr2
+           FROM dv),
+    r2 AS (
+      SELECT
+        {_kw_r2_cases()},
+        CAST(SUM(cg) AS BIGINT) AS n
+      FROM gv JOIN mr USING (cents)),
+    tie AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE)
+                     AS tsum
+            FROM dv)
+    SELECT n AS n_rows,
+           CAST({len(_KW_PRIOS) - 1} AS BIGINT) AS dof,
+           (CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+            * ((r2_0 / 2) * (r2_0 / 2) / n_0
+               + (r2_1 / 2) * (r2_1 / 2) / n_1
+               + (r2_2 / 2) * (r2_2 / 2) / n_2
+               + (r2_3 / 2) * (r2_3 / 2) / n_3
+               + (r2_4 / 2) * (r2_4 / 2) / n_4)
+            - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+           / (CAST(1 AS DOUBLE)
+              - tsum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             AS h_stat
+    FROM r2, tie
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_SQL_KRUSKAL)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across the five order
+    priorities on order value — the k-sample extension of
+    ``stats_mann_whitney_u`` ("do ANY of these priority classes have
+    a shifted price distribution?"), the nonparametric cousin of
+    ``stats_anova_f_priority``.
+
+    Exact at scale: per-group rank sums come from the same doubled
+    MIDRANK pipeline as Spearman — distinct-value counts through
+    ``bucketed_prefix_sums`` (no row-level rank window), per-group
+    sums of cg * mr2 in exact DECIMAL(38,0) (HUGEINT in the oracle;
+    both 128-bit-exact, both correctly rounded at the single final
+    double conversion). The 5 per-group terms combine in one
+    fixed-order scalar expression, and the tie term sum(c^3 - c) is
+    an exact decimal aggregate over the distinct-value table.
+    """
+    tune(spark)
+    from ..functions.ranks import bucketed_prefix_sums
+
+    o = table(spark, sf_dir, "orders")
+    rows = o.select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    gv = rows.groupBy("cents", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    dv = gv.groupBy("cents").agg(F.sum("cg").cast("long").alias("c"))
+    mr = bucketed_prefix_sums(dv, "cents", ["c"]).select(
+        "cents",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("mr2"),
+    )
+    j = gv.join(mr, "cents")
+    cg18 = F.col("cg").cast("decimal(18,0)")
+    mr218 = F.col("mr2").cast("decimal(18,0)")
+    aggs = []
+    for i, p in enumerate(_KW_PRIOS):
+        aggs.append(
+            F.sum(F.when(F.col("g") == p, cg18 * mr218))
+            .cast("decimal(38,0)")
+            .alias(f"r2_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("g") == p, F.col("cg")))
+            .cast("long")
+            .alias(f"n_{i}")
+        )
+    aggs.append(F.sum("cg").cast("long").alias("n"))
+    r2 = j.agg(*aggs)
+    c12 = F.col("c").cast("decimal(12,0)")
+    tie = dv.agg(
+        F.sum(c12 * c12 * c12 - c12).cast("decimal(38,0)").alias("tsum")
+    )
+    nd = F.col("n").cast("double")
+    terms = None
+    for i in range(len(_KW_PRIOS)):
+        r2d = F.col(f"r2_{i}").cast("double")
+        t = (r2d / 2) * (r2d / 2) / F.col(f"n_{i}")
+        terms = t if terms is None else terms + t
+    h = (
+        F.lit(12).cast("double") / (nd * (nd + 1)) * terms
+        - F.lit(3).cast("double") * (nd + 1)
+    ) / (
+        F.lit(1).cast("double")
+        - F.col("tsum").cast("double") / (nd * nd * nd - nd)
+    )
+    return r2.crossJoin(F.broadcast(tie)).select(
+        F.col("n").alias("n_rows"),
+        F.lit(len(_KW_PRIOS) - 1).cast("long").alias("dof"),
+        h.alias("h_stat"),
+    )
+
+
+# --------------------------------------------------------------------
+# One-way ANOVA F across order priorities
+# --------------------------------------------------------------------
+
+
+def _anova_cases() -> str:
+    parts = []
+    for i, p in enumerate(_KW_PRIOS):
+        parts.append(
+            f"CAST(SUM(CASE WHEN g = '{p}' THEN CAST(cents AS HUGEINT) "
+            f"ELSE 0 END) AS DOUBLE) AS s_{i},\n        "
+            f"CAST(SUM(CASE WHEN g = '{p}' THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_{i}"
+        )
+    return ",\n        ".join(parts)
+
+
+_SQL_ANOVA = f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderpriority AS g
+      FROM orders),
+    sums AS (
+      SELECT
+        {_anova_cases()},
+        CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS s,
+        CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS q,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows_)
+    SELECT n AS n_rows,
+           CAST({len(_KW_PRIOS) - 1} AS BIGINT) AS dof_between,
+           CAST(n - {len(_KW_PRIOS)} AS BIGINT) AS dof_within,
+           ((s_0 * s_0 / n_0 + s_1 * s_1 / n_1 + s_2 * s_2 / n_2
+             + s_3 * s_3 / n_3 + s_4 * s_4 / n_4) - s * s / n)
+           / CAST({len(_KW_PRIOS) - 1} AS DOUBLE)
+           / ((q - (s_0 * s_0 / n_0 + s_1 * s_1 / n_1 + s_2 * s_2 / n_2
+                    + s_3 * s_3 / n_3 + s_4 * s_4 / n_4))
+              / CAST(n - {len(_KW_PRIOS)} AS DOUBLE))
+             AS f_stat,
+           ((s_0 * s_0 / n_0 + s_1 * s_1 / n_1 + s_2 * s_2 / n_2
+             + s_3 * s_3 / n_3 + s_4 * s_4 / n_4) - s * s / n)
+           / (q - s * s / n) AS eta_sq
+    FROM sums
+"""
+
+
+@query("stats_anova_f_priority", oracle=_SQL_ANOVA)
+def stats_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F (and eta-squared effect size) for order value
+    across the five priority classes — the parametric counterpart of
+    ``stats_kruskal_wallis``: SSB/SSW from exact per-group power sums,
+    no per-row residuals ever materialized.
+
+    Scale: ONE map-side-combined aggregate over orders produces every
+    input (per-group sums/counts + global sum of squares); the F
+    statistic is a single fixed-order scalar expression. Sums
+    accumulate in DECIMAL(38,0) (HUGEINT in the oracle) — cents^2 per
+    row is ~2.5e15, so int64 would wrap past ~sf0.5; decimal stays
+    exact at any plausible scale and the one double conversion is
+    correctly rounded in both engines.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    rows = o.select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    c18 = F.col("cents").cast("decimal(18,0)")
+    aggs = []
+    for i, p in enumerate(_KW_PRIOS):
+        aggs.append(
+            F.sum(F.when(F.col("g") == p, c18))
+            .cast("decimal(38,0)")
+            .alias(f"s_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("g") == p, F.lit(1)))
+            .cast("long")
+            .alias(f"n_{i}")
+        )
+    aggs.append(F.sum(c18).cast("decimal(38,0)").alias("s"))
+    aggs.append(F.sum(c18 * c18).cast("decimal(38,0)").alias("q"))
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n"))
+    sums = rows.agg(*aggs)
+    k = len(_KW_PRIOS)
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    ssb_terms = None
+    for i in range(k):
+        si = F.col(f"s_{i}").cast("double")
+        t = si * si / F.col(f"n_{i}")
+        ssb_terms = t if ssb_terms is None else ssb_terms + t
+    ssb = ssb_terms - sd * sd / F.col("n")
+    ssw = qd - ssb_terms
+    sst = qd - sd * sd / F.col("n")
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        F.lit(k - 1).cast("long").alias("dof_between"),
+        (F.col("n") - k).cast("long").alias("dof_within"),
+        (
+            ssb
+            / F.lit(k - 1).cast("double")
+            / (ssw / (F.col("n") - k).cast("double"))
+        ).alias("f_stat"),
+        (ssb / sst).alias("eta_sq"),
+    )
+
+
+# --------------------------------------------------------------------
+# Welch's unequal-variance t-test (URGENT vs LOW)
+# --------------------------------------------------------------------
+
+_SQL_WELCH = f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+      FROM orders
+      WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')),
+    sums AS (
+      SELECT
+        CAST(SUM(ia) AS BIGINT) AS n_a,
+        CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN ia = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END)
+             AS DOUBLE) AS s_a,
+        CAST(SUM(CASE WHEN ia = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END)
+             AS DOUBLE) AS s_b,
+        CAST(SUM(CASE WHEN ia = 1 THEN CAST(cents AS HUGEINT) * cents
+                 ELSE 0 END) AS DOUBLE) AS q_a,
+        CAST(SUM(CASE WHEN ia = 0 THEN CAST(cents AS HUGEINT) * cents
+                 ELSE 0 END) AS DOUBLE) AS q_b
+      FROM rows_)
+    SELECT n_a, n_b,
+           s_a / n_a / 100 AS mean_a,
+           s_b / n_b / 100 AS mean_b,
+           (s_a / n_a - s_b / n_b)
+           / SQRT((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                  + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+             AS t_stat,
+           ((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+            + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+           * ((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+              + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+           / ((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+              * ((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a) / (n_a - 1)
+              + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b
+                * ((q_b - s_b * s_b / n_b) / (n_b - 1) / n_b) / (n_b - 1))
+             AS dof_welch
+    FROM sums
+"""
+
+
+@query("stats_welch_t_test", oracle=_SQL_WELCH)
+def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between URGENT and LOW order
+    values — the parametric two-sample companion to
+    ``stats_mann_whitney_u`` (same two groups), with the
+    Welch-Satterthwaite effective degrees of freedom. This is the
+    test an experimentation pipeline runs on a metric whose variance
+    differs across arms.
+
+    Scale: one aggregate over the filtered scan yields both groups'
+    exact DECIMAL(38,0) power sums (cents^2 wraps int64 past ~sf0.5);
+    t and the dof are fixed-order scalar IEEE expressions on the
+    single result row, identical in both engines.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    rows = o.filter(F.col("o_orderpriority").isin(_KS_A, _KS_B)).select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == _KS_A, 1).otherwise(0).alias("ia"),
+    )
+    c18 = F.col("cents").cast("decimal(18,0)")
+    sums = rows.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("ia") == 1, c18))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.sum(F.when(F.col("ia") == 0, c18))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+        F.sum(F.when(F.col("ia") == 1, c18 * c18))
+        .cast("decimal(38,0)")
+        .alias("q_a"),
+        F.sum(F.when(F.col("ia") == 0, c18 * c18))
+        .cast("decimal(38,0)")
+        .alias("q_b"),
+    )
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qa, qb = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    na, nb = F.col("n_a"), F.col("n_b")
+    va = (qa - sa * sa / na) / (na - 1) / na
+    vb = (qb - sb * sb / nb) / (nb - 1) / nb
+    return sums.select(
+        "n_a",
+        "n_b",
+        (sa / na / 100).alias("mean_a"),
+        (sb / nb / 100).alias("mean_b"),
+        ((sa / na - sb / nb) / F.sqrt(va + vb)).alias("t_stat"),
+        (
+            (va + vb) * (va + vb)
+            / (va * va / (na - 1) + vb * vb / (nb - 1))
+        ).alias("dof_welch"),
+    )
+
+
+# --------------------------------------------------------------------
+# Kendall tau-b of daily revenue vs daily order count
+# --------------------------------------------------------------------
+
+_SQL_KENDALL = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+               AS sx,
+             CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END
+               AS sy
+      FROM daily a JOIN daily b ON b.d > a.d),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS conc,
+             CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS disc,
+             CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM pairs),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, n_pairs, conc AS n_concordant, disc AS n_discordant,
+           CAST(conc - disc AS DOUBLE)
+           / SQRT(CAST(n_pairs - tx AS DOUBLE)
+                  * CAST(n_pairs - ty AS DOUBLE)) AS tau_b
+    FROM counts, nd
+"""
+
+
+@query("stats_kendall_tau_daily", oracle=_SQL_KENDALL)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily revenue and daily
+    order count — the pair-concordance association measure that
+    complements Spearman (``stats_spearman_rho``): tau has a direct
+    probabilistic reading (P(concordant) - P(discordant)) and a
+    smaller variance under heavy ties.
+
+    Scale (Theil-Sen precedent): orders collapse to the model-level
+    DAY table first, so the O(days^2) pair fan-out is quadratic only
+    in calendar days — ~3M tiny pair rows at ANY corpus size, via a
+    broadcast non-equi self-join that never shuffles the fact table.
+    Every count is exact int64; tau-b is one fixed IEEE expression.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(
+        F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("v").alias("va"), F.col("m").alias("ma")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("v").alias("vb"), F.col("m").alias("mb")
+    )
+    sgn = (
+        lambda x, y: F.when(y > x, 1).when(y < x, -1).otherwise(0)
+    )
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        sgn(F.col("va"), F.col("vb")).alias("sx"),
+        sgn(F.col("ma"), F.col("mb")).alias("sy"),
+    )
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tx"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ty"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return counts.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n_pairs",
+        F.col("conc").alias("n_concordant"),
+        F.col("disc").alias("n_discordant"),
+        (
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("tx")).cast("double")
+                * (F.col("n_pairs") - F.col("ty")).cast("double")
+            )
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------
+# Cramér's V effect size for nation x segment
+# --------------------------------------------------------------------
+
+_SQL_CRAMERS_V = """
+    WITH cells AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg, COUNT(*) AS obs
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    rt AS (SELECT nk, SUM(obs) AS rtot FROM cells GROUP BY nk),
+    ct AS (SELECT seg, SUM(obs) AS ctot FROM cells GROUP BY seg),
+    tot AS (SELECT SUM(obs) AS n, COUNT(DISTINCT nk) AS nr,
+                   COUNT(DISTINCT seg) AS nc FROM cells),
+    terms AS (
+      SELECT (CAST(obs AS DOUBLE) - CAST(rtot * ctot AS DOUBLE) / n)
+             * (CAST(obs AS DOUBLE) - CAST(rtot * ctot AS DOUBLE) / n)
+             / (CAST(rtot * ctot AS DOUBLE) / n) AS term,
+             n, nr, nc
+      FROM cells JOIN rt USING (nk) JOIN ct USING (seg) CROSS JOIN tot),
+    chi AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS n,
+             CAST(LEAST(MIN(nr) - 1, MIN(nc) - 1) AS BIGINT) AS mindim,
+             CAST(SUM(CAST(FLOOR(term * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                  AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2
+      FROM terms)
+    SELECT n AS n_rows, mindim, chi2,
+           SQRT(chi2 / (CAST(n AS DOUBLE) * mindim)) AS cramers_v
+    FROM chi
+"""
+
+
+@query("stats_cramers_v", oracle=_SQL_CRAMERS_V)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the nation x market-segment
+    association — the [0,1]-normalized companion to
+    ``stats_chi2_nation_segment``: chi-square says "is there ANY
+    dependence", V says "how strong", comparable across tables of
+    different shape. A curation pipeline uses V to rank which
+    metadata columns actually stratify the corpus.
+
+    Scale/determinism: identical contingency plan to the chi2 query
+    (one scan to a 125-cell frame, broadcast marginals, floor-scaled
+    int64 term sum); V adds one sqrt on the single result row.
+    """
+    tune(spark)
+    cells = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = cells.groupBy("nk").agg(F.sum("obs").alias("rtot"))
+    ct = cells.groupBy("seg").agg(F.sum("obs").alias("ctot"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("nk").alias("nr"),
+        F.countDistinct("seg").alias("nc"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), "nk")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (F.col("rtot") * F.col("ctot")).cast("double") / F.col("n")
+    d = F.col("obs").cast("double") - exp
+    term = d * d / exp
+    chi = j.agg(
+        F.min("n").cast("long").alias("n"),
+        F.least(F.min("nr") - 1, F.min("nc") - 1)
+        .cast("long")
+        .alias("mindim"),
+        (
+            F.sum(F.floor(term * F.lit(1000000.0)).cast("long")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").alias("n_rows"),
+        "mindim",
+        "chi2",
+        F.sqrt(
+            F.col("chi2") / (F.col("n").cast("double") * F.col("mindim"))
+        ).alias("cramers_v"),
+    )

@@ -184,6 +184,11 @@ _EXTERNALLY_VERIFIED = frozenset(
 # round-6 queries are appended at the FRONT of this tuple as they are
 # added, so they get sampled too.
 _SAMPLE_PRIORITY = (
+    "stats_kruskal_wallis",
+    "stats_anova_f_priority",
+    "stats_welch_t_test",
+    "stats_kendall_tau_daily",
+    "stats_cramers_v",
     "classifier_hashed_linear",
     "events_activity_streaks",
     "orders_open_backlog_daily",
