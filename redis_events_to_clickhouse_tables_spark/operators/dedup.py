@@ -1742,3 +1742,86 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_bucket",
         "candidate_pairs",
     )
+
+
+# --------------------------------------------------------------------
+# k-core peeling on the near-dup candidate graph
+# --------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev_e: str, i: int) -> str:
+    return f"""
+    d{i} AS (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM {prev_e} GROUP BY s),
+    k{i} AS (SELECT v FROM d{i} WHERE deg >= {_KCORE_K}),
+    e{i} AS (SELECT e.s, e.d FROM {prev_e} e
+             JOIN k{i} a ON a.v = e.s
+             JOIN k{i} b ON b.v = e.d)
+    """
+
+
+@query(
+    "graph_kcore_neardup",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + f""",
+    edges0 AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+               UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+    {_kcore_round_sql("edges0", 1)},
+    {_kcore_round_sql("e1", 2)},
+    {_kcore_round_sql("e2", 3)},
+    df AS (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM e3 GROUP BY s)
+    SELECT v AS doc_id, deg AS core_degree
+    FROM df WHERE deg >= {_KCORE_K}
+    """,
+)
+def graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core peeling (k=2, 3 fixed rounds) over the near-dup
+    candidate graph: iteratively drop documents with fewer than 2
+    near-dup neighbors, re-count, repeat. What survives is the DENSE
+    duplication core — boilerplate families and template farms — as
+    opposed to isolated pairs; the set a curation pipeline reviews
+    when deciding whether a whole cluster (not individual docs) should
+    be dropped. Complements PageRank (hubs) and connected components
+    (families): the core is where both agree the graph is thick.
+
+    Fixed-round doctrine (PageRank precedent): a convergence loop
+    would poll a scalar between rounds; 3 rounds keep the plan static
+    and the oracle expressible as unrolled CTEs. Each round is one
+    degree aggregate plus two semi-joins against the (tiny) surviving
+    vertex set — the edge list is persisted once and only shrinks.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .persist()
+    )
+    edges.count()
+    pairs.unpersist()
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("s")
+        cur = cur.join(keep, "s").join(
+            keep.withColumnRenamed("s", "d"), "d"
+        )
+    out = (
+        cur.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= _KCORE_K)
+        .select(F.col("s").alias("doc_id"), "core_degree")
+    )
+    # one materializing pass so the persisted edge list can be freed
+    # before the bench sweep moves on (ADVICE r4 unpersist discipline)
+    out = out.persist()
+    out.count()
+    edges.unpersist()
+    return out

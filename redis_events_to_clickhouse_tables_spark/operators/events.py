@@ -882,3 +882,291 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log2_survival",
         )
     )
+
+
+# --------------------------------------------------------------------
+# DAU / WAU / MAU stickiness
+# --------------------------------------------------------------------
+
+_STICKY_WAU = 7
+_STICKY_MAU = 28
+
+
+_SQL_STICKINESS = f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d0
+      FROM events),
+    bounds AS (SELECT MIN(d0) AS dmin, MAX(d0) AS dmax FROM ud),
+    fan AS (
+      SELECT ud.user_id, ud.d0 + u.o AS d, u.o
+      FROM ud CROSS JOIN UNNEST(range(0, {_STICKY_MAU})) AS u(o)),
+    agg AS (
+      SELECT d,
+             COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+             COUNT(DISTINCT CASE WHEN o < {_STICKY_WAU} THEN user_id END)
+               AS wau,
+             COUNT(DISTINCT user_id) AS mau
+      FROM fan GROUP BY d)
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           CAST(dau AS DOUBLE) / wau AS dau_wau,
+           CAST(dau AS DOUBLE) / mau AS dau_mau
+    FROM agg, bounds
+    WHERE d >= bounds.dmin + {_STICKY_MAU} - 1 AND d <= bounds.dmax
+    ORDER BY d
+"""
+
+
+@query("events_dau_wau_stickiness", oracle=_SQL_STICKINESS)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / weekly active / monthly active users per day,
+    with the DAU/WAU and DAU/MAU stickiness ratios — the engagement
+    headline every product dashboard opens with. Only days with a
+    complete 28-day trailing history are emitted (the warm-up ramp
+    would understate MAU).
+
+    Scale: rolling DISTINCT does not merge, so each distinct
+    (user, day) pair FANS OUT to the {_STICKY_MAU} future days it
+    keeps a user "active" for (the rolling_distinct_users_7d recipe,
+    generalized to three horizons in ONE pass — the o=0 / o<7 /
+    unconditional conditional-distincts share a single shuffle). The
+    fan-out is a fixed 28x on the deduplicated user-day table — far
+    smaller than the event table it summarizes — and the group-by key
+    is the day, so 1000 executors each own a date range.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d0"),
+    ).distinct()
+    bounds = ud.agg(
+        F.min("d0").alias("dmin"), F.max("d0").alias("dmax")
+    )
+    fan = ud.select(
+        "user_id",
+        "d0",
+        F.explode(F.sequence(F.lit(0), F.lit(_STICKY_MAU - 1))).alias("o"),
+    ).withColumn("d", F.col("d0") + F.col("o"))
+    agg = fan.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("o") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("o") < _STICKY_WAU, F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("d") >= F.col("dmin") + _STICKY_MAU - 1)
+            & (F.col("d") <= F.col("dmax"))
+        )
+        .select(
+            F.col("d").cast("long").alias("day_num"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("dau_wau"),
+            (F.col("dau").cast("double") / F.col("mau")).alias("dau_mau"),
+        )
+        .orderBy("day_num")
+    )
+
+
+# --------------------------------------------------------------------
+# Markov stationary distribution (3 fixed power iterations)
+# --------------------------------------------------------------------
+
+_MK_FP = 1_000_000_000  # 1e-9 probability fixed point
+_MK_ITERS = 3
+
+
+def _mk_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT pq.d AS v,
+             CAST(SUM({prev}.pi * pq.pq) // {_MK_FP} AS BIGINT) AS pi
+      FROM pq JOIN {prev} ON {prev}.v = pq.s
+      GROUP BY pq.d)
+    """
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type AS s, next_type AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2),
+    t AS (SELECT s, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY s),
+    pq AS (SELECT c.s, c.d, n * {_MK_FP} // total AS pq
+           FROM c JOIN t USING (s)),
+    k AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS kk FROM c),
+    p0 AS (SELECT DISTINCT s AS v, {_MK_FP} // kk AS pi FROM c, k),
+    {_mk_iter_sql("p0", "p1")},
+    {_mk_iter_sql("p1", "p2")},
+    {_mk_iter_sql("p2", "p3")},
+    z AS (SELECT CAST(SUM(pi) AS BIGINT) AS zz FROM p3)
+    SELECT v AS event_type, pi AS pi_fp,
+           CAST(pi AS DOUBLE) / zz AS stationary_p
+    FROM p3, z ORDER BY event_type
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain (3
+    fixed power iterations from uniform): where sessions SPEND their
+    time in the long run — the one-vector summary of
+    ``events_markov_transitions`` that ranks event types by
+    steady-state share rather than raw counts.
+
+    Iterative-algorithm doctrine (PageRank precedent): transition
+    probabilities quantize ONCE to exact 1e-9 fixed-point integers
+    (n * FP div total — integer floor division, identical in both
+    engines); each iteration is then integer multiply-sum-rescale
+    (sum(pi*pq) div FP), bit-exact and associative, so the oracle is
+    three unrolled CTEs. int64 headroom: products are <= 1e18 and the
+    per-state fan-in is K event types (K=5 here); past K~9 the
+    accumulator moves to DECIMAL(38,0) — documented, not needed at
+    any plausible event-taxonomy size. The matrix itself is
+    model-level (K^2 rows) — the only corpus-scale work is the LEAD
+    window per user, the same shuffle the transition-matrix query
+    already pays.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    c = seq.groupBy("s", "d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("s").agg(F.sum("n").cast("long").alias("total"))
+    pq = (
+        c.join(t, "s")
+        .select("s", "d", F.expr(f"n * {_MK_FP} div total").alias("pq"))
+    )
+    k = c.agg(F.countDistinct("s").cast("long").alias("kk"))
+    pi = (
+        c.select("s").distinct()
+        .crossJoin(F.broadcast(k))
+        .select(F.col("s").alias("v"), F.expr(f"{_MK_FP} div kk").alias("pi"))
+    )
+    for _ in range(_MK_ITERS):
+        pi = (
+            pq.join(pi.withColumnRenamed("v", "s"), "s")
+            .groupBy("d")
+            .agg(
+                F.expr(f"sum(pi * pq) div {_MK_FP}").cast("long").alias("pi")
+            )
+            .select(F.col("d").alias("v"), "pi")
+        )
+    z = pi.agg(F.sum("pi").cast("long").alias("zz"))
+    return (
+        pi.crossJoin(F.broadcast(z))
+        .select(
+            F.col("v").alias("event_type"),
+            F.col("pi").alias("pi_fp"),
+            (F.col("pi").cast("double") / F.col("zz")).alias("stationary_p"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Cohort LTV matrix (cumulative revenue per cohort user by week)
+# --------------------------------------------------------------------
+
+_LTV_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+@query(
+    "events_cohort_ltv_matrix",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w,
+             {_LTV_CENTS} AS cents
+      FROM events),
+    cohort AS (SELECT user_id, MIN(w) AS w0 FROM ev GROUP BY user_id),
+    sizes AS (SELECT w0, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM cohort GROUP BY w0),
+    cell AS (
+      SELECT c.w0, e.w - c.w0 AS off,
+             CAST(SUM(e.cents) AS BIGINT) AS rev
+      FROM ev e JOIN cohort c USING (user_id)
+      GROUP BY c.w0, e.w - c.w0),
+    cum AS (
+      SELECT w0, off,
+             CAST(SUM(rev) OVER (PARTITION BY w0 ORDER BY off) AS BIGINT)
+               AS rev_cum
+      FROM cell)
+    SELECT CAST(cum.w0 AS BIGINT) AS cohort_week,
+           CAST(off AS BIGINT) AS week_offset,
+           s.n_users,
+           rev_cum AS rev_cents_cum,
+           CAST(rev_cum AS DOUBLE) / s.n_users / 100 AS ltv_per_user
+    FROM cum JOIN sizes s USING (w0)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-seen week,
+    cumulative revenue per cohort member tracked week by week — the
+    revenue twin of the retention matrix
+    (``timeseries_retention_cohorts``): "how fast does each signup
+    vintage pay back?".
+
+    Scale: two shuffles on user_id (cohort assignment + the revenue
+    join), then the matrix itself is #weeks^2/2 model-level cells;
+    the running total windows PARTITION BY cohort over <= #weeks rows
+    each — never a corpus-sized or unpartitioned window. Revenue sums
+    in exact cents.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.expr(
+            "datediff(to_date(ts), date'1970-01-01') div 7"
+        ).alias("w"),
+        F.expr(_LTV_CENTS).alias("cents"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("w").alias("w0"))
+    sizes = cohort.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    cell = (
+        ev.join(cohort, "user_id")
+        .groupBy("w0", (F.col("w") - F.col("w0")).alias("off"))
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    wdw = (
+        Window.partitionBy("w0")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn("rev_cum", F.sum("rev").over(wdw).cast("long"))
+    return (
+        cum.join(F.broadcast(sizes), "w0")
+        .select(
+            F.col("w0").cast("long").alias("cohort_week"),
+            F.col("off").cast("long").alias("week_offset"),
+            "n_users",
+            F.col("rev_cum").alias("rev_cents_cum"),
+            (
+                F.col("rev_cum").cast("double") / F.col("n_users") / 100
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -809,3 +809,65 @@ def waterfill_from_counts(src: DataFrame) -> DataFrame:
         F.col("b").alias("budget"),
         "lam_floor",
     )
+
+
+# --------------------------------------------------------------------
+# First-occurrence n-gram novelty
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH g AS ({_SQL_FIVEGRAMS}),
+    first_ AS (SELECT h, MIN(doc_id) AS fd FROM g GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_share
+    FROM g JOIN first_ f ON f.h = g.h
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    5-grams whose first corpus occurrence (lowest doc_id — the stable
+    stand-in for arrival order) is this document. Low-novelty
+    documents are recombinations of earlier text — the
+    data-mixing/dedup signal between exact dup (0 novelty against an
+    identical earlier doc) and fully fresh prose (~1.0) — and the
+    greedy-selection objective in coverage-maximizing corpus
+    subsampling.
+
+    Scale: one gram explode (the contamination scan's lineage), one
+    groupBy(h) min — a map-side-combinable aggregate over fixed-width
+    hashes — and one hash join back on h, partitioned by gram hash on
+    both sides; per-doc totals then group on doc_id. No broadcasts of
+    corpus-sized state, no windows; every stage is a plain shuffled
+    aggregate that AQE can re-balance at 100 TB.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    grams = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= _CONTAM_N)
+        .select("doc_id", F.explode(_fivegram_hashes()).alias("h"))
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    return (
+        grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty_share"),
+        )
+    )

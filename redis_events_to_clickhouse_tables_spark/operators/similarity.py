@@ -1548,3 +1548,145 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_x",
         "max_x",
     ).orderBy("pos")
+
+
+# --------------------------------------------------------------------
+# PCA top component via partial-Gram + 3 power iterations
+# --------------------------------------------------------------------
+
+_PCA_FP = 10_000_000  # 1e-7 embedding quantization (embedding_label_centroids)
+_PCA_VFP = 1_000_000  # 1e-6 iteration-vector fixed point
+_PCA_ITERS = 3
+
+
+def _pca_round_sql(prev: str, i: int) -> str:
+    return f"""
+    w{i} AS (SELECT g.i AS i, SUM(g.g * {prev}.v) AS w
+             FROM g JOIN {prev} ON {prev}.i = g.j GROUP BY g.i),
+    m{i} AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS m FROM w{i}),
+    v{i} AS (SELECT i,
+                    CAST(FLOOR(CAST(w AS DOUBLE) / m * {_PCA_VFP}) AS BIGINT)
+                      AS v
+             FROM w{i}, m{i})
+    """
+
+
+@query(
+    "embedding_pca_top_component",
+    oracle=f"""
+    WITH qe AS (
+      SELECT vec_id,
+             [CAST(ROUND(CAST(e AS DOUBLE) * {_PCA_FP}) AS BIGINT)
+              FOR e IN embedding] AS q
+      FROM embeddings),
+    g AS (
+      SELECT ii.i AS i, jj.j AS j,
+             SUM(CAST(q[ii.i] AS HUGEINT) * q[jj.j]) AS g
+      FROM qe,
+           UNNEST(range(1, len(q) + 1)) AS ii(i),
+           UNNEST(range(1, len(q) + 1)) AS jj(j)
+      GROUP BY 1, 2),
+    dims AS (SELECT DISTINCT i FROM g),
+    v0 AS (SELECT i, CAST({_PCA_VFP} AS BIGINT) AS v FROM dims),
+    {_pca_round_sql("v0", 1)},
+    {_pca_round_sql("v1", 2)},
+    {_pca_round_sql("v2", 3)},
+    s2 AS (SELECT CAST(SUM(v * v) AS BIGINT) AS s2 FROM v3)
+    SELECT i - 1 AS pos, v AS v_fp,
+           CAST(v AS DOUBLE) / SQRT(CAST(s2 AS DOUBLE)) AS component
+    FROM v3, s2 ORDER BY pos
+    """,
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud (uncentered PCA
+    / dominant eigenvector of the Gram matrix), via the two-stage
+    distributed-PCA recipe every large-scale pipeline uses: (1) each
+    Arrow batch reduces to its LOCAL d x d Gram matrix — a numpy
+    int64 matmul over quantized coordinates inside ``mapInPandas``,
+    the only corpus-scale pass; (2) three fixed power iterations run
+    on the merged model-level Gram frame (d^2 = 4096 rows). The
+    component is the direction training-data curators project onto
+    for diversity scoring and the first axis an IVF/PQ index would
+    rotate out.
+
+    Exactness: coordinates quantize to 1e-7 fixed point
+    (``embedding_label_centroids`` doctrine), so every Gram cell is
+    an EXACT integer (batch partials < 1e17 each fit int64; the merge
+    sums them in DECIMAL(38,0) — HUGEINT in the oracle). Iterations
+    renormalize to an L-inf 1e-6 grid via floor(w/max*FP) — one IEEE
+    division per dim per round on identically-rounded doubles — so
+    the oracle's three unrolled CTEs match bit-for-bit.
+
+    Scale: the quantized-row pass is embarrassingly parallel; the
+    driver never sees more than d^2 cells per batch, and the
+    iteration joins touch only the 4096-row model frame. At 100 TB
+    the Gram stage is the same single scan a mean/centroid pass
+    costs.
+    """
+    tune(spark)
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _PCA_FP).cast("long"),
+        ).alias("q")
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # n x d int64; per-batch |cell| <= (3e6)^2 * 10k rows ~ 1e17,
+            # inside int64 at Arrow's default 10k-row batches
+            mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            gm = mat.T @ mat
+            d = gm.shape[0]
+            yield pd.DataFrame(
+                {
+                    "i": np.repeat(np.arange(1, d + 1), d),
+                    "j": np.tile(np.arange(1, d + 1), d),
+                    "p": gm.ravel(),
+                }
+            )
+
+    gram = q.mapInPandas(gram_partials, schema="i int, j int, p long")
+    g = gram.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(18,0)")).cast("decimal(25,0)").alias("g")
+    )
+    dims = g.select("i").distinct()
+    v = dims.select("i", F.lit(_PCA_VFP).cast("long").alias("v"))
+    for _ in range(_PCA_ITERS):
+        w = (
+            g.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("g") * F.col("v").cast("decimal(12,0)"))
+                .cast("decimal(38,0)")
+                .alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w").cast("double"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.floor(F.col("w").cast("double") / F.col("m") * _PCA_VFP)
+            .cast("long")
+            .alias("v"),
+        )
+    s2 = v.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"))
+    return (
+        v.crossJoin(F.broadcast(s2))
+        .select(
+            (F.col("i") - 1).cast("long").alias("pos"),
+            F.col("v").alias("v_fp"),
+            (
+                F.col("v").cast("double")
+                / F.sqrt(F.col("s2").cast("double"))
+            ).alias("component"),
+        )
+        .orderBy("pos")
+    )

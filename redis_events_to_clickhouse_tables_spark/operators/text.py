@@ -1525,3 +1525,75 @@ def eval_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_guess")
     )
+
+
+# --------------------------------------------------------------------
+# Winnowing fingerprints (local-min rolling-hash selection)
+# --------------------------------------------------------------------
+
+_WIN_K = 8  # char k-gram length
+_WIN_W = 4  # winnowing window (k-grams per window)
+
+
+_SQL_WINNOW = f"""
+    WITH hs AS (
+      SELECT doc_id,
+             [{DUCKDB_MD5_LONG(f"substring(text, CAST(i AS INTEGER), {_WIN_K})")}
+              FOR i IN range(1, LENGTH(text) - {_WIN_K - 2})] AS h
+      FROM documents
+      WHERE LENGTH(text) >= {_WIN_K + _WIN_W - 1}),
+    fp AS (
+      SELECT doc_id,
+             CAST(len(h) - {_WIN_W - 1} AS BIGINT) AS n_windows,
+             list_distinct([list_min(h[j:j + {_WIN_W - 1}])
+                            FOR j IN range(1, len(h) - {_WIN_W - 2})]) AS fps
+      FROM hs)
+    SELECT doc_id, n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(len(fps) AS DOUBLE) / n_windows AS fp_density
+    FROM fp
+"""
+
+
+@query("text_winnowing_fingerprints", oracle=_SQL_WINNOW)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 8-char k-gram, slide a
+    4-hash window, keep each window's MINIMUM hash. The selected set
+    is position-robust (an edit perturbs only nearby windows) and its
+    density is ~2/(w+1) — the guarantee-backed alternative to the
+    repo's head-prefix ``text_fingerprint`` and the third member of
+    the fingerprint family next to MinHash (set resemblance) and
+    SimHash (weighted cosine).
+
+    Scale: everything is ONE projection — per-row JVM array
+    expressions (transform/slice/array_min over the k-gram hash
+    array), no explode, no shuffle, no Python. A 100-TB corpus
+    fingerprints in a single codegen'd map stage; the output is 4
+    scalars per document. md5-derived hashes keep Spark and DuckDB
+    bit-identical (functions/hashing.py doctrine).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WIN_K + _WIN_W - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1)),
+        lambda i: md5_long(F.substring(F.col("text"), i, F.lit(_WIN_K))),
+    )
+    with_h = d.select("doc_id", grams.alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (_WIN_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("h"), j, _WIN_W)),
+        )
+    )
+    return with_h.select(
+        "doc_id",
+        (F.size("h") - (_WIN_W - 1)).cast("long").alias("n_windows"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        (
+            F.size(fps).cast("double")
+            / (F.size("h") - (_WIN_W - 1))
+        ).alias("fp_density"),
+    )

@@ -1572,3 +1572,122 @@ def timeseries_mase_naive7(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae1.alias("mae_naive1"),
         (mae7 / mae1).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------
+# Lagged cross-correlation between two market segments' daily revenue
+# --------------------------------------------------------------------
+
+_XC_SEG_A = "BUILDING"
+_XC_SEG_B = "MACHINERY"
+_XC_MAX_LAG = 7
+
+
+_SQL_XCORR = f"""
+    WITH seg AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             c_mktsegment AS seg,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{_XC_SEG_A}', '{_XC_SEG_B}')
+      GROUP BY 1, 2),
+    a AS (SELECT d, v FROM seg WHERE seg = '{_XC_SEG_A}'),
+    b AS (SELECT d, v FROM seg WHERE seg = '{_XC_SEG_B}'),
+    lags AS (SELECT i AS lag FROM generate_series(0, {_XC_MAX_LAG}) t(i)),
+    m AS (
+      SELECT l.lag, a.v AS x, b.v AS y
+      FROM lags l
+      JOIN a ON TRUE
+      JOIN b ON a.d = b.d + l.lag),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM m GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+           / SQRT((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n_days AS DOUBLE) * syy - sy * sy)) AS xcorr
+    FROM s ORDER BY lag
+"""
+
+
+@query("timeseries_cross_correlation", oracle=_SQL_XCORR)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation of the BUILDING segment's daily
+    revenue against MACHINERY's, at lags 0..7 days — "does one
+    segment's demand foreshadow the other's?", the coupling readout a
+    forecasting pipeline inspects before pooling series into one
+    model. Lag L correlates A(day) with B(day - L).
+
+    Scale (Theil-Sen/Kendall doctrine): the fact table collapses to a
+    model-level (segment, day) frame first — one broadcast-dim join +
+    one map-side-combined aggregate — so everything after is algebra
+    on ~2 x #days rows replicated 8 ways by a broadcast lag dimension.
+    Pearson per lag runs as exact DECIMAL(38,0) power sums (daily
+    cents^2 wraps int64 near sf1) with the one-IEEE-tail finish.
+    """
+    tune(spark)
+    from ..functions.numeric import dec
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    seg = (
+        o.join(
+            F.broadcast(
+                c.filter(
+                    F.col("c_mktsegment").isin(_XC_SEG_A, _XC_SEG_B)
+                ).select("c_custkey", "c_mktsegment")
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+            ).alias("d"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"))
+    )
+    a = seg.filter(F.col("seg") == _XC_SEG_A).select(
+        F.col("d").alias("da"), F.col("v").alias("x")
+    )
+    b = seg.filter(F.col("seg") == _XC_SEG_B).select(
+        F.col("d").alias("db"), F.col("v").alias("y")
+    )
+    lags = spark.range(_XC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    # equi-join key: A's day shifted by the (broadcast) lag, so the
+    # match with B is a plain hash join on the day number — never a
+    # non-equi theta join over the day tables.
+    al = a.crossJoin(F.broadcast(lags)).withColumn(
+        "dm", F.col("da") - F.col("lag")
+    )
+    m = al.join(b, al.dm == b.db)
+    x18 = F.col("x").cast("decimal(18,0)")
+    y18 = F.col("y").cast("decimal(18,0)")
+    s = m.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(x18).cast("decimal(38,0)").alias("sx"),
+        F.sum(y18).cast("decimal(38,0)").alias("sy"),
+        F.sum(x18 * x18).cast("decimal(38,0)").alias("sxx"),
+        F.sum(y18 * y18).cast("decimal(38,0)").alias("syy"),
+        F.sum(x18 * y18).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        (
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+        ).alias("xcorr"),
+    ).orderBy("lag")

@@ -184,6 +184,14 @@ _EXTERNALLY_VERIFIED = frozenset(
 # round-6 queries are appended at the FRONT of this tuple as they are
 # added, so they get sampled too.
 _SAMPLE_PRIORITY = (
+    "embedding_pca_top_component",
+    "graph_kcore_neardup",
+    "text_winnowing_fingerprints",
+    "events_markov_stationary",
+    "events_cohort_ltv_matrix",
+    "timeseries_cross_correlation",
+    "events_dau_wau_stickiness",
+    "text_ngram_novelty",
     "stats_kruskal_wallis",
     "stats_anova_f_priority",
     "stats_welch_t_test",
