@@ -1,0 +1,616 @@
+"""Distribution-drift, normality, and sampling operators (Layer B).
+
+Round-6 wave: the monitoring/curation primitives that sit between the
+inference tests (``operators/stats.py``) and the corpus pipeline
+(``operators/pipeline.py``):
+
+- Jarque-Bera normality (is this metric still ~normal, or did a
+  pipeline change fatten the tails?),
+- Grubbs extreme-studentized-deviate bounds (how far out are the most
+  extreme values, in sigmas — the single-outlier screen),
+- Population Stability Index between time halves (the drift score
+  model-monitoring dashboards alarm on),
+- probability-proportional-to-size Bernoulli sampling (the exact
+  integer form of weighted corpus subsampling),
+- weekly OHLC candles (the compaction a metrics store keeps per key),
+- int8 symmetric quantization error (what an embedding export loses
+  when truncated to int8 — the decision table for quantized ANN).
+
+None of these exist in the reference (its §2.9 surface has no
+relational operators; see SURVEY.md §2.9); they extend the
+training-data-pipeline layer.
+
+Determinism doctrine (same as ``operators/stats.py``): every
+order-sensitive reduction is exact integer/decimal arithmetic; each
+data-dependent log/ratio is ONE IEEE division of exact integer
+cross-products, floor-quantized to 1e-6 before the (exact) dot
+product; the closed-form statistic is one fixed-order scalar IEEE
+expression both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+# --------------------------------------------------------------------
+# Jarque-Bera normality test on order values
+# --------------------------------------------------------------------
+
+_SQL_JARQUE_BERA = """
+    WITH x AS (
+      SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(14,2))) AS BIGINT)
+               AS v
+      FROM orders),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2,
+             SUM(CAST(v * v AS HUGEINT) * v) AS s3,
+             SUM(CAST(v * v AS HUGEINT) * (v * v)) AS s4
+      FROM x),
+    m AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s),
+    c AS (
+      SELECT n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                - 3.0 * mean * mean * mean * mean AS m4
+      FROM m),
+    g AS (
+      SELECT n, mean, m2,
+             m3 / (m2 * SQRT(m2)) AS skewness,
+             m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+      FROM c)
+    SELECT n, mean, SQRT(m2) AS std_pop, skewness, kurtosis_excess,
+           CAST(n AS DOUBLE) / 6.0
+             * (skewness * skewness
+                + kurtosis_excess * kurtosis_excess / 4.0) AS jb_stat
+    FROM g
+"""
+
+
+@query("stats_jarque_bera", oracle=_SQL_JARQUE_BERA)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on whole-dollar order values: sample
+    skewness and excess kurtosis from exact raw power sums, combined
+    into the JB statistic (asymptotically chi-square with 2 dof under
+    normality). The cheap screen a metrics pipeline runs before
+    trusting z-score-based anomaly rules (``events_anomaly_zscore``).
+
+    Scale: ONE aggregate over the scan produces four exact
+    DECIMAL(38,0)/HUGEINT power sums — map-side combinable, no window,
+    no join. Whole-dollar units keep v^4 <= 1.3e23 per row, so the sum
+    holds exactly to ~1e15 rows in 38 digits (cents would wrap past
+    ~sf10). The moment/skew/kurtosis tail is one fixed-order IEEE
+    expression on the single result row; the raw->central cancellation
+    is identical in both engines because the expression trees match
+    token-for-token.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    x = o.select(F.floor(dec("o_totalprice", 14)).cast("long").alias("v"))
+    v18 = F.col("v").cast("decimal(18,0)")
+    v2_18 = (F.col("v") * F.col("v")).cast("decimal(18,0)")  # v^2 < 3.6e11
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v18).cast("decimal(38,0)").alias("s1"),
+        F.sum(v18 * F.col("v")).cast("decimal(38,0)").alias("s2"),
+        F.sum(v2_18 * F.col("v")).cast("decimal(38,0)").alias("s3"),
+        F.sum(v2_18 * v2_18).cast("decimal(38,0)").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m = s.select(
+        "n",
+        mean.alias("mean"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+    )
+    mean, r2 = F.col("mean"), F.col("r2")
+    r3, r4 = F.col("r3"), F.col("r4")
+    c = m.select(
+        "n",
+        "mean",
+        (r2 - mean * mean).alias("m2"),
+        (r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean).alias(
+            "m3"
+        ),
+        (
+            r4
+            - F.lit(4.0) * mean * r3
+            + F.lit(6.0) * mean * mean * r2
+            - F.lit(3.0) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    g = c.select(
+        "n",
+        "mean",
+        "m2",
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+    )
+    sk, ku = F.col("skewness"), F.col("kurtosis_excess")
+    return g.select(
+        "n",
+        "mean",
+        F.sqrt(F.col("m2")).alias("std_pop"),
+        "skewness",
+        "kurtosis_excess",
+        (
+            F.col("n").cast("double")
+            / F.lit(6.0)
+            * (sk * sk + ku * ku / F.lit(4.0))
+        ).alias("jb_stat"),
+    )
+
+
+# --------------------------------------------------------------------
+# Grubbs extreme-studentized-deviate bounds
+# --------------------------------------------------------------------
+
+_SQL_GRUBBS = """
+    WITH x AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2,
+             MIN(c) AS mn, MAX(c) AS mx
+      FROM x),
+    d AS (
+      SELECT n, mn, mx,
+             CAST(s1 AS DOUBLE) / n AS mean_c,
+             SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1))) AS sd_c
+      FROM s)
+    SELECT n,
+           mean_c / 100.0 AS mean_price,
+           sd_c / 100.0 AS sd_price,
+           CAST(mn AS DOUBLE) / 100.0 AS min_price,
+           CAST(mx AS DOUBLE) / 100.0 AS max_price,
+           (CAST(mx AS DOUBLE) - mean_c) / sd_c AS g_max,
+           (mean_c - CAST(mn AS DOUBLE)) / sd_c AS g_min
+    FROM d
+"""
+
+
+@query("stats_grubbs_extremes", oracle=_SQL_GRUBBS)
+def stats_grubbs_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate statistics for order values:
+    how many sample standard deviations the most extreme values sit
+    from the mean, on both tails. The single-outlier screen run before
+    sigma-based anomaly thresholds — if g_max is huge, one record (a
+    decimal-shift corruption, a test order) is distorting every
+    downstream z-score.
+
+    Scale: one aggregate — exact DECIMAL(38,0)/HUGEINT power sums in
+    cents (cents^2 wraps int64 past ~sf0.5; the wide type is
+    load-bearing) plus arithmetic-free MIN/MAX; the studentized tail
+    is one fixed IEEE expression on the single result row.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    x = o.select((dec("o_totalprice", 14) * 100).cast("long").alias("c"))
+    c18 = F.col("c").cast("decimal(18,0)")
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c18).cast("decimal(38,0)").alias("s1"),
+        F.sum(c18 * F.col("c")).cast("decimal(38,0)").alias("s2"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+    )
+    n20 = F.col("n").cast("decimal(20,0)")
+    var_num = (n20 * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "decimal(38,0)"
+    )
+    d = s.select(
+        "n",
+        "mn",
+        "mx",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("sd_c"),
+    )
+    mean_c, sd_c = F.col("mean_c"), F.col("sd_c")
+    return d.select(
+        "n",
+        (mean_c / F.lit(100.0)).alias("mean_price"),
+        (sd_c / F.lit(100.0)).alias("sd_price"),
+        (F.col("mn").cast("double") / F.lit(100.0)).alias("min_price"),
+        (F.col("mx").cast("double") / F.lit(100.0)).alias("max_price"),
+        ((F.col("mx").cast("double") - mean_c) / sd_c).alias("g_max"),
+        ((mean_c - F.col("mn").cast("double")) / sd_c).alias("g_min"),
+    )
+
+
+# --------------------------------------------------------------------
+# Population Stability Index between order-date halves
+# --------------------------------------------------------------------
+
+_PSI_BUCKET_CENTS = 500_000  # $5,000-wide exact integer price buckets
+_PSI_SPLIT = "1995-01-01"
+_LN2 = 0.6931471805599453  # one final bits->nats scale, same literal
+
+
+_SQL_PSI = f"""
+    WITH b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // {_PSI_BUCKET_CENTS} AS bucket,
+             CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}' THEN 1 ELSE 0
+               END AS ia
+      FROM orders),
+    wide AS (
+      SELECT bucket,
+             CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM b GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS nbk
+      FROM wide),
+    terms AS (
+      -- smoothed shares pa=(ca+1)/(na+nbk), pb=(cb+1)/(nb+nbk);
+      -- log ratio as ONE division of exact integer cross-products,
+      -- floor-quantized; (pa-pb) numerator kept exact in HUGEINT
+      SELECT CAST((ca + 1) AS HUGEINT) * (nb + nbk)
+               - CAST((cb + 1) AS HUGEINT) * (na + nbk) AS num,
+             CAST(FLOOR(log2(
+               (CAST(ca + 1 AS DOUBLE) * (nb + nbk))
+               / (CAST(cb + 1 AS DOUBLE) * (na + nbk))
+             ) * 1000000) AS BIGINT) AS l6,
+             na, nb, nbk
+      FROM wide, tot)
+    SELECT MIN(nbk) AS n_buckets, MIN(na) AS n_a, MIN(nb) AS n_b,
+           CAST(SUM(num * l6) AS DOUBLE) / 1000000.0
+             / (CAST(MIN(na + nbk) AS DOUBLE)
+                * CAST(MIN(nb + nbk) AS DOUBLE)) AS psi_bits,
+           CAST(SUM(num * l6) AS DOUBLE) / 1000000.0
+             / (CAST(MIN(na + nbk) AS DOUBLE)
+                * CAST(MIN(nb + nbk) AS DOUBLE)) * {_LN2} AS psi
+    FROM terms
+"""
+
+
+@query("stats_psi_price_drift", oracle=_SQL_PSI)
+def stats_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution
+    between the pre-{split} and post-{split} halves of the order
+    stream — the drift score model-monitoring dashboards alarm on
+    (rule of thumb: <0.1 stable, 0.1-0.25 moderate shift, >0.25
+    retrain). Buckets are exact $5,000-wide integer bins; shares are
+    add-one smoothed over the observed bucket set so absent-side
+    buckets contribute finite terms.
+
+    Scale: one (bucket, side) aggregate over the scan — map-side
+    combinable, ~120 buckets regardless of row count — then algebra
+    on the BUCKET-sized table against a broadcast totals row. No
+    window, no join on data keys.
+
+    Determinism (JSD doctrine, ``textstats.jsd_from_counts``): each
+    log ratio is ONE IEEE division of exact integer cross-products,
+    floor-quantized to 1e-6 per bucket (model-level); (pa-pb)
+    numerators stay exact in DECIMAL(38,0)/HUGEINT; the final PSI is
+    an exact integer dot product with one IEEE tail. Bucket index is
+    exact integer division (truncating ``div`` / ``//`` — prices are
+    non-negative so truncation == floor in both engines).
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.expr(
+            f"cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+            f" div {_PSI_BUCKET_CENTS}"
+        ).alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), 1)
+        .otherwise(0)
+        .alias("ia"),
+    )
+    wide = b.groupBy("bucket").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+    )
+    tot = wide.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("nbk"),
+    )
+    t = wide.crossJoin(F.broadcast(tot))
+    ca1_20 = (F.col("ca") + 1).cast("decimal(20,0)")
+    cb1_20 = (F.col("cb") + 1).cast("decimal(20,0)")
+    num = (
+        ca1_20 * (F.col("nb") + F.col("nbk"))
+        - cb1_20 * (F.col("na") + F.col("nbk"))
+    ).cast("decimal(38,0)")
+    l6 = F.floor(
+        F.log2(
+            ((F.col("ca") + 1).cast("double") * (F.col("nb") + F.col("nbk")))
+            / ((F.col("cb") + 1).cast("double") * (F.col("na") + F.col("nbk")))
+        )
+        * 1e6
+    ).cast("long")
+    terms = t.select(
+        num.alias("num"), l6.alias("l6"), "na", "nb", "nbk"
+    )
+    psi_bits = (
+        F.sum(F.col("num") * F.col("l6")).cast("double")
+        / F.lit(1000000.0)
+        / (
+            F.min(F.col("na") + F.col("nbk")).cast("double")
+            * F.min(F.col("nb") + F.col("nbk")).cast("double")
+        )
+    )
+    return terms.agg(
+        F.min("nbk").alias("n_buckets"),
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        psi_bits.alias("psi_bits"),
+        (psi_bits * F.lit(_LN2)).alias("psi"),
+    )
+
+
+# --------------------------------------------------------------------
+# Probability-proportional-to-size Bernoulli corpus sample
+# --------------------------------------------------------------------
+
+_WB_TARGET = 1000  # expected sample size (sum of inclusion probs caps at 1)
+_WB_HASH_BITS = 1073741824  # 2^30 uniform grid for the keep test
+
+
+_SQL_WEIGHTED_BERNOULLI = f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             {DUCKDB_MD5_LONG("CAST(doc_id AS VARCHAR)", salt="wbern")}
+               % {_WB_HASH_BITS} AS h
+      FROM documents),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tw FROM w),
+    k AS (
+      SELECT source, n_chars,
+             CASE WHEN CAST(h AS HUGEINT) * tw
+                    < CAST({_WB_TARGET} AS HUGEINT) * n_chars
+                      * {_WB_HASH_BITS}
+                  THEN 1 ELSE 0 END AS keep
+      FROM w, tot)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM k GROUP BY source ORDER BY source
+"""
+
+
+@query("sample_weighted_bernoulli", oracle=_SQL_WEIGHTED_BERNOULLI)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli (Poisson) sample of
+    the corpus: each document is kept independently with inclusion
+    probability min(1, target * chars / total_chars) — the exact-form
+    weighted subsample a token-budgeted pipeline takes when it wants
+    big documents over-represented in proportion to their cost.
+    Reported as the per-source keep audit (docs in, docs kept, chars
+    kept) a curation run logs.
+
+    Scale: one scan computes per-doc md5 keys (JVM codegen), one
+    1-row total broadcasts back, the keep decision is a map-only
+    predicate — no shuffle beyond the final per-source aggregate.
+    Seeded selection (salt 'wbern') makes the sample reproducible
+    across runs and engines.
+
+    Determinism: the keep test h * W < target * w * 2^30 is EXACT
+    integer arithmetic in DECIMAL(38,0)/HUGEINT — no doubles anywhere
+    in the decision, so no engine can disagree on a boundary document.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        "n_chars",
+        F.pmod(
+            md5_long(F.col("doc_id").cast("string"), salt="wbern"),
+            F.lit(_WB_HASH_BITS),
+        ).alias("h"),
+    )
+    tot = w.agg(F.sum("n_chars").cast("long").alias("tw"))
+    k = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_chars",
+        F.when(
+            F.col("h").cast("decimal(10,0)") * F.col("tw").cast("decimal(20,0)")
+            < F.lit(_WB_TARGET).cast("decimal(10,0)")
+            * F.col("n_chars").cast("decimal(10,0)")
+            * F.lit(_WB_HASH_BITS).cast("decimal(10,0)"),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# Weekly OHLC candles over the event stream
+# --------------------------------------------------------------------
+
+_SQL_OHLC = """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (MIN(struct_pack(t := ts, e := event_id, v := value))).v
+             AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           (MAX(struct_pack(t := ts, e := event_id, v := value))).v
+             AS close_v
+    FROM events
+    GROUP BY 1 ORDER BY wk
+"""
+
+
+@query("timeseries_ohlc_weekly", oracle=_SQL_OHLC)
+def timeseries_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC (open/high/low/close) candles of the event value
+    stream — the canonical time-series compaction a metrics store
+    keeps per key: first value in the bucket, extremes, last value.
+
+    Scale: ONE groupBy on the week bucket, no window and no self-join
+    — open/close ride the same aggregate as high/low via lexicographic
+    struct MIN/MAX ((ts, event_id, value): the unique (ts, event_id)
+    prefix decides before the value field is ever compared, so ties
+    are impossible and the aggregate is order-insensitive =
+    map-side combinable at any parallelism).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    tagged = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        e.groupBy(F.date_trunc("week", "ts").alias("wk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(tagged).getField("v").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(tagged).getField("v").alias("close_v"),
+        )
+        .orderBy("wk")
+    )
+
+
+# --------------------------------------------------------------------
+# int8 symmetric-quantization error of the embedding export
+# --------------------------------------------------------------------
+
+_QFP = 10_000_000  # 1e-7 embedding fixed point (k-means/_FP_SCALE doctrine)
+
+
+_SQL_INT8_QUANT = f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * {_QFP})
+                  AS BIGINT) AS xi
+      FROM embeddings, UNNEST(range(len(embedding))) AS p(pos)),
+    mx AS (
+      SELECT vec_id, MAX(ABS(xi)) AS ma FROM u GROUP BY vec_id),
+    q AS (
+      SELECT u.label, u.xi, mx.ma,
+             CASE WHEN u.xi < 0 THEN -((ABS(u.xi) * 127) // mx.ma)
+                  ELSE (ABS(u.xi) * 127) // mx.ma END AS qi
+      FROM u JOIN mx ON u.vec_id = mx.vec_id
+      WHERE mx.ma > 0),
+    e AS (
+      SELECT label, xi * 127 - qi * ma AS en FROM q),
+    s AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_coords,
+             SUM(CAST(en AS HUGEINT) * en) AS sse,
+             MAX(ABS(en)) AS max_en
+      FROM e GROUP BY label)
+    SELECT label, n_coords,
+           CAST(sse AS DOUBLE)
+             / (127.0 * {_QFP}) / (127.0 * {_QFP}) / n_coords AS mse,
+           CAST(max_en AS DOUBLE) / (127.0 * {_QFP}) AS max_abs_err
+    FROM s ORDER BY label
+"""
+
+
+@query("embedding_int8_quant_error", oracle=_SQL_INT8_QUANT)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of per-vector symmetric int8 quantization
+    (q = trunc(x * 127 / max|x|), the scheme faiss/SQ8 and most
+    embedding exports use): per-label MSE and worst absolute
+    coordinate error. The decision table for "can ANN run on the int8
+    copy" — compare max_abs_err against the score margins in
+    ``sim_bruteforce_topk``.
+
+    Scale: posexplode fans each vector once; the per-vector max|x|
+    aggregate and the error join are BOTH keyed on vec_id, so with one
+    repartition the join is shuffle-local; the label rollup moves
+    #labels x #tasks partials. No window, no collect.
+
+    Determinism: coordinates quantize to the 1e-7 grid (exact), the
+    quantizer is exact integer truncating division on non-negative
+    magnitudes (sign reattached — ``div`` and ``//`` both truncate
+    toward zero), the error numerator xi*127 - q*ma is exact int64,
+    and the SSE accumulates in DECIMAL(38,0)/HUGEINT. One IEEE tail
+    per label row.
+    """
+    tune(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.round(F.col("xf").cast("double") * _QFP).cast("long").alias("xi"),
+    )
+    mx = u.groupBy("vec_id").agg(F.max(F.abs(F.col("xi"))).alias("ma"))
+    q = (
+        u.join(mx, "vec_id")
+        .filter(F.col("ma") > 0)
+        .select(
+            "label",
+            "xi",
+            "ma",
+            F.when(
+                F.col("xi") < 0,
+                -F.expr("(abs(xi) * 127) div ma"),
+            )
+            .otherwise(F.expr("(abs(xi) * 127) div ma"))
+            .alias("qi"),
+        )
+    )
+    e = q.select(
+        "label", (F.col("xi") * 127 - F.col("qi") * F.col("ma")).alias("en")
+    )
+    en18 = F.col("en").cast("decimal(18,0)")
+    s = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_coords"),
+        F.sum(en18 * F.col("en")).cast("decimal(38,0)").alias("sse"),
+        F.max(F.abs(F.col("en"))).alias("max_en"),
+    )
+    scale = F.lit(127.0) * F.lit(float(_QFP))
+    return s.select(
+        "label",
+        "n_coords",
+        (
+            F.col("sse").cast("double") / scale / scale / F.col("n_coords")
+        ).alias("mse"),
+        (F.col("max_en").cast("double") / scale).alias("max_abs_err"),
+    ).orderBy("label")

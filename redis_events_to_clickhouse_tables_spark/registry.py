@@ -312,6 +312,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         advanced,
         dedup,
+        drift,
         enrichment,
         events,
         grouped,
