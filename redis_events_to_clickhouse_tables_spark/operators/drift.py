@@ -614,3 +614,161 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         (F.col("max_en").cast("double") / scale).alias("max_abs_err"),
     ).orderBy("label")
+
+
+# --------------------------------------------------------------------
+# Cross-source duplicate-overlap matrix
+# --------------------------------------------------------------------
+
+_SQL_SOURCE_OVERLAP = """
+    WITH dh AS (
+      SELECT DISTINCT source, md5(substr(text, 1, 64)) AS h
+      FROM documents),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nh FROM dh GROUP BY source),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, shared, pa.nh AS n_a, pb.nh AS n_b,
+           CAST(shared AS DOUBLE) / (pa.nh + pb.nh - shared) AS jaccard
+    FROM pair JOIN per pa ON pa.source = src_a
+              JOIN per pb ON pb.source = src_b
+    ORDER BY src_a, src_b
+"""
+
+
+@query("dedup_source_overlap_matrix", oracle=_SQL_SOURCE_OVERLAP)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise duplicate-overlap matrix between corpus sources, keyed
+    on the 64-char-prefix fingerprint (the cheap first-pass key crawl
+    pipelines use to catch mirrored/boilerplate-prefixed pages before
+    any shingling): for each source pair that shares at least one
+    fingerprint, the shared count and the fingerprint-set Jaccard.
+    This is the "which crawls re-collected the same content" planning
+    table that decides source-level dedup order.
+
+    Scale: the corpus collapses to DISTINCT (source, fingerprint)
+    first — everything downstream is fingerprint-keyed. The pair
+    self-join is on the fingerprint hash; a fingerprint present in
+    s sources emits C(s,2) <= C(20,2) pairs, bounded by the source
+    count, never by corpus size (the classic LSH-bucket pair-emission
+    bound, cf. ``chunked_pairs`` in operators/dedup.py). The tiny
+    per-source totals broadcast onto the pair rows.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    dh = d.select(
+        "source", F.md5(F.substring("text", 1, 64)).alias("h")
+    ).distinct()
+    per = dh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nh"))
+    a = dh.select(F.col("source").alias("src_a"), "h")
+    b = dh.select(F.col("source").alias("src_b"), "h")
+    pair = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("nh").alias("n_a"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("nh").alias("n_b"))
+    return (
+        pair.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------
+# Quantile-quantile decile table between two order priorities
+# --------------------------------------------------------------------
+
+_QQ_A = "1-URGENT"
+_QQ_B = "5-LOW"
+
+
+_SQL_QQ = f"""
+    WITH x AS (
+      SELECT o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_orderpriority IN ('{_QQ_A}', '{_QQ_B}')),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY g),
+    r AS (SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS rn
+          FROM x),
+    d(lbl, num) AS (VALUES ('d1', 1), ('d2', 2), ('d3', 3), ('d4', 4),
+                           ('d5', 5), ('d6', 6), ('d7', 7), ('d8', 8),
+                           ('d9', 9)),
+    q AS (
+      SELECT d.lbl, r.g, MIN(r.c) AS c
+      FROM r JOIN n ON n.g = r.g
+             JOIN d ON r.rn = (d.num * n.n + 9) // 10
+      GROUP BY d.lbl, r.g)
+    SELECT lbl AS decile,
+           CAST(MIN(CASE WHEN g = '{_QQ_A}' THEN c END) AS DOUBLE) / 100.0
+             AS q_urgent,
+           CAST(MIN(CASE WHEN g = '{_QQ_B}' THEN c END) AS DOUBLE) / 100.0
+             AS q_low,
+           CAST(MIN(CASE WHEN g = '{_QQ_A}' THEN c END) AS DOUBLE)
+             / CAST(MIN(CASE WHEN g = '{_QQ_B}' THEN c END) AS DOUBLE)
+             AS qq_ratio
+    FROM q GROUP BY lbl ORDER BY lbl
+"""
+
+
+@query("stats_qq_deciles", oracle=_SQL_QQ)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile decile table comparing the URGENT and LOW
+    order-value distributions: the exact d1..d9 decile values of each
+    group side by side, plus their ratio — the distribution-comparison
+    readout (a numeric QQ plot) an experimentation pipeline eyeballs
+    before trusting a mean-based test (``stats_welch_t_test`` on the
+    same two groups).
+
+    Scale: deciles come from ``exact_quantile_values_per_group``
+    (sketch-bracketed exact rank selection — never a whole group
+    through one window task); positions are ceil(num*n/10) in INTEGER
+    arithmetic so both engines select identical ranks, and the
+    selected VALUE at a rank is tie-permutation-invariant. The 9x2
+    decile table then pivots with no further data motion.
+    """
+    tune(spark)
+    from ..functions.quantiles import exact_quantile_values_per_group
+
+    o = table(spark, sf_dir, "orders")
+    x = o.filter(F.col("o_orderpriority").isin(_QQ_A, _QQ_B)).select(
+        F.col("o_orderpriority").alias("g"),
+        (dec("o_totalprice", 14) * 100).cast("long").alias("c"),
+    )
+    vals = exact_quantile_values_per_group(
+        x, ["g"], "c", [(f"d{i}", i, 10) for i in range(1, 10)]
+    )
+    va = vals.filter(F.col("g") == _QQ_A).select(
+        F.col("q_label").alias("decile"), F.col("value").alias("ca")
+    )
+    vb = vals.filter(F.col("g") == _QQ_B).select(
+        F.col("q_label").alias("decile"), F.col("value").alias("cb")
+    )
+    return (
+        va.join(vb, "decile")
+        .select(
+            "decile",
+            (F.col("ca").cast("double") / F.lit(100.0)).alias("q_urgent"),
+            (F.col("cb").cast("double") / F.lit(100.0)).alias("q_low"),
+            (F.col("ca").cast("double") / F.col("cb").cast("double")).alias(
+                "qq_ratio"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -13,6 +13,8 @@ deployment would swap in a regex tokenizer behind the same API.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -362,6 +364,19 @@ _BM25_1MB = "CAST(0.25 AS DOUBLE)"
 _BM25_B = "CAST(0.75 AS DOUBLE)"
 
 
+def _bm25_term_sql(i: int) -> str:
+    """The single-term BM25 score expression (SQL) for term index i —
+    shared between the summed ``text_bm25_score`` oracle and the
+    per-term ``eval_ndcg_bm25`` oracle so the two stay token-identical
+    (the determinism contract is expression-tree equality)."""
+    return (
+        f"(((CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {_BM25_K1P1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * ({_BM25_1MB}"
+        f" + ({_BM25_B} * CAST(dl AS DOUBLE)) / avgdl))))"
+    )
+
+
 def _bm25_sql() -> str:
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
@@ -372,11 +387,7 @@ def _bm25_sql() -> str:
         for i in range(len(_BM25_TERMS))
     )
     terms = " + ".join(
-        f"(((CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
-        f" * ((CAST(tf{i} AS DOUBLE) * {_BM25_K1P1})"
-        f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * ({_BM25_1MB}"
-        f" + ({_BM25_B} * CAST(dl AS DOUBLE)) / avgdl))))"
-        for i in range(len(_BM25_TERMS))
+        _bm25_term_sql(i) for i in range(len(_BM25_TERMS))
     )
     any_tf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
     return f"""
@@ -400,6 +411,20 @@ def _eq_term(t: str):
     # arity-1 closure: a `lambda x, t=t` default-arg form has arity 2,
     # which F.filter interprets as the (element, index) variant
     return lambda x: x == F.lit(t)
+
+
+def _bm25_term_col(i: int) -> Column:
+    """Spark twin of :func:`_bm25_term_sql` — same expression tree."""
+    k1, k1p1 = F.lit(1.2), F.lit(2.2)
+    one_m_b, b = F.lit(0.25), F.lit(0.75)
+    tf_d = F.col(f"tf{i}").cast("double")
+    idf = ((F.col("n") - F.col(f"df{i}")).cast("double") + F.lit(0.5)) / (
+        F.col(f"df{i}").cast("double") + F.lit(0.5)
+    )
+    norm = (tf_d * k1p1) / (
+        tf_d + k1 * (one_m_b + (b * F.col("dl").cast("double")) / F.col("avgdl"))
+    )
+    return idf * norm
 
 
 @query("text_bm25_score", oracle=_bm25_sql())
@@ -437,20 +462,9 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    k1 = F.lit(1.2)
-    k1p1 = F.lit(2.2)
-    one_m_b = F.lit(0.25)
-    b = F.lit(0.75)
     score = None
     for i in range(len(_BM25_TERMS)):
-        tf_d = F.col(f"tf{i}").cast("double")
-        idf = ((F.col("n") - F.col(f"df{i}")).cast("double") + F.lit(0.5)) / (
-            F.col(f"df{i}").cast("double") + F.lit(0.5)
-        )
-        norm = (tf_d * k1p1) / (
-            tf_d + k1 * (one_m_b + (b * F.col("dl").cast("double")) / F.col("avgdl"))
-        )
-        term = idf * norm
+        term = _bm25_term_col(i)
         score = term if score is None else score + term
     any_tf = None
     for i in range(len(_BM25_TERMS)):
@@ -461,6 +475,178 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(any_tf > 0)
         .select("doc_id", score.alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of the BM25 ranking — retrieval-quality evaluation
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# 1e6-quantized DCG rank discounts 1/log2(rank+1), rank 1..10. Python
+# computes them ONCE at import; both engines consume the same integer
+# literals, so no runtime log enters the score.
+_NDCG_W6 = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)]
+_NDCG_GAIN_SQL = (
+    "CASE WHEN LEAST(tf, 3) = 1 THEN 1 WHEN LEAST(tf, 3) = 2 THEN 3"
+    " ELSE 7 END"
+)
+
+
+def _ndcg_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    long_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, '{t}' AS term, {_bm25_term_sql(i)} AS score,"
+        f" tf{i} AS tf FROM tf, g WHERE tf{i} > 0"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    w6 = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W6)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tf AS (SELECT doc_id,
+             {tf_cols},
+             CAST(len(tk) AS BIGINT) AS dl
+           FROM toks),
+    g AS (SELECT COUNT(*) AS n,
+             {df_cols},
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avgdl
+          FROM tf),
+    long AS (
+      {long_rows}),
+    ranked AS (
+      SELECT term, tf,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM long),
+    ideal AS (
+      SELECT term, tf,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY LEAST(tf, 3) DESC, doc_id) AS rk
+      FROM long),
+    dcg AS (
+      SELECT term,
+             CAST(SUM(({_NDCG_GAIN_SQL}) * CASE rk {w6} END) AS BIGINT)
+               AS dcg_micro
+      FROM ranked WHERE rk <= {_NDCG_K} GROUP BY term),
+    idcg AS (
+      SELECT term,
+             CAST(SUM(({_NDCG_GAIN_SQL}) * CASE rk {w6} END) AS BIGINT)
+               AS idcg_micro
+      FROM ideal WHERE rk <= {_NDCG_K} GROUP BY term),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_matching
+            FROM long GROUP BY term)
+    SELECT cnt.term, n_matching, dcg_micro, idcg_micro,
+           CAST(dcg_micro AS DOUBLE) / idcg_micro AS ndcg_at_10
+    FROM cnt JOIN dcg ON cnt.term = dcg.term
+             JOIN idcg ON cnt.term = idcg.term
+    ORDER BY cnt.term
+    """
+
+
+@query("eval_ndcg_bm25", oracle=_ndcg_sql())
+def eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking, one evaluation row per query
+    term: each of the fixed query terms is treated as its own query,
+    documents are ranked by that term's BM25 score, graded relevance
+    is min(tf, 3) (the standard tf-capped label when no human
+    judgments exist), and the normalized discounted cumulative gain
+    compares the score-induced ranking against the ideal
+    relevance-sorted one. The retrieval-quality dashboard an index
+    build (``index_inverted_postings``, ``text_bm25_score``) is
+    evaluated with.
+
+    Scale: the corpus-wide stage is the same two-pass broadcast shape
+    as ``text_bm25_score`` (no corpus shuffle); the per-term top-10
+    goes through :func:`topk_by_value_per_group`, so no single task
+    sorts a whole term's match list. DCG discounts are import-time
+    integer constants — the only runtime float is the bit-identical
+    BM25 score itself; gains and discounted sums are exact int64.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    per_doc = d.select(
+        "doc_id",
+        *[
+            F.size(F.filter(tk, _eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        F.size(tk).cast("long").alias("dl"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        (
+            F.sum("dl").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    rows = [
+        F.struct(
+            F.lit(t).alias("term"),
+            _bm25_term_col(i).alias("score"),
+            F.col(f"tf{i}").alias("tf"),
+        )
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    long = (
+        per_doc.join(F.broadcast(stats))
+        .select("doc_id", F.explode(F.array(*rows)).alias("e"))
+        .select("doc_id", "e.*")
+        .filter(F.col("tf") > 0)
+    )
+    long = long.persist()
+    gain = F.when(F.least(F.col("tf"), F.lit(3)) == 1, 1).when(
+        F.least(F.col("tf"), F.lit(3)) == 2, 3
+    ).otherwise(7)
+    w6 = F.element_at(
+        F.array(*[F.lit(w) for w in _NDCG_W6]), F.col("rk").cast("int")
+    )
+    ranked = topk_by_value_per_group(
+        long, ["term"], "score", ["doc_id"], _NDCG_K
+    )
+    rel_ranked = long.withColumn("rel", F.least(F.col("tf"), F.lit(3)))
+    ideal = topk_by_value_per_group(
+        rel_ranked, ["term"], "rel", ["doc_id"], _NDCG_K
+    )
+    dcg = ranked.groupBy("term").agg(
+        F.sum(gain * w6).cast("long").alias("dcg_micro")
+    )
+    idcg = ideal.groupBy("term").agg(
+        F.sum(gain * w6).cast("long").alias("idcg_micro")
+    )
+    cnt = long.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching")
+    )
+    out = (
+        cnt.join(dcg, "term")
+        .join(idcg, "term")
+        .select(
+            "term",
+            "n_matching",
+            "dcg_micro",
+            "idcg_micro",
+            (
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro")
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("term")
+    )
+    return out
 
 
 _CHUNK_LEN = 32
