@@ -1825,3 +1825,66 @@ def graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     edges.unpersist()
     return out
+
+
+# --------------------------------------------------------------------
+# Degree distribution of the near-dup candidate graph
+# --------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + """,
+    und AS (
+      SELECT doc_a AS v FROM pairs
+      UNION ALL
+      SELECT doc_b FROM pairs),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY v),
+    hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM deg GROUP BY degree),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nv FROM hist)
+    SELECT degree, n_docs,
+           CAST(n_docs AS DOUBLE) / nv AS frac_docs
+    FROM hist, tot ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the LSH near-dup candidate graph: how many
+    documents have exactly d candidate partners, as count and
+    fraction of non-isolated vertices. The graph-health dashboard read
+    BEFORE running the heavier passes on the same edges
+    (``graph_pagerank_neardup``, ``graph_kcore_neardup``,
+    ``dedup_cluster_components``): a fat tail here means hot template
+    clusters that will dominate pair verification cost, and the
+    distribution is the direct input to choosing the LSH band/row
+    parameters (``dedup_lsh_parameter_sweep``).
+
+    Scale: candidate pairs come from the chunked bucket emission
+    (``_lsh_candidate_pairs`` — pair output is memory-bounded per
+    task at any duplication rate); degrees are one count per vertex
+    over the doubled edge list, and the histogram collapses to at
+    most max-degree rows — a constant-size result against a broadcast
+    1-row total. No window, no join on data keys.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    und = pairs.select(F.col("doc_a").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = hist.agg(F.sum("n_docs").cast("long").alias("nv"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("nv")).alias("frac_docs"),
+        )
+        .orderBy("degree")
+    )

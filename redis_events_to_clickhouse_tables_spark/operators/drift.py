@@ -772,3 +772,109 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------
+# Gumbel fit over weekly block maxima (extreme-value analysis)
+# --------------------------------------------------------------------
+
+# import-time constants shared by both engines as identical literals
+_SQRT6_OVER_PI = 0.779696801233676  # sqrt(6)/pi
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_C100 = 4.600149226776579  # -ln(-ln(0.99)): 100-block return level
+
+
+_SQL_GUMBEL = f"""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS w,
+             MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+               AS mx
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(mx AS HUGEINT)) AS s1,
+             SUM(CAST(mx AS HUGEINT) * mx) AS s2
+      FROM wk),
+    d AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n / 100.0 AS mean_max,
+             SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS sd_max
+      FROM s),
+    g AS (
+      SELECT n, mean_max, sd_max,
+             sd_max * {_SQRT6_OVER_PI} AS gumbel_beta,
+             mean_max - {_EULER_GAMMA} * (sd_max * {_SQRT6_OVER_PI})
+               AS gumbel_mu
+      FROM d)
+    SELECT n AS n_blocks, mean_max, sd_max, gumbel_beta, gumbel_mu,
+           gumbel_mu + gumbel_beta * {_GUMBEL_C100} AS return_level_100
+    FROM g
+"""
+
+
+@query("stats_gumbel_block_maxima", oracle=_SQL_GUMBEL)
+def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of order values: weekly block maxima,
+    method-of-moments Gumbel fit (beta = sd*sqrt(6)/pi, mu = mean -
+    gamma*beta), and the 100-block return level mu + beta*(-ln(-ln(
+    0.99))) — "the largest order we should expect once per ~2 years".
+    The capacity-planning number an SLA dashboard wants, which no
+    mean/percentile query answers (p99.99 of the raw stream is not a
+    model of the tail).
+
+    Scale: one (week, MAX) aggregate over the scan — arithmetic-free,
+    map-side combinable — then exact DECIMAL(38,0)/HUGEINT power sums
+    over the ~#weeks block table. The Gumbel constants (sqrt(6)/pi,
+    Euler gamma, the 0.99 double log) are import-time Python literals
+    identical in both engines, so the whole fit is one fixed IEEE
+    tail on a single row.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
+        F.max((dec("o_totalprice", 14) * 100).cast("long")).alias("mx")
+    )
+    mx18 = F.col("mx").cast("decimal(18,0)")
+    s = wk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(mx18).cast("decimal(38,0)").alias("s1"),
+        F.sum(mx18 * F.col("mx")).cast("decimal(38,0)").alias("s2"),
+    )
+    n20 = F.col("n").cast("decimal(20,0)")
+    var_num = (n20 * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "decimal(38,0)"
+    )
+    d = s.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / F.lit(100.0)).alias(
+            "mean_max"
+        ),
+        (
+            F.sqrt(
+                var_num.cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+            / F.lit(100.0)
+        ).alias("sd_max"),
+    )
+    g = d.select(
+        "n",
+        "mean_max",
+        "sd_max",
+        (F.col("sd_max") * F.lit(_SQRT6_OVER_PI)).alias("gumbel_beta"),
+        (
+            F.col("mean_max")
+            - F.lit(_EULER_GAMMA) * (F.col("sd_max") * F.lit(_SQRT6_OVER_PI))
+        ).alias("gumbel_mu"),
+    )
+    return g.select(
+        F.col("n").alias("n_blocks"),
+        "mean_max",
+        "sd_max",
+        "gumbel_beta",
+        "gumbel_mu",
+        (
+            F.col("gumbel_mu") + F.col("gumbel_beta") * F.lit(_GUMBEL_C100)
+        ).alias("return_level_100"),
+    )

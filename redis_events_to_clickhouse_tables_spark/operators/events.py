@@ -1170,3 +1170,68 @@ def events_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------
+# Top 3-step behavioral paths
+# --------------------------------------------------------------------
+
+_SQL_TOP_PATHS = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM paths)
+    SELECT path, n, CAST(n AS DOUBLE) / total AS share
+    FROM paths, tot
+    ORDER BY n DESC, path LIMIT 20
+"""
+
+
+@query("events_top_paths", oracle=_SQL_TOP_PATHS)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (event-type trigrams within
+    each user's time-ordered stream) with their share of all
+    trigrams — the path-analysis table product dashboards build next
+    to the funnel (``events_funnel_conversion``) and the first-order
+    transition matrix (``events_markov_transitions``): it surfaces
+    multi-step flows (view>click>purchase vs view>click>error) a
+    1-step matrix averages away.
+
+    Scale: one per-user window (two LEADs over the same (user, time)
+    sort — a single shuffle, shared frame), then a groupBy whose key
+    space is |event_types|^3 <= a few hundred rows at ANY corpus
+    size; the top-20 sorts that constant-size table with a total
+    (n DESC, path) ordering so the LIMIT is deterministic.
+    """
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = paths.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path", "n", (F.col("n").cast("double") / F.col("total")).alias("share")
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

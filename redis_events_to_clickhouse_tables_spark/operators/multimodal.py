@@ -356,3 +356,95 @@ def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         (F.col("doc_id") % 4 <= 2).alias("header_present"),
     )
+
+
+_CHUNK_BYTES = 64
+
+
+@query(
+    "multimodal_payload_dedup",
+    oracle=f"""
+    WITH ch AS (
+      SELECT md5(substr(text, CAST(p.i * {_CHUNK_BYTES} + 1 AS INTEGER),
+                        {_CHUNK_BYTES})) AS h,
+             CAST(octet_length(encode(substr(text,
+                        CAST(p.i * {_CHUNK_BYTES} + 1 AS INTEGER),
+                        {_CHUNK_BYTES}))) AS BIGINT) AS nb
+      FROM documents,
+           UNNEST(range((octet_length(encode(text)) + {_CHUNK_BYTES - 1})
+                        // {_CHUNK_BYTES})) AS p(i)),
+    g AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS c, MIN(nb) AS nb
+      FROM ch GROUP BY h)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_chunks,
+           CAST(SUM(c * nb) AS BIGINT) AS total_bytes,
+           CAST(SUM((c - 1) * nb) AS BIGINT) AS reclaimable_bytes,
+           CAST(SUM((c - 1) * nb) AS DOUBLE) / SUM(c * nb)
+             AS reclaim_ratio
+    FROM g
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage dedup audit of the binary payload column:
+    payloads are sliced into fixed 64-byte chunks (the
+    fixed-block form of the content-defined chunking every dedup
+    store — borg, ZFS, restic — runs on media blobs), chunks are
+    keyed by checksum, and the result is the one-row storage planning
+    summary: how many chunks, how many unique, and how many bytes a
+    chunk store would reclaim. The media-lake capacity answer the
+    per-object checksum (``multimodal_binary_stats``) cannot give
+    when blobs share content without being identical.
+
+    The synthetic payload is the UTF-8 bytes of ASCII text, so the
+    64-char substring chunking used by both engines is exactly
+    64-byte chunking of the binary column.
+
+    Scale: chunk fan-out is a map-only explode (sequence over
+    ceil(bytes/64) positions); the only shuffle is the
+    checksum groupBy, map-side combinable with exact integer
+    aggregates; the final summary is a 1-row reduce. No window, no
+    join.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    nchunks = F.floor(
+        (F.octet_length("text") + F.lit(_CHUNK_BYTES - 1)) / _CHUNK_BYTES
+    ).cast("int")
+    ch = d.select(
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("i"), "text"
+    ).select(
+        F.md5(
+            F.substring(
+                F.col("text"), F.col("i") * _CHUNK_BYTES + 1, _CHUNK_BYTES
+            )
+        ).alias("h"),
+        F.octet_length(
+            F.encode(
+                F.substring(
+                    F.col("text"), F.col("i") * _CHUNK_BYTES + 1, _CHUNK_BYTES
+                ),
+                "UTF-8",
+            )
+        )
+        .cast("long")
+        .alias("nb"),
+    )
+    g = ch.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.min("nb").alias("nb"),
+    )
+    return g.agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("dup_chunks"),
+        F.sum(F.col("c") * F.col("nb")).cast("long").alias("total_bytes"),
+        F.sum((F.col("c") - 1) * F.col("nb"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+        (
+            F.sum((F.col("c") - 1) * F.col("nb")).cast("double")
+            / F.sum(F.col("c") * F.col("nb"))
+        ).alias("reclaim_ratio"),
+    )

@@ -871,3 +871,71 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_share"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic per-epoch training shuffle manifest
+# --------------------------------------------------------------------
+
+_EPOCHS = 3
+_EPOCH_HEAD = 10
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH e(epoch) AS (VALUES (0), (1), (2)),
+    h AS (
+      SELECT e.epoch, d.doc_id,
+             {DUCKDB_MD5_LONG(
+                 "CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)",
+                 salt="eshuf",
+             )} AS h
+      FROM documents d, e),
+    r AS (
+      SELECT epoch, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+                                ORDER BY h, doc_id) AS position
+      FROM h)
+    SELECT epoch, position, doc_id
+    FROM r WHERE position <= {_EPOCH_HEAD}
+    ORDER BY epoch, position
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: each epoch orders the
+    corpus by a salted hash of (epoch, doc_id), so every epoch is an
+    independent, reproducible permutation — the data-ordering
+    contract a distributed trainer needs (re-runs and resumes see the
+    SAME order, no shared-seed RNG across executors). Emitted as the
+    head-of-order manifest (first {_EPOCH_HEAD} docs per epoch) that a
+    resume-from-step audit checks.
+
+    Scale: the permutation is never materialized — the head comes
+    from :func:`bottomk_per_group` (hash-cutoff prune + probe), so
+    each epoch scans the corpus with a codegen'd filter keeping ~80
+    rows and only those enter a window. A trainer consuming the FULL
+    epoch order would instead range-partition on h — same hash
+    column, zero extra state.
+    """
+    tune(spark)
+    from ..functions.ranks import bottomk_per_group
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    long = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(_EPOCHS)])).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        md5_long(
+            F.concat_ws(
+                ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+            ),
+            salt="eshuf",
+        ).alias("h"),
+    )
+    head = bottomk_per_group(long, ["epoch"], "h", ["doc_id"], _EPOCH_HEAD)
+    return head.select(
+        "epoch", F.col("rk").alias("position"), "doc_id"
+    ).orderBy("epoch", "position")
