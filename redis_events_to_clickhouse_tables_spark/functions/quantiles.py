@@ -57,17 +57,26 @@ def exact_quantile_values_per_group(
     base = df.select(*group_cols, F.col(value_col).alias("__v"))
     d = 4.0 / accuracy
     while True:
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for lbl, a, b in qs:
+        # ONE percentile_approx sketch per group carrying every
+        # target's bracket probes — the per-target form built one
+        # QuantileSummaries per target over the same column, i.e.
+        # len(qs) redundant sketch passes (9x for a decile table).
+        probes: list[float] = []
+        for _lbl, a, b in qs:
             q = a / b
-            aggs.append(
-                F.percentile_approx(
-                    "__v",
-                    [max(0.0, q - d), min(1.0, q + d)],
-                    accuracy,
-                ).alias(f"__br_{lbl}")
-            )
-        br = base.groupBy(*group_cols).agg(*aggs)
+            probes.extend([max(0.0, q - d), min(1.0, q + d)])
+        br = base.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.percentile_approx("__v", probes, accuracy).alias("__brs"),
+        )
+        br = br.select(
+            *group_cols,
+            "__n",
+            *[
+                F.slice("__brs", 2 * i + 1, 2).alias(f"__br_{lbl}")
+                for i, (lbl, _a, _b) in enumerate(qs)
+            ],
+        )
         j = base.join(F.broadcast(br), list(group_cols))
         stat_aggs = []
         for lbl, _a, _b in qs:

@@ -329,9 +329,23 @@ def stats_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ia"),
     )
-    wide = b.groupBy("bucket").agg(
+    cnt = b.groupBy("bucket").agg(
         F.sum("ia").cast("long").alias("ca"),
         (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+    )
+    return psi_from_counts(cnt)
+
+
+def psi_from_counts(cnt: DataFrame) -> DataFrame:
+    """PSI (bits and nats) from a mergeable (bucket, ca, cb) count
+    frame — the algebra half of ``stats_psi_price_drift``, shared
+    with the streaming value-drift monitor
+    (``streaming/valuedrift.py``), whose per-batch partials merge by
+    exact integer addition into exactly this frame. Deterministic per
+    the quantize-the-model doctrine (module docstring)."""
+    wide = cnt.groupBy("bucket").agg(
+        F.sum("ca").cast("long").alias("ca"),
+        F.sum("cb").cast("long").alias("cb"),
     )
     tot = wide.agg(
         F.sum("ca").cast("long").alias("na"),

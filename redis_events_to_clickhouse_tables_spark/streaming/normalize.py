@@ -27,7 +27,11 @@ from pyspark.sql import types as T
 
 from ..config import IngestConfig
 from ..functions.names import snake_case
-from ..plans.inference import apply_leaf_types, infer_leaf_types, sniff_timestamp
+from ..plans.inference import (
+    _is_date_string,
+    apply_leaf_types,
+    sniff_timestamp,
+)
 
 SYSTEM_COLUMNS = ("received_at", "sent_at", "message_id")
 
@@ -187,19 +191,43 @@ def normalize_events(df: DataFrame, cfg: IngestConfig | None = None) -> DataFram
         F.expr("uuid()").alias("message_id"),
     )
 
-    # D1 refinement: string payload columns that are date-strings in
-    # every defined row become timestamps (full-batch, order-insensitive)
+    # D1 refinement + F3/G2 presence in ONE aggregate job: string
+    # payload columns that are date-strings in every defined row
+    # become timestamps, and a column participates only if some row
+    # defines it (reference getColsMinimumList,
+    # clickhouse-batch-client.class.ts:383-395). The two decisions
+    # used to be separate full-scan jobs per table; merging them
+    # halves the per-table driver actions on the ingest hot path.
+    # (Counting pre-refinement is equivalent to the old post-
+    # refinement count: a column only refines when EVERY defined
+    # value parses, so the non-null count is unchanged by parsing.)
     payload_cols = [c for c in flat.columns if c not in SYSTEM_COLUMNS]
-    refinements = infer_leaf_types(flat.select(*[f"`{c}`" for c in payload_cols]))
-    flat = apply_leaf_types(flat, refinements)
-
-    # F3/G2: a column participates only if some row defines it
-    # (reference getColsMinimumList, clickhouse-batch-client.class.ts:383-395)
     if payload_cols:
-        counts = flat.agg(
-            *[F.count(F.col(f"`{c}`")).alias(c) for c in payload_cols]
-        ).collect()[0]
-        empty = [c for c in payload_cols if not counts[c]]
+        string_cols = [
+            c
+            for c in payload_cols
+            if isinstance(flat.schema[c].dataType, T.StringType)
+        ]
+        aggs = [
+            F.count(F.col(f"`{c}`")).alias(f"__n_{i}")
+            for i, c in enumerate(payload_cols)
+        ] + [
+            F.min(
+                F.when(
+                    F.col(f"`{c}`").isNotNull(),
+                    _is_date_string(F.col(f"`{c}`")).cast("int"),
+                )
+            ).alias(f"__d_{i}")
+            for i, c in enumerate(string_cols)
+        ]
+        row = flat.agg(*aggs).collect()[0]
+        refinements = {
+            c: T.TimestampType()
+            for i, c in enumerate(string_cols)
+            if row[f"__d_{i}"] == 1
+        }
+        flat = apply_leaf_types(flat, refinements)
+        empty = [c for i, c in enumerate(payload_cols) if not row[f"__n_{i}"]]
         if empty:
             flat = flat.drop(*empty)
 
