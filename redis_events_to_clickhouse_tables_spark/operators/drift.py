@@ -892,3 +892,82 @@ def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gumbel_mu") + F.col("gumbel_beta") * F.lit(_GUMBEL_C100)
         ).alias("return_level_100"),
     )
+
+
+# --------------------------------------------------------------------
+# Poisson two-rate test on event arrival rates
+# --------------------------------------------------------------------
+
+_RATE_SPLIT = "2024-01-15"
+_RATE_T1 = 14.0  # days in [2024-01-01, split)
+_RATE_T2 = 16.0  # days in [split, 2024-01-31)
+
+
+_SQL_POISSON_RATE = f"""
+    WITH k AS (
+      SELECT CAST(SUM(CASE WHEN ts < TIMESTAMP '{_RATE_SPLIT} 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_RATE_SPLIT} 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k2
+      FROM events),
+    r AS (
+      SELECT k1, k2,
+             CAST(k1 AS DOUBLE) / {_RATE_T1} AS rate1,
+             CAST(k2 AS DOUBLE) / {_RATE_T2} AS rate2
+      FROM k)
+    SELECT k1, k2, rate1, rate2,
+           rate2 / rate1 AS rate_ratio,
+           (rate1 - rate2)
+             / SQRT(CAST(k1 AS DOUBLE) / ({_RATE_T1} * {_RATE_T1})
+                    + CAST(k2 AS DOUBLE) / ({_RATE_T2} * {_RATE_T2}))
+             AS z_stat
+    FROM r
+"""
+
+
+@query("stats_poisson_two_rate", oracle=_SQL_POISSON_RATE)
+def stats_poisson_two_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-rate Poisson comparison of event arrival intensity before
+    and after 2024-01-15: per-day rates over the two fixed calendar
+    windows, their ratio, and the normal-approximation z statistic
+    for H0 "the rate did not change" — the traffic-shift test an
+    on-call dashboard runs when a deploy lands mid-month (the
+    count-data companion to ``stats_welch_t_test``'s mean test and
+    ``events_cusum_drift``'s changepoint trace).
+
+    Scale: ONE aggregate over the scan yields both exact counts; the
+    rate/z tail is a fixed IEEE expression on the single result row
+    with the window lengths as import-time literals. Map-side
+    combinable, no window, no join.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    split = F.lit(f"{_RATE_SPLIT} 00:00:00").cast("timestamp")
+    k = e.agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    r = k.select(
+        "k1",
+        "k2",
+        (F.col("k1").cast("double") / F.lit(_RATE_T1)).alias("rate1"),
+        (F.col("k2").cast("double") / F.lit(_RATE_T2)).alias("rate2"),
+    )
+    return r.select(
+        "k1",
+        "k2",
+        "rate1",
+        "rate2",
+        (F.col("rate2") / F.col("rate1")).alias("rate_ratio"),
+        (
+            (F.col("rate1") - F.col("rate2"))
+            / F.sqrt(
+                F.col("k1").cast("double") / F.lit(_RATE_T1 * _RATE_T1)
+                + F.col("k2").cast("double") / F.lit(_RATE_T2 * _RATE_T2)
+            )
+        ).alias("z_stat"),
+    )

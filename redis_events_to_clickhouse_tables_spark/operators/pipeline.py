@@ -939,3 +939,95 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select(
         "epoch", F.col("rk").alias("position"), "doc_id"
     ).orderBy("epoch", "position")
+
+
+# --------------------------------------------------------------------
+# Curriculum difficulty deciles
+# --------------------------------------------------------------------
+
+
+@query(
+    "pipeline_curriculum_buckets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(CAST(len(list_filter(string_split(text, ' '),
+                                             x -> x IN ('the', 'a', 'is',
+                                                        'of', 'and')))
+                             AS DOUBLE) * 1000000
+                        / len(string_split(text, ' '))) AS BIGINT)
+               AS ease_micro
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens, ease_micro,
+             ROW_NUMBER() OVER (ORDER BY ease_micro DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM d),
+    b AS (
+      SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS bucket,
+             n_tokens, ease_micro
+      FROM r)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(ease_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+             AS mean_ease,
+           CAST(MIN(ease_micro) AS DOUBLE) / 1000000.0 AS min_ease
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning difficulty deciles: documents are scored by
+    an easiness proxy (stopword density — high function-word density
+    correlates with simple prose), ranked corpus-wide, and cut into
+    10 exact rank deciles; each bucket reports its token budget and
+    easiness stats. This is the schedule table an easy-to-hard
+    curriculum trainer consumes (bucket 0 first), built on the same
+    doctrine as ``customer_pareto_curve``'s deciles.
+
+    Scale: easiness is a map-only expression (one floor-quantized
+    division per doc — no per-doc float accumulates anywhere); the
+    global rank uses :func:`global_rank_desc` (percentile-sketch
+    bucketed rank — never a global window over the corpus); decile
+    ids are exact INTEGER arithmetic ((rk-1)*10 div n); bucket stats
+    are exact integer sums with one IEEE tail per decile row.
+    """
+    tune(spark)
+    from ..functions.ranks import global_rank_desc
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "is", "of", "and")])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.floor(
+            n_stop.cast("double") * 1000000 / F.size(toks)
+        )
+        .cast("long")
+        .alias("ease_micro"),
+    )
+    ranked, n = global_rank_desc(scored, "ease_micro", "doc_id", "rk")
+    b = ranked.select(
+        F.expr(f"cast(((rk - 1) * 10) div {n} as int)").alias("bucket"),
+        "n_tokens",
+        "ease_micro",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("ease_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_ease"),
+            (F.min("ease_micro").cast("double") / F.lit(1000000.0)).alias(
+                "min_ease"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -1690,3 +1690,71 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# --------------------------------------------------------------------
+# Fixed-radius neighborhood counts (range search)
+# --------------------------------------------------------------------
+
+_RADIUS_LO = 0.70
+_RADIUS_HI = 0.80
+
+
+@query(
+    "sim_radius_count",
+    oracle=f"""
+    SELECT a.vec_id AS q_id,
+           CAST(SUM(CASE WHEN {_SQL_COSINE} >= {_RADIUS_LO} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_r070,
+           CAST(SUM(CASE WHEN {_SQL_COSINE} >= {_RADIUS_HI} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_r080,
+           MAX({_SQL_COSINE}) AS max_cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+    GROUP BY a.vec_id ORDER BY q_id
+    """,
+)
+def sim_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius range search: for each query vector, how many
+    corpus vectors fall within cosine radius 0.70 / 0.80, and the
+    nearest cosine — the density probe run before choosing a top-k
+    (a query whose 0.8-ball holds thousands of points needs dedup,
+    not retrieval; one whose ball is empty needs a coarser radius).
+    Complements ``sim_bruteforce_topk`` (same scan shape, count
+    aggregate instead of rank window).
+
+    Scale: broadcast the #queries rows against one corpus scan —
+    map-side partial counts, NO window and no per-query sort at all
+    (radius counting is cheaper than top-k: the aggregate is
+    commutative). Determinism: the cosine is the shared bit-identical
+    expression (``_SQL_COSINE``/``_dot``), so threshold comparisons
+    and MAX involve no arithmetic ambiguity.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+    cosine = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    return (
+        pairs.select("q_id", cosine.alias("cosine"))
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("cosine") >= _RADIUS_LO, 1).otherwise(0))
+            .cast("long")
+            .alias("n_r070"),
+            F.sum(F.when(F.col("cosine") >= _RADIUS_HI, 1).otherwise(0))
+            .cast("long")
+            .alias("n_r080"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("q_id")
+    )
