@@ -1888,3 +1888,103 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------
+# Dedup cascade funnel: exact -> prefix -> near-dup components
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_cascade_funnel",
+    oracle=(_SQL_MINHASH + _SQL_LSH_BAND).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component_id
+             FROM reach GROUP BY a),
+    k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    kept1 AS (SELECT d.doc_id, d.text FROM documents d JOIN k1 USING (doc_id)),
+    k2 AS (SELECT MIN(doc_id) AS doc_id FROM kept1
+           GROUP BY md5(substr(text, 1, 64))),
+    kept2 AS (SELECT k.doc_id FROM kept1 k JOIN k2 USING (doc_id)),
+    assigned AS (
+      SELECT k.doc_id, COALESCE(comp.component_id, k.doc_id) AS cid
+      FROM kept2 k LEFT JOIN comp ON comp.doc_id = k.doc_id),
+    k3 AS (SELECT MIN(doc_id) AS doc_id FROM assigned GROUP BY cid),
+    c AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n0,
+                 CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n1,
+                 CAST((SELECT COUNT(*) FROM kept2) AS BIGINT) AS n2,
+                 CAST((SELECT COUNT(*) FROM k3) AS BIGINT) AS n3)
+    SELECT stage, n_in, n_in - n_out AS n_removed, n_out FROM (
+      SELECT '1_exact' AS stage, n0 AS n_in, n1 AS n_out FROM c
+      UNION ALL
+      SELECT '2_prefix', n1, n2 FROM c
+      UNION ALL
+      SELECT '3_neardup', n2, n3 FROM c)
+    ORDER BY stage
+    """,
+)
+def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage dedup cascade funnel — the cheap-to-expensive
+    pipeline every production corpus dedup runs, with per-stage
+    removal counts so the cost/benefit of each stage is visible:
+
+    1. exact (full-content checksum, keep the min doc per group),
+    2. prefix fingerprint (64-char prefix — mirrored/boilerplate
+       pages, ``dedup_source_overlap_matrix``'s key),
+    3. near-dup connected components over the MinHash-LSH candidate
+       graph (``dedup_cluster_components``' machinery), keeping one
+       canonical doc per component among stage-2 survivors.
+
+    Each stage only sees the previous stage's survivors, so the
+    counts are the marginal catch of adding that stage — the table
+    that justifies (or kills) the expensive LSH pass on a new corpus.
+
+    Scale: stages 1-2 are hash groupBys with min (map-side
+    combinable) + semi joins on doc_id; stage 3 reuses the bounded
+    STAR-contraction components; counts are four 1-row aggregates.
+    Canonical choice is min-doc-id per group/component, so the
+    cascade is deterministic under any execution order.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    k1 = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept1 = d.join(k1.select("doc_id"), "doc_id", "left_semi")
+    k2 = kept1.groupBy(F.md5(F.substring("text", 1, 64)).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept2 = kept1.join(k2.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id"
+    )
+    comps = dedup_cluster_components(spark, sf_dir)
+    assigned = kept2.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("cid"),
+    )
+    k3 = assigned.groupBy("cid").agg(F.min("doc_id").alias("doc_id"))
+    n0 = d.count()
+    n1 = kept1.count()
+    n2 = kept2.count()
+    n3 = k3.count()
+    rows = [
+        ("1_exact", n0, n0 - n1, n1),
+        ("2_prefix", n1, n1 - n2, n2),
+        ("3_neardup", n2, n2 - n3, n3),
+    ]
+    spark_rows = spark.createDataFrame(
+        rows, "stage string, n_in long, n_removed long, n_out long"
+    )
+    return spark_rows.orderBy("stage")

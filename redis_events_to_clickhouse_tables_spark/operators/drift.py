@@ -971,3 +971,193 @@ def stats_poisson_two_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------
+# Capture-recapture corpus-size estimate (Lincoln-Petersen/Chapman)
+# --------------------------------------------------------------------
+
+_CR_YEAR_A = 1993
+_CR_YEAR_B = 1995
+
+
+_SQL_CAPTURE_RECAPTURE = f"""
+    WITH flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = {_CR_YEAR_A}
+                      THEN 1 ELSE 0 END) AS fa,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = {_CR_YEAR_B}
+                      THEN 1 ELSE 0 END) AS fb
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT CAST(SUM(fa) AS BIGINT) AS n_a,
+             CAST(SUM(fb) AS BIGINT) AS n_b,
+             CAST(SUM(fa * fb) AS BIGINT) AS n_both,
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM flags)
+    SELECT n_a, n_b, n_both, true_n,
+           (CAST(n_a + 1 AS DOUBLE) * (n_b + 1)) / (n_both + 1) - 1.0
+             AS chapman_estimate,
+           ((CAST(n_a + 1 AS DOUBLE) * (n_b + 1)) / (n_both + 1) - 1.0
+            - true_n) / true_n AS rel_err
+    FROM s
+"""
+
+
+@query("stats_capture_recapture", oracle=_SQL_CAPTURE_RECAPTURE)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen) estimate
+    of the active-customer population from two overlapping yearly
+    "captures" (customers seen ordering in 1993 and in 1995), checked
+    against the true count. This is the mark-recapture estimator data
+    teams use to size an unobservable population from two overlapping
+    crawls/samples — "how big is the real corpus if crawl A and crawl
+    B overlap this much" — reported with its relative error against
+    the ground truth this dataset happens to have.
+
+    Scale: ONE groupBy per customer producing two 0/1 flags (map-side
+    combinable), one 4-sum reduce, one IEEE tail on the single result
+    row. No window, no join.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.year("o_orderdate") == _CR_YEAR_A, 1).otherwise(0)
+        ).alias("fa"),
+        F.max(
+            F.when(F.year("o_orderdate") == _CR_YEAR_B, 1).otherwise(0)
+        ).alias("fb"),
+    )
+    s = flags.agg(
+        F.sum("fa").cast("long").alias("n_a"),
+        F.sum("fb").cast("long").alias("n_b"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+    )
+    est = (
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1)
+        / (F.col("n_both") + 1)
+        - F.lit(1.0)
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "true_n",
+        est.alias("chapman_estimate"),
+        ((est - F.col("true_n")) / F.col("true_n")).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue
+# --------------------------------------------------------------------
+
+_SQL_RUNS_TEST = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(14,2))))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    med AS (
+      SELECT v AS m FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM daily) t, n
+      WHERE rn = (n + 1) // 2),
+    signs AS (
+      SELECT d, CASE WHEN v > m THEN 1 ELSE 0 END AS s,
+             ROW_NUMBER() OVER (ORDER BY d) AS idx
+      FROM daily, med),
+    chg AS (
+      SELECT CAST(SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS changes
+      FROM signs a JOIN signs b ON b.idx = a.idx + 1),
+    cnt AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM signs)
+    SELECT n, n1, n0, changes + 1 AS runs,
+           1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n AS expected_runs,
+           (CAST(changes + 1 AS DOUBLE)
+            - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n0 / n))
+           / SQRT((2.0 * CAST(n1 AS DOUBLE) * n0
+                   * (2.0 * CAST(n1 AS DOUBLE) * n0 - n))
+                  / (CAST(n AS DOUBLE) * n * (n - 1))) AS z_stat
+    FROM chg, cnt
+"""
+
+
+@query("stats_runs_test", oracle=_SQL_RUNS_TEST)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median: the number of above/below-median runs vs the expected
+    count under independence, as a z statistic. A |z| >> 0 means the
+    series is trending or mean-reverting (momentum/seasonality), the
+    sanity check run before treating daily deltas as i.i.d. in
+    ``stats_bootstrap_mean_ci``-style resampling.
+
+    Scale (Kendall/Theil-Sen precedent): orders collapse to the DAY
+    table first; the median is exact rank selection on that bounded
+    table, the day index comes from ``bucketed_prefix_sums`` (never a
+    global window over unbounded data — the day table is
+    calendar-bounded, and the gate's empty-partitionSpec rule is
+    satisfied by the bucketed form), and adjacency is an idx = idx+1
+    self-join of the tiny model table. Counts are exact int64; the
+    z tail is one fixed IEEE expression.
+    """
+    tune(spark)
+    from ..functions.quantiles import exact_quantile_values_per_group
+    from ..functions.ranks import bucketed_prefix_sums
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(F.floor(F.sum(dec("o_totalprice", 14))).cast("long").alias("v"))
+    daily = daily.withColumn("one", F.lit(1))
+    med = (
+        exact_quantile_values_per_group(
+            daily.withColumn("g", F.lit(0)), ["g"], "v", [("p50", 1, 2)]
+        )
+        .select(F.col("value").alias("m"))
+    )
+    idxed = bucketed_prefix_sums(daily, "d", ["one"])
+    signs = idxed.crossJoin(F.broadcast(med)).select(
+        F.col("cum_one").alias("idx"),
+        F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("s"),
+    )
+    a = signs.select(F.col("idx").alias("ia"), F.col("s").alias("sa"))
+    b = signs.select((F.col("idx") - 1).alias("ia"), F.col("s").alias("sb"))
+    chg = a.join(b, "ia").agg(
+        F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+        .cast("long")
+        .alias("changes")
+    )
+    cnt = signs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    t = chg.crossJoin(F.broadcast(cnt))
+    n1d = F.col("n1").cast("double")
+    n0, n = F.col("n0"), F.col("n")
+    runs = F.col("changes") + 1
+    mu = F.lit(1.0) + F.lit(2.0) * n1d * n0 / n
+    return t.select(
+        "n",
+        "n1",
+        "n0",
+        runs.alias("runs"),
+        mu.alias("expected_runs"),
+        (
+            (runs.cast("double") - mu)
+            / F.sqrt(
+                (F.lit(2.0) * n1d * n0 * (F.lit(2.0) * n1d * n0 - n))
+                / (n.cast("double") * n * (n - 1))
+            )
+        ).alias("z_stat"),
+    )
