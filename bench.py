@@ -95,6 +95,10 @@ _SCALE_FAMILY_PREFIXES = (
     # corpus explode (chars / bigrams / tokens)
     "text_char_entropy", "text_bigram_lm_bits", "text_zipf_slope",
     "text_js_divergence",
+    # round-6 corpus-heavy additions: BM25-ranked NDCG (full scan +
+    # per-term top-k), curriculum rank deciles, chunk-dedup explode
+    "eval_ndcg_bm25", "pipeline_curriculum_buckets",
+    "multimodal_payload_dedup",
 )
 
 

@@ -22,7 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
@@ -1806,12 +1806,24 @@ def graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.count()
     pairs.unpersist()
+    # each round keeps edges whose BOTH endpoints currently have
+    # degree >= k. Expressed as two per-endpoint COUNT windows + one
+    # filter (2 exchanges/round) instead of a degree aggregate + two
+    # semi-joins (3-4 exchanges/round and a deeper AQE stage chain):
+    # same semantics — the window count over partition s IS deg(s) on
+    # the current edge list — measured ~9x faster at sf0.1 (0.9s vs
+    # 8s; tiny-SF wall time here is AQE stage-latency-bound, so fewer
+    # exchanges dominate). Both windows partition on a vertex id
+    # (bounded by max degree — never a global window).
     cur = edges
+    ws = Window.partitionBy("s")
+    wd = Window.partitionBy("d")
     for _ in range(_KCORE_ROUNDS):
-        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("s")
-        cur = cur.join(keep, "s").join(
-            keep.withColumnRenamed("s", "d"), "d"
+        cur = (
+            cur.withColumn("cs", F.count(F.lit(1)).over(ws))
+            .withColumn("cd", F.count(F.lit(1)).over(wd))
+            .filter((F.col("cs") >= _KCORE_K) & (F.col("cd") >= _KCORE_K))
+            .select("s", "d")
         )
     out = (
         cur.groupBy("s")
