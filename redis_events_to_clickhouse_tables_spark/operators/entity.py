@@ -1,0 +1,251 @@
+"""Entity resolution (record linkage) over the ``part`` catalog.
+
+The classic ER pipeline — blocking, pairwise multi-attribute matching,
+transitive clustering, survivorship — expressed Spark-first:
+
+- **Blocking** on (first name token, p_type): candidate pairs only
+  form inside a block, the standard trick that turns O(n^2) matching
+  into sum-of-squares over blocks.
+- **Signature contraction**: the match rule depends only on
+  (p_name, p_type, p_size), so matching runs over the DISTINCT
+  attribute tuples — a frame bounded by the VALUE SPACE (64 names x
+  6 types x 50 sizes here), not the corpus. At 100 TB the part table
+  grows but its signature frame does not: pairwise edit distance cost
+  is corpus-size-independent, and mapping back to rows is one
+  broadcast join. This is the same model-level-frame argument the
+  k-means/PQ operators use.
+- **Matching**: JVM ``levenshtein`` on names (engine-exact, also used
+  by dedup_levenshtein_verify) + a size band — a multi-attribute rule,
+  distinct from the pure-text document dedup family.
+- **Clustering**: connected components over the signature match graph.
+  The graph is value-space-bounded, so a driver union-find over one
+  bounded collect finishes it (same budget precedent as
+  dedup_cluster_components' local-finish phase); the oracle mirrors it
+  with a recursive transitive-closure CTE.
+- **Survivorship** (golden record): per cluster, the modal name with a
+  deterministic tiebreak (count desc, name asc via a min-struct), plus
+  member/price/size summaries.
+
+Reference parity note: the reference ETL (src/main.ts) has no
+relational/ER operators; this is Layer-B training-data-pipeline
+surface (catalog/entity dedup before joining product data into a
+corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_NAME_DIST_MAX = 3
+_SIZE_DIFF_MAX = 2
+
+_SQL_SIG = """
+    WITH RECURSIVE sig AS (
+      SELECT p_name, p_type, p_size,
+             MIN(p_partkey) AS rep_pk, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2, 3
+    ),
+    matched AS (
+      SELECT a.rep_pk AS rep_a, b.rep_pk AS rep_b,
+             levenshtein(a.p_name, b.p_name) AS name_dist,
+             ABS(a.p_size - b.p_size) AS size_diff,
+             a.n_parts * b.n_parts AS n_part_pairs
+      FROM sig a JOIN sig b
+        ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND a.p_type = b.p_type
+       AND a.rep_pk < b.rep_pk
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+        AND ABS(a.p_size - b.p_size) <= 2
+    )
+"""
+
+_SQL_COMP = (
+    _SQL_SIG
+    + """,
+    und AS (
+      SELECT rep_a AS a, rep_b AS b FROM matched
+      UNION ALL
+      SELECT rep_b, rep_a FROM matched
+    ),
+    reach(a, b) AS (
+      SELECT rep_pk, rep_pk FROM sig
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS rep_pk, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    members AS (
+      SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice, c.cluster_id
+      FROM part p
+      JOIN sig s ON p.p_name = s.p_name AND p.p_type = s.p_type
+                AND p.p_size = s.p_size
+      JOIN comp c ON c.rep_pk = s.rep_pk
+    )
+"""
+)
+
+
+def _sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (name, type, size) signatures with a stable id
+    (rep_pk = min member partkey) and member count."""
+    p = table(spark, sf_dir, "part")
+    return p.groupBy("p_name", "p_type", "p_size").agg(
+        F.min("p_partkey").alias("rep_pk"), F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+def _sig_match_pairs(sig: DataFrame) -> DataFrame:
+    """Blocked multi-attribute match over the signature frame.
+
+    Both join sides are value-space-bounded, so the self-join
+    broadcasts; block keys (first name token, type) keep the pair
+    space sum-of-squares-over-blocks even if the value space were
+    larger.
+    """
+    a = sig.select(
+        F.element_at(F.split("p_name", " "), 1).alias("blk"),
+        F.col("p_type").alias("typ"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("rep_pk").alias("rep_a"),
+        F.col("n_parts").alias("n_a"),
+    )
+    b = sig.select(
+        F.element_at(F.split("p_name", " "), 1).alias("blk"),
+        F.col("p_type").alias("typ"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("rep_pk").alias("rep_b"),
+        F.col("n_parts").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), ["blk", "typ"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select(
+            "rep_a",
+            "rep_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("name_dist"),
+            F.abs(F.col("size_a") - F.col("size_b")).alias("size_diff"),
+            (F.col("n_a") * F.col("n_b")).alias("n_part_pairs"),
+        )
+        .filter(
+            (F.col("name_dist") <= _NAME_DIST_MAX)
+            & (F.col("size_diff") <= _SIZE_DIFF_MAX)
+        )
+    )
+
+
+def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, p_name, p_size, p_retailprice, cluster_id) for every
+    part; cluster_id = min rep_pk of the signature component.
+
+    The union-find runs on the driver over the SIGNATURE graph — rows
+    bounded by the attribute value space, not the corpus (the same
+    bounded-collect budget dedup_cluster_components' local finish
+    documents) — then maps back to parts via one broadcast join.
+    """
+    sig = _sig_frame(spark, sf_dir).persist()
+    pairs = _sig_match_pairs(sig)
+    nodes = [r[0] for r in sig.select("rep_pk").collect()]
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for ra, rb in pairs.select("rep_a", "rep_b").collect():
+        xa, xb = find(ra), find(rb)
+        if xa != xb:
+            parent[max(xa, xb)] = min(xa, xb)
+    comp = spark.createDataFrame(
+        [(n, find(n)) for n in nodes], "rep_pk long, cluster_id long"
+    )
+    p = table(spark, sf_dir, "part")
+    out = p.join(
+        F.broadcast(sig.join(comp, "rep_pk")),
+        ["p_name", "p_type", "p_size"],
+    ).select("p_partkey", "p_name", "p_size", "p_retailprice", "cluster_id")
+    sig.unpersist()
+    return out
+
+
+@query("er_part_match_pairs", oracle=_SQL_SIG + "SELECT * FROM matched")
+def er_part_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER candidate matching: blocked signature pairs passing the
+    multi-attribute rule (levenshtein(name) <= 3, |size diff| <= 2,
+    same type), with the implied row-level pair count."""
+    tune(spark)
+    return _sig_match_pairs(_sig_frame(spark, sf_dir))
+
+
+@query(
+    "er_part_clusters",
+    oracle=_SQL_COMP + "SELECT p_partkey, cluster_id FROM members",
+)
+def er_part_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER transitive clustering: every part labeled with its entity
+    cluster (min signature rep across the match component)."""
+    tune(spark)
+    return _cluster_map(spark, sf_dir).select("p_partkey", "cluster_id")
+
+
+@query(
+    "er_part_golden_record",
+    oracle=_SQL_COMP
+    + """,
+    names AS (
+      SELECT cluster_id, p_name, COUNT(*) AS c
+      FROM members GROUP BY 1, 2
+    ),
+    canon AS (
+      SELECT cluster_id, FIRST(p_name ORDER BY c DESC, p_name ASC)
+               AS canonical_name
+      FROM names GROUP BY 1
+    )
+    SELECT m.cluster_id, ANY_VALUE(ca.canonical_name) AS canonical_name,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT m.p_name) AS n_names,
+           MIN(m.p_size) AS size_min, MAX(m.p_size) AS size_max,
+           CAST(SUM(CAST(m.p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+             / COUNT(*) AS avg_price
+    FROM members m JOIN canon ca ON ca.cluster_id = m.cluster_id
+    GROUP BY m.cluster_id
+    """,
+)
+def er_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one golden record per entity cluster — modal name
+    (tiebreak: count desc then name asc, via a single min-struct
+    aggregate), membership and name cardinality, size span, exact
+    decimal-summed average price."""
+    tune(spark)
+    m = _cluster_map(spark, sf_dir)
+    names = m.groupBy("cluster_id", "p_name").agg(F.count(F.lit(1)).alias("c"))
+    canon = names.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("p_name").alias("nm")))
+        .getField("nm")
+        .alias("canonical_name")
+    )
+    return (
+        m.join(F.broadcast(canon), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.any_value("canonical_name").alias("canonical_name"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("p_name").alias("n_names"),
+            F.min("p_size").alias("size_min"),
+            F.max("p_size").alias("size_max"),
+            (
+                F.sum(dec("p_retailprice", 14)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+    )

@@ -184,6 +184,12 @@ _EXTERNALLY_VERIFIED = frozenset(
 # round-6 queries are appended at the FRONT of this tuple as they are
 # added, so they get sampled too.
 _SAMPLE_PRIORITY = (
+    "timeseries_periodogram_daily",
+    "scd2_user_tier_history",
+    "scd2_as_of_tier_counts",
+    "er_part_match_pairs",
+    "er_part_clusters",
+    "er_part_golden_record",
     "embedding_pca_top_component",
     "graph_kcore_neardup",
     "text_winnowing_fingerprints",
@@ -314,14 +320,17 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         drift,
         enrichment,
+        entity,
         events,
         grouped,
         multimodal,
         pipeline,
         quality_checks,
         relational,
+        scd,
         similarity,
         skew,
+        spectral,
         stats,
         subqueries,
         temporal,
