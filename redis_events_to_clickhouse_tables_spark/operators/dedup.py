@@ -2000,3 +2000,64 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "stage string, n_in long, n_removed long, n_out long"
     )
     return spark_rows.orderBy("stage")
+
+
+@query(
+    "dedup_minhash_bbit_estimate",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + """,
+    agree AS (
+      SELECT p.doc_a, p.doc_b,
+             COUNT(*) FILTER (a.minhash = b.minhash) AS n_full,
+             COUNT(*) FILTER (a.minhash % 2 = b.minhash % 2) AS n_bit
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_full AS DOUBLE) / 16 AS j_minhash,
+           2 * (CAST(n_bit AS DOUBLE) / 16) - 1 AS j_bbit
+    FROM agree
+    """,
+)
+def dedup_minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (b=1, Li & König) vs full-width MinHash on the
+    LSH candidate pairs: keep only the lowest bit of each of the 16
+    minhash values — 16 BITS per document instead of 128 bytes — and
+    correct the estimator for the 1/2 chance-agreement floor
+    (J ~= 2*agreement - 1 for sparse sets). The storage/recall
+    trade-off probe a 100-TB dedup run uses to decide signature
+    width: per-pair sketch state shrinks 64x while the estimate
+    stays unbiased (variance is what grows).
+
+    Shape: one extra zip_with over the already-computed signature
+    arrays, restricted to LSH candidates (linear in candidate count).
+    Agreement counts are exact integers; the two estimates are one
+    division each.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_sig_array(d)
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_full = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t
+        )
+    )
+    n_bit = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x % 2) == (y % 2)),
+            lambda t: t,
+        )
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        (n_full.cast("double") / 16).alias("j_minhash"),
+        (F.lit(2) * (n_bit.cast("double") / 16) - 1).alias("j_bbit"),
+    )

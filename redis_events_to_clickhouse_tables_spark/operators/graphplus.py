@@ -1,0 +1,401 @@
+"""Graph analytics beyond centrality over the near-dup candidate graph.
+
+Two classic iterative/structural operators the dedup graph family
+(PageRank, k-core, triangles, components — ``dedup.py``) doesn't
+cover:
+
+- **Multi-source BFS** (``graph_bfs_hops_neardup``): hop distance from
+  a seed set, the reachability primitive behind "how far does this
+  duplication family spread" triage and seed-set expansion. Fixed
+  round count keeps the plan static and the oracle expressible as an
+  unrolled CTE (the ``graph_pagerank_neardup`` doctrine); distances
+  are integers, so every round is exact arithmetic — no float
+  discipline needed at all.
+- **Link prediction** (``graph_linkpred_common_neighbors``): for
+  non-adjacent pairs at distance 2, the common-neighbor count and
+  Adamic-Adar score — the standard "these two documents are probably
+  duplicates even though LSH never collided them" recall-repair
+  signal on top of a candidate graph.
+
+Scale shape:
+- BFS shuffles only the (node, dist) frontier each round; the edge
+  list is persisted once, degree-free, repartitioned by source so
+  rounds meet its partitioning (same Pregel-invariant trick as
+  PageRank).
+- Wedge emission is the known quadratic-in-degree hazard: a hub of
+  degree d spawns d^2/2 wedges. Centers are therefore capped at
+  degree <= 256 — the textbook mitigation (hubs carry no pairwise
+  signal; Adamic-Adar already weights them toward zero), and the cap
+  is part of the operator's SEMANTICS, mirrored in the oracle, so
+  the plan is wedge-bounded at any corpus size.
+- Adamic-Adar is 1/ln(deg) summed over common neighbors: ln is
+  evaluated once per distinct integer degree and floor-scaled to an
+  int64 weight (``floor(1e9/ln(deg))``) — the ``textstats.py``
+  quantize-the-model discipline — so the per-pair reduction is an
+  exact integer sum; only the final 1e-9 scale-back is IEEE.
+
+Reference parity note: the reference ETL (src/main.ts) has no graph
+operators; this is Layer-B training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+from .dedup import (
+    _hashed_shingles,
+    _lsh_candidate_pairs,
+    _SQL_LSH_BAND,
+    _SQL_MINHASH,
+    chunked_pairs,
+)
+
+_SEED_MOD = 10  # doc_id % 10 == 0 => ~10% of graph nodes seed the BFS
+_BFS_ROUNDS = 3
+_DEG_CAP = 256  # wedge centers capped: hubs emit O(deg^2) wedges
+_AA_FP = 10**9
+
+_SQL_EDGES = """,
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized near-dup edge list, persisted + source-partitioned
+    (pairs materialized first so the union's two branches don't run
+    the LSH lineage twice — the ``graph_pagerank_neardup`` shape)."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .repartition(F.col("s"))
+        .persist()
+    )
+    edges.count()
+    pairs.unpersist()
+    return edges
+
+
+def _bfs_round(cur: str, nxt: str) -> str:
+    return f"""
+    {nxt} AS (
+      SELECT v, MIN(h) AS hops FROM (
+        SELECT v, hops AS h FROM {cur}
+        UNION ALL
+        SELECT e.d AS v, {cur}.hops + 1 AS h
+        FROM edges e JOIN {cur} ON {cur}.v = e.s
+      ) GROUP BY v)
+    """
+
+
+@query(
+    "graph_bfs_hops_neardup",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + _SQL_EDGES
+    + f""",
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    d0 AS (SELECT v, CAST(0 AS INTEGER) AS hops FROM nodes
+           WHERE v % {_SEED_MOD} = 0),
+    {_bfs_round("d0", "d1")},
+    {_bfs_round("d1", "d2")},
+    {_bfs_round("d2", "d3")}
+    SELECT v AS doc_id, CAST(hops AS INTEGER) AS hops FROM d3
+    """,
+)
+def graph_bfs_hops_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup candidate graph: minimum hop
+    distance (<= 3 rounds) from the seed set {doc_id % 10 == 0} —
+    reachability triage for duplication families. Each round unions
+    the frontier's neighbor expansion with the standing distances and
+    takes the per-node MIN; all-integer arithmetic, so rounds are
+    exact and the 3 fixed rounds chain into ONE lazy job (the
+    fixed-iteration doctrine of ``graph_pagerank_neardup``)."""
+    tune(spark)
+    edges = _edges(spark, sf_dir)
+    dist = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .filter(F.col("v") % _SEED_MOD == 0)
+        .select("v", F.lit(0).cast("int").alias("hops"))
+    )
+    for _ in range(_BFS_ROUNDS):
+        expanded = edges.join(
+            dist.withColumnRenamed("v", "s"), "s"
+        ).select(F.col("d").alias("v"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("v")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+    out = dist.select(F.col("v").alias("doc_id"), "hops").persist()
+    out.count()
+    edges.unpersist()
+    return out
+
+
+_LINKPRED_THR = 0.03  # weak-similarity evidence graph (see docstring)
+
+_SQL_JP = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             {DUCKDB_MD5_LONG("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_LINKPRED_THR}
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+              UNION ALL SELECT doc_b AS s, doc_a AS d FROM jp)
+"""
+
+
+@query(
+    "graph_linkpred_common_neighbors",
+    oracle=_SQL_JP
+    + f""",
+    deg AS (SELECT s AS v, COUNT(*) AS deg FROM edges GROUP BY s),
+    centers AS (
+      SELECT v, CAST(FLOOR({_AA_FP} / LN(CAST(deg AS DOUBLE))) AS BIGINT)
+               AS aa_w
+      FROM deg WHERE deg BETWEEN 2 AND {_DEG_CAP}
+    ),
+    cand AS (
+      SELECT e1.d AS doc_a, e2.d AS doc_b,
+             COUNT(*) AS common_neighbors, SUM(c.aa_w) AS aa_q
+      FROM edges e1
+      JOIN centers c ON c.v = e1.s
+      JOIN edges e2 ON e2.s = e1.s AND e1.d < e2.d
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.common_neighbors,
+           CAST(c.aa_q AS DOUBLE) / {_AA_FP} AS adamic_adar
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM jp p
+                      WHERE p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+    """,
+)
+def graph_linkpred_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction: non-adjacent pairs at distance 2 in the
+    WEAK-similarity graph (exact 3-gram Jaccard >= 0.03 — evidence
+    edges well below the dedup threshold, which is what makes open
+    wedges exist: the LSH candidate graph is a union of band-bucket
+    cliques and has none), scored by common-neighbor count and
+    Adamic-Adar (sum of 1/ln(deg) over shared neighbors,
+    hub-downweighted) — the recall-repair pass that surfaces likely
+    duplicate pairs the direct-similarity threshold missed.
+
+    Wedge centers are degree-capped at 256 (semantic, both engines)
+    so emission is bounded at any scale; the per-degree 1/ln weight
+    is floor-quantized to int64 once per distinct degree
+    (``textstats.py`` quantize-the-model doctrine), making the
+    per-pair reduction an exact integer sum. Edge formation rides
+    ``chunked_pairs`` — no shingle self-join."""
+    tune(spark)
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        chunked_pairs(sh, ["h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    # one persisted pairs frame feeds BOTH the edge list and the
+    # final anti-join — without it the whole shingle->pair lineage
+    # would execute twice.
+    pairs = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _LINKPRED_THR)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .repartition(F.col("s"))
+        .persist()
+    )
+    edges.count()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= _DEG_CAP)
+    ).select(
+        "s",
+        F.floor(F.lit(_AA_FP) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("aa_w"),
+    )
+    e1 = edges.join(centers, "s").select("s", F.col("d").alias("doc_a"), "aa_w")
+    e2 = edges.select("s", F.col("d").alias("doc_b"))
+    cand = (
+        e1.join(e2, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("aa_w").alias("aa_q"),
+        )
+    )
+    out = (
+        cand.join(pairs, ["doc_a", "doc_b"], "left_anti")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_neighbors",
+            (F.col("aa_q").cast("double") / F.lit(_AA_FP)).alias("adamic_adar"),
+        )
+        .persist()
+    )
+    out.count()
+    edges.unpersist()
+    pairs.unpersist()
+    return out
+
+
+@query(
+    "graph_source_modularity",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + """,
+    src AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM pairs p
+      JOIN src a ON a.doc_id = p.doc_a
+      JOIN src b ON b.doc_id = p.doc_b
+    ),
+    mm AS (SELECT COUNT(*) AS m FROM lab),
+    es AS (SELECT sa AS source, COUNT(*) AS e_in FROM lab
+           WHERE sa = sb GROUP BY 1),
+    ends AS (SELECT sa AS source FROM lab UNION ALL SELECT sb FROM lab),
+    ds AS (SELECT source, COUNT(*) AS d FROM ends GROUP BY 1),
+    per AS (
+      SELECT ds.source, COALESCE(es.e_in, 0) AS internal_edges,
+             ds.d AS degree_sum
+      FROM ds LEFT JOIN es ON es.source = ds.source
+    ),
+    num AS (
+      SELECT SUM(CAST(4 * mm.m AS DECIMAL(19,0))
+                   * CAST(internal_edges AS DECIMAL(19,0))
+                 - CAST(degree_sum AS DECIMAL(19,0))
+                   * CAST(degree_sum AS DECIMAL(19,0))) AS q_num
+      FROM per, mm
+    )
+    SELECT per.source, per.internal_edges, per.degree_sum,
+           CAST(per.internal_edges AS DOUBLE) / mm.m
+             - (CAST(per.degree_sum AS DOUBLE) / (2 * mm.m))
+               * (CAST(per.degree_sum AS DOUBLE) / (2 * mm.m))
+             AS contribution,
+           CAST(num.q_num AS DOUBLE)
+             / (4 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+             AS modularity
+    FROM per, mm, num
+    """,
+)
+def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-dup candidate graph under the
+    document SOURCE partition: Q = sum_s [e_s/m - (d_s/2m)^2]. Q near
+    its maximum means duplication stays inside sources (dedup can
+    shard by source); Q near 0 means near-dups cross source
+    boundaries as often as chance — the single-number assortativity
+    companion to ``dedup_source_overlap_matrix``'s full matrix.
+
+    Shape: one source-lookup join onto the candidate pairs, then
+    per-source integer aggregates (model-level: one row per source).
+    The global Q avoids the order-dependent sum of per-source double
+    contributions: its numerator sum(4*m*e_s - d_s^2) runs in exact
+    DECIMAL(38,0) and only the final division by 4m^2 is IEEE. The
+    per-source ``contribution`` column is a pure per-row expression
+    (deterministic); m broadcasts as a 1-row scalar frame.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("source", "sa")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select("sa", "sb")
+        .persist()
+    )
+    lab.count()
+    pairs.unpersist()
+    mm = F.broadcast(lab.agg(F.count(F.lit(1)).alias("m")))
+    es = (
+        lab.filter(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    ends = lab.select(F.col("sa").alias("source")).unionAll(
+        lab.select(F.col("sb").alias("source"))
+    )
+    ds = ends.groupBy("source").agg(F.count(F.lit(1)).alias("d"))
+    per = ds.join(es, "source", "left").select(
+        "source",
+        F.coalesce("e_in", F.lit(0)).alias("internal_edges"),
+        F.col("d").alias("degree_sum"),
+    )
+    num = F.broadcast(
+        per.crossJoin(mm).agg(
+            F.sum(
+                (4 * F.col("m")).cast("decimal(19,0)")
+                * F.col("internal_edges").cast("decimal(19,0)")
+                - F.col("degree_sum").cast("decimal(19,0)")
+                * F.col("degree_sum").cast("decimal(19,0)")
+            ).alias("q_num")
+        )
+    )
+    md = F.col("m").cast("double")
+    dd = F.col("degree_sum").cast("double")
+    out = (
+        per.crossJoin(mm)
+        .crossJoin(num)
+        .select(
+            "source",
+            "internal_edges",
+            "degree_sum",
+            (
+                F.col("internal_edges").cast("double") / F.col("m")
+                - (dd / (2 * F.col("m"))) * (dd / (2 * F.col("m")))
+            ).alias("contribution"),
+            (F.col("q_num").cast("double") / (4 * md * md)).alias(
+                "modularity"
+            ),
+        )
+        .persist()
+    )
+    out.count()
+    lab.unpersist()
+    return out

@@ -184,6 +184,17 @@ _EXTERNALLY_VERIFIED = frozenset(
 # round-6 queries are appended at the FRONT of this tuple as they are
 # added, so they get sampled too.
 _SAMPLE_PRIORITY = (
+    "eval_mrr_recall_bm25",
+    "sample_systematic_every_k",
+    "asof_nearest_click_tolerance",
+    "dedup_minhash_bbit_estimate",
+    "graph_source_modularity",
+    "graph_bfs_hops_neardup",
+    "graph_linkpred_common_neighbors",
+    "skyline_parts_price_size",
+    "text_bpe_top_merges",
+    "timeseries_hurst_rs",
+    "stats_overdispersion_index",
     "timeseries_periodogram_daily",
     "scd2_user_tier_history",
     "scd2_as_of_tier_counts",
@@ -322,6 +333,7 @@ def load_all() -> dict[str, QuerySpec]:
         enrichment,
         entity,
         events,
+        graphplus,
         grouped,
         multimodal,
         pipeline,
