@@ -1328,3 +1328,141 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 400).alias("any_huge"),
         F.bool_and(F.col("user_id").isNotNull()).alias("fully_attributed"),
     )
+
+
+_SKY_BUCKETS = 64
+
+
+@query(
+    "skyline_parts_price_size",
+    oracle="""
+    WITH g AS (
+      SELECT p_retailprice AS price, MIN(p_size) AS gmin
+      FROM part GROUP BY 1
+    ),
+    s AS (
+      SELECT price, gmin,
+             MIN(gmin) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS smin
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size
+    FROM part p JOIN s ON s.price = p.p_retailprice
+    WHERE p.p_size = s.gmin AND (s.smin IS NULL OR s.gmin < s.smin)
+    """,
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (p_retailprice, p_size), both minimized — the multi-criteria
+    shortlist operator (cheapest-for-its-size catalog frontier).
+    Dominance: y beats x iff y.price <= x.price AND y.size <= x.size
+    with at least one strict; ties on BOTH axes are mutually
+    non-dominating and all survive.
+
+    Shape: the O(n^2) NOT-EXISTS definition reduces, for 2-D min-min
+    skylines, to a strict prefix-min of size over the price order —
+    x survives iff it has the min size of its exact-price group AND
+    every strictly-cheaper group's min size is larger. The prefix-min
+    runs WITHOUT a global window (the registry plan gate forbids
+    empty-partitionSpec windows): per-price group mins are bucketed
+    by approx price quantiles, per-bucket mins fold into prefix
+    scalars on the driver (O(n_buckets) collect — the
+    ``global_rank_desc`` discipline), and the strict within-bucket
+    scan is a bucket-partitioned ROWS window over one-row-per-price
+    groups. Bucket boundaries only balance work — any split yields
+    the same exact answer. All comparisons are on stored doubles and
+    ints: no arithmetic, nothing to quantize.
+    """
+    tune(spark)
+    p = table(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("gmin")
+    )
+    qs = [i / _SKY_BUCKETS for i in range(1, _SKY_BUCKETS)]
+    row = g.agg(F.percentile_approx("price", qs, 10_000).alias("bs")).first()
+    bounds = sorted({float(b) for b in (row["bs"] or []) if b is not None})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("price")))
+    else:
+        bucket = F.lit(0)
+    gb = g.withColumn("__b", bucket)
+    # per-bucket min -> strict prefix min across buckets, computed on
+    # the driver over O(n_buckets) scalars and rejoined as literals.
+    bmins = {
+        r["__b"]: r["m"]
+        for r in gb.groupBy("__b").agg(F.min("gmin").alias("m")).collect()
+    }
+    pre, acc = [], None
+    for b in range(len(bounds) + 1):
+        pre.append(acc)
+        m = bmins.get(b)
+        if m is not None:
+            acc = m if acc is None or m < acc else acc
+    parr = F.array(
+        *[F.lit(v).cast("int") if v is not None else F.lit(None).cast("int")
+          for v in pre]
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = gb.select(
+        "price",
+        "gmin",
+        F.least(
+            F.coalesce(F.min("gmin").over(w), F.lit(None).cast("int")),
+            F.element_at(parr, F.col("__b") + 1),
+        ).alias("smin"),
+    )
+    # least() is null-safe only when BOTH are null; with one null it
+    # returns the other — exactly the semantics the merge needs.
+    return (
+        p.join(s, p["p_retailprice"] == s["price"])
+        .filter(
+            (F.col("p_size") == F.col("gmin"))
+            & (F.col("smin").isNull() | (F.col("gmin") < F.col("smin")))
+        )
+        .select("p_partkey", F.col("p_retailprice").alias("price"), "p_size")
+    )
+
+
+_SYS_STEP = 100
+
+
+@query(
+    "sample_systematic_every_k",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, n_chars, rk
+    FROM r WHERE (rk - 1) % {_SYS_STEP} = 0
+    """,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-k-th) sampling: rank all documents by
+    (n_chars DESC, doc_id) and keep ranks 1, 101, 201, ... — the
+    classic length-ordered systematic probe whose sample spans the
+    whole size distribution by construction (each kept row represents
+    one contiguous stratum of 100 ranks), unlike a Bernoulli sample
+    which can miss the tails.
+
+    Scale: the global order comes from
+    ``functions.ranks.global_rank_desc`` (percentile-bucketed exact
+    ranking — no global window; the oracle uses the plain ROW_NUMBER
+    formulation the primitive is proven equal to). The stride filter
+    is integer arithmetic on the rank.
+    """
+    tune(spark)
+    from ..functions.ranks import global_rank_desc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, _ = global_rank_desc(d, "n_chars", "doc_id", rank_col="rk")
+    return ranked.filter((F.col("rk") - 1) % _SYS_STEP == 0).select(
+        "doc_id", "n_chars", "rk"
+    )

@@ -1821,3 +1821,76 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chi2") / (F.col("n").cast("double") * F.col("mindim"))
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "stats_overdispersion_index",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, user_id, COUNT(*) AS k
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, COUNT(*) AS n_users, SUM(k) AS sk,
+             SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0))) AS sk2
+      FROM k GROUP BY 1
+    )
+    SELECT event_type, n_users, sk AS n_events,
+           CAST(sk AS DOUBLE) / n_users AS mean_k,
+           ((CAST(sk2 AS DOUBLE)
+             - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / n_users)
+            / (n_users - 1))
+           / (CAST(sk AS DOUBLE) / n_users) AS dispersion,
+           (n_users - 1)
+           * (((CAST(sk2 AS DOUBLE)
+                - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / n_users)
+               / (n_users - 1))
+              / (CAST(sk AS DOUBLE) / n_users)) AS chi2_stat
+    FROM p WHERE n_users > 1
+    """,
+)
+def stats_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion diagnostic per event type: the index of
+    dispersion D = var/mean of per-user event counts (among users who
+    emitted the type), plus the (n-1)·D chi-square statistic — D >> 1
+    means clumped/bursty traffic a Poisson model (and any
+    rate-limiting built on one) would underestimate; the companion of
+    ``stats_poisson_two_rate`` (which compares rates, not shape).
+
+    Two map-side-combinable aggregates: per-(type, user) counts, then
+    per-type power sums with Σk² in DECIMAL(38,0) (a single bot user
+    at 1e9+ events would silently wrap an int64 square — the
+    ``stats_spearman_rho`` lesson applied up front). The variance /
+    dispersion tail is one shared expression tree of IEEE ops both
+    engines evaluate identically.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    k = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    p = k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("k").alias("sk"),
+        F.sum(
+            F.col("k").cast("decimal(19,0)") * F.col("k").cast("decimal(19,0)")
+        ).alias("sk2"),
+    )
+    mean_k = F.col("sk").cast("double") / F.col("n_users")
+    var_k = (
+        F.col("sk2").cast("double")
+        - F.col("sk").cast("double") * F.col("sk").cast("double")
+        / F.col("n_users")
+    ) / (F.col("n_users") - 1)
+    disp = var_k / mean_k
+    return p.filter(F.col("n_users") > 1).select(
+        "event_type",
+        "n_users",
+        F.col("sk").alias("n_events"),
+        mean_k.alias("mean_k"),
+        disp.alias("dispersion"),
+        ((F.col("n_users") - 1) * disp).alias("chi2_stat"),
+    )

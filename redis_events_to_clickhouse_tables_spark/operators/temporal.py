@@ -384,3 +384,140 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("run") + F.col("off")).cast("long").alias("open_orders"),
         )
     )
+
+
+_NEAREST_TOL_US = 3_600_000_000  # 1-hour tolerance, microseconds
+
+
+@query(
+    "asof_nearest_click_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS cid
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    b AS (SELECT p.event_id, c.cid AS b_id, c.ts AS b_ts
+          FROM p ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (SELECT p.event_id, c.cid AS f_id, c.ts AS f_ts
+          FROM p ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts < c.ts),
+    d AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             b.b_id, f.f_id,
+             CASE WHEN b.b_ts IS NULL THEN NULL
+                  ELSE epoch_us(p.ts) - epoch_us(b.b_ts) END AS db,
+             CASE WHEN f.f_ts IS NULL THEN NULL
+                  ELSE epoch_us(f.f_ts) - epoch_us(p.ts) END AS df
+      FROM p
+      LEFT JOIN b ON b.event_id = p.event_id
+      LEFT JOIN f ON f.event_id = p.event_id),
+    e AS (
+      SELECT *,
+             db IS NOT NULL AND db <= {_NEAREST_TOL_US} AS eb,
+             df IS NOT NULL AND df <= {_NEAREST_TOL_US} AS ef
+      FROM d)
+    SELECT event_id, user_id, ts,
+           CASE WHEN eb AND (NOT ef OR db <= df) THEN b_id
+                WHEN ef THEN f_id END AS click_event_id,
+           CASE WHEN eb AND (NOT ef OR db <= df) THEN 'backward'
+                WHEN ef THEN 'forward' END AS direction,
+           CASE WHEN eb AND (NOT ef OR db <= df) THEN db
+                WHEN ef THEN df END AS dist_us
+    FROM e
+    """,
+)
+def asof_nearest_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF NEAREST join with tolerance: each purchase matched to the
+    same user's temporally CLOSEST click within ±1 hour — either
+    direction, ties to the backward (earlier) side, NULL when no
+    click falls in the window. The bidirectional sibling of
+    ``asof_purchase_last_click`` (pandas ``merge_asof
+    direction='nearest'``; DuckDB needs two directional ASOF joins,
+    which is exactly how the oracle phrases it).
+
+    Shape: ONE sorted pass — clicks and purchases union-merge per
+    user, the backward candidate rides a last-ignorenulls carry and
+    the forward candidate a first-ignorenulls over the following
+    frame, so both directions come out of a single user-partitioned
+    window (no range join, no second shuffle). Same-timestamp clicks
+    sort before the purchase (side tag) and thus match BACKWARD at
+    distance 0; clicks dedup to one per (user, ts) keeping max
+    event_id so the match is well-defined. Distances are exact
+    epoch-microsecond longs.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cid"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "cid",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("cid"),
+        "event_id",
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    click_id = F.when(F.col("side") == 0, F.col("cid"))
+    merged = clicks.unionByName(purchases).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last(click_id, ignorenulls=True).over(wb).alias("b_id"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("b_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("f_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("f_ts"),
+    )
+    from ..functions.temporal import epoch_us
+
+    d = merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "b_id",
+        "f_id",
+        F.when(
+            F.col("b_ts").isNotNull(), epoch_us("ts") - epoch_us("b_ts")
+        ).alias("db"),
+        F.when(
+            F.col("f_ts").isNotNull(), epoch_us("f_ts") - epoch_us("ts")
+        ).alias("df"),
+    )
+    eb = F.col("db").isNotNull() & (F.col("db") <= _NEAREST_TOL_US)
+    ef = F.col("df").isNotNull() & (F.col("df") <= _NEAREST_TOL_US)
+    pick_b = eb & (~ef | (F.col("db") <= F.col("df")))
+    return d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id"))
+        .when(ef, F.col("f_id"))
+        .alias("click_event_id"),
+        F.when(pick_b, F.lit("backward"))
+        .when(ef, F.lit("forward"))
+        .alias("direction"),
+        F.when(pick_b, F.col("db")).when(ef, F.col("df")).alias("dist_us"),
+    )

@@ -1783,3 +1783,206 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.size("h") - (_WIN_W - 1))
         ).alias("fp_density"),
     )
+
+
+_MERGE_PAIR_EXPR = (
+    "CASE WHEN length(word) >= 2 THEN"
+    " transform(sequence(1, length(word) - 1),"
+    "           i -> substring(word, i, 2))"
+    " ELSE array() END"
+)
+
+
+@query(
+    "text_bpe_top_merges",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS f
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> '' GROUP BY 1
+    )
+    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, SUM(f) AS n_occurrences
+    FROM words, UNNEST(range(1, length(word))) AS u(i)
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def text_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration: corpus-wide adjacent
+    character-pair frequencies (within whitespace words), top-20 merge
+    candidates — what a tokenizer trainer would greedily merge next.
+
+    Vocabulary contraction is the scale move (same argument as the
+    ``entity.py`` signature frame): pair positions are enumerated once
+    per DISTINCT word and weighted by the word's corpus frequency, so
+    the char-level explosion is over the VOCABULARY (Heaps-law sublinear)
+    while the corpus contributes only a word-count aggregate whose
+    shuffle key space is that same vocabulary. Counts are exact
+    integers; the top-20 is a total order (count desc, pair asc) via
+    TakeOrdered — no global window.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = words.select(
+        F.explode(F.expr(_MERGE_PAIR_EXPR)).alias("pair"), "f"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+def _mrr_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    long_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, '{t}' AS term, {_bm25_term_sql(i)} AS score,"
+        f" tf{i} AS tf FROM tf, g WHERE tf{i} > 0"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tf AS (SELECT doc_id,
+             {tf_cols},
+             CAST(len(tk) AS BIGINT) AS dl
+           FROM toks),
+    g AS (SELECT COUNT(*) AS n,
+             {df_cols},
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avgdl
+          FROM tf),
+    long AS (
+      {long_rows}),
+    ranked AS (
+      SELECT term, tf,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM long),
+    rel AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_rel
+            FROM long WHERE tf >= 2 GROUP BY term),
+    top AS (SELECT term, rk, tf FROM ranked WHERE rk <= {_NDCG_K}),
+    hit AS (SELECT term, CAST(MIN(rk) AS BIGINT) AS first_rel_rank
+            FROM top WHERE tf >= 2 GROUP BY term),
+    rc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_rel_topk
+           FROM top WHERE tf >= 2 GROUP BY term)
+    SELECT r.term, r.n_rel,
+           COALESCE(rc.n_rel_topk, 0) AS n_rel_topk,
+           hit.first_rel_rank,
+           CASE WHEN hit.first_rel_rank IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE) / hit.first_rel_rank END AS mrr_at_10,
+           CAST(COALESCE(rc.n_rel_topk, 0) AS DOUBLE) / r.n_rel
+             AS recall_at_10
+    FROM rel r
+    LEFT JOIN hit ON hit.term = r.term
+    LEFT JOIN rc ON rc.term = r.term
+    """
+
+
+@query("eval_mrr_recall_bm25", oracle=_mrr_sql())
+def eval_mrr_recall_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 and recall@10 of the BM25 ranking, one row per query
+    term — the rank-position companions of ``eval_ndcg_bm25`` (NDCG
+    grades the whole top-k shape; MRR grades where the FIRST relevant
+    document lands, recall grades coverage of the relevant set).
+    Relevance = tf >= 2 (the graded-label threshold without human
+    judgments). Metrics are exact rationals: 1/first-rank and
+    hits/|relevant|, one IEEE division each.
+
+    Scale: identical two-pass broadcast shape as ``text_bm25_score``
+    (corpus never shuffles; the 1-row stats frame broadcasts), and
+    the per-term top-10 rides :func:`topk_by_value_per_group` — no
+    whole-term window sorts.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    per_doc = d.select(
+        "doc_id",
+        *[
+            F.size(F.filter(tk, _eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        F.size(tk).cast("long").alias("dl"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        (
+            F.sum("dl").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    rows = [
+        F.struct(
+            F.lit(t).alias("term"),
+            _bm25_term_col(i).alias("score"),
+            F.col(f"tf{i}").alias("tf"),
+        )
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    long = (
+        per_doc.join(F.broadcast(stats))
+        .select("doc_id", F.explode(F.array(*rows)).alias("e"))
+        .select("doc_id", "e.*")
+        .filter(F.col("tf") > 0)
+        .persist()
+    )
+    rel = (
+        long.filter(F.col("tf") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    top = topk_by_value_per_group(long, ["term"], "score", ["doc_id"], _NDCG_K)
+    hit = (
+        top.filter(F.col("tf") >= 2)
+        .groupBy("term")
+        .agg(F.min("rk").cast("long").alias("first_rel_rank"))
+    )
+    rc = (
+        top.filter(F.col("tf") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_topk"))
+    )
+    out = (
+        rel.join(hit, "term", "left")
+        .join(rc, "term", "left")
+        .select(
+            "term",
+            "n_rel",
+            F.coalesce("n_rel_topk", F.lit(0)).cast("long").alias(
+                "n_rel_topk"
+            ),
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("first_rel_rank"))
+            .alias("mrr_at_10"),
+            (
+                F.coalesce("n_rel_topk", F.lit(0)).cast("double")
+                / F.col("n_rel")
+            ).alias("recall_at_10"),
+        )
+        .persist()
+    )
+    out.count()
+    long.unpersist()
+    return out

@@ -1691,3 +1691,201 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+_RS_FP = 1_000_000_000  # 1e-9 quantum for per-block R/S values
+_ILOG6 = "CAST(FLOOR(log2(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@query(
+    "timeseries_hurst_rs",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ),
+    days AS (
+      SELECT CAST(i AS BIGINT) AS t
+      FROM bounds, UNNEST(range(0, datediff('day', d0, d1) + 1)) AS u(i)
+    ),
+    cnt AS (
+      SELECT datediff('day', (SELECT d0 FROM bounds), o_orderdate) AS t,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    daily AS (
+      SELECT d.t, COALESCE(cnt.c, 0) AS c
+      FROM days d LEFT JOIN cnt ON cnt.t = d.t
+    ),
+    ms(m) AS (VALUES (32), (64), (128)),
+    rws AS (
+      SELECT m, t // m AS b, t % m + 1 AS j, c,
+             SUM(c) OVER (PARTITION BY m, t // m ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS pref
+      FROM daily, ms
+    ),
+    st AS (
+      SELECT m, b, SUM(c) AS s, COUNT(*) AS n,
+             SUM(CAST(m * c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               AS msc2
+      FROM rws GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT r.m, r.b,
+             MAX(r.m * r.pref - r.j * st.s)
+           - MIN(r.m * r.pref - r.j * st.s) AS rm
+      FROM rws r JOIN st ON st.m = r.m AND st.b = r.b
+      GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT st.m, rng.rm,
+             st.msc2 - CAST(st.s AS DECIMAL(19,0)) * CAST(st.s AS DECIMAL(19,0))
+               AS v
+      FROM st JOIN rng ON rng.m = st.m AND rng.b = st.b
+      WHERE st.n = st.m
+    ),
+    q AS (
+      SELECT m,
+             CAST(FLOOR(CAST(rm AS DOUBLE) / SQRT(CAST(v AS DOUBLE))
+                        * {_RS_FP}) AS BIGINT) AS qb
+      FROM blocks WHERE v > 0
+    ),
+    agg AS (SELECT m, COUNT(*) AS n_blocks, SUM(qb) AS sq FROM q GROUP BY 1),
+    ylog AS (
+      SELECT m, n_blocks, sq,
+             {_ILOG6.format(x="sq")}
+           - {_ILOG6.format(x=f"n_blocks * {_RS_FP}")} AS yq
+      FROM agg
+    ),
+    h AS (
+      SELECT CAST(MAX(CASE WHEN m = 128 THEN yq END)
+                - MAX(CASE WHEN m = 32 THEN yq END) AS DOUBLE)
+             / 2000000.0 AS hurst
+      FROM ylog
+    )
+    SELECT m AS block_len, n_blocks,
+           CAST(sq AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * {_RS_FP})
+             AS mean_rs,
+           h.hurst AS hurst
+    FROM ylog, h
+    """,
+)
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis of the
+    zero-filled daily order-arrival series: per block of length m in
+    {{32, 64, 128}} days, R/S = (max-min of cumulative mean deviation)
+    / population std; H = the log2-log2 slope across the three block
+    lengths (0.5 = memoryless arrivals, >0.5 = long-range dependence
+    — the burstiness diagnostic for capacity planning).
+
+    Exactness shape: R*m and S²*m² are pure integer/decimal(38,0)
+    expressions (the deviation is scaled by m so no division enters:
+    m*prefix_j - j*S), so each block's R/S is one sqrt + one division
+    on exact operands; per-block values floor-quantize to 1e-9 longs
+    before the cross-block mean (associative integer sum — the
+    PageRank doctrine), and the slope runs on floor(log2*1e6)
+    int-quantized logs (the ``textstats.py`` model-level log
+    discipline; x-spacing is exactly 1 bit so H = Δy/2). Windows are
+    partitioned by (m, block) — never global; the series frame is
+    model-level (one row per day) built from one map-side count.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("ti")
+    ).select(F.col("ti").cast("long").alias("t"))
+    cnt = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(F.datediff("o_orderdate", "d0").cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = days.join(cnt, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    ms = F.broadcast(
+        spark.createDataFrame([(32,), (64,), (128,)], "m int")
+    )
+    rws = daily.crossJoin(ms).select(
+        "m",
+        F.expr("t div m").alias("b"),
+        (F.col("t") % F.col("m") + 1).alias("j"),
+        "c",
+        F.col("m").cast("long").alias("ml"),
+    )
+    w = (
+        Window.partitionBy("m", "b")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rws = rws.withColumn("pref", F.sum("c").over(w))
+    st = rws.groupBy("m", "b").agg(
+        F.sum("c").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("ml") * F.col("c")).cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        ).alias("msc2"),
+    )
+    dev = F.col("ml") * F.col("pref") - F.col("j") * F.col("s")
+    rng = (
+        rws.join(st.select("m", "b", "s"), ["m", "b"])
+        .groupBy("m", "b")
+        .agg((F.max(dev) - F.min(dev)).alias("rm"))
+    )
+    blocks = (
+        st.join(rng, ["m", "b"])
+        .filter(F.col("n") == F.col("m"))
+        .select(
+            "m",
+            "rm",
+            (
+                F.col("msc2")
+                - F.col("s").cast("decimal(19,0)")
+                * F.col("s").cast("decimal(19,0)")
+            ).alias("v"),
+        )
+    )
+    q = blocks.filter(F.col("v") > 0).select(
+        "m",
+        F.floor(
+            F.col("rm").cast("double")
+            / F.sqrt(F.col("v").cast("double"))
+            * F.lit(_RS_FP)
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    agg = q.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_blocks"), F.sum("qb").alias("sq")
+    )
+    ilog = lambda col: F.floor(
+        F.log2(col.cast("double")) * F.lit(1_000_000)
+    ).cast("long")
+    ylog = agg.select(
+        "m",
+        "n_blocks",
+        "sq",
+        (ilog(F.col("sq")) - ilog(F.col("n_blocks") * F.lit(_RS_FP))).alias(
+            "yq"
+        ),
+    )
+    h = ylog.agg(
+        (
+            (
+                F.max(F.when(F.col("m") == 128, F.col("yq")))
+                - F.max(F.when(F.col("m") == 32, F.col("yq")))
+            ).cast("double")
+            / F.lit(2_000_000.0)
+        ).alias("hurst")
+    )
+    return ylog.crossJoin(F.broadcast(h)).select(
+        F.col("m").alias("block_len"),
+        "n_blocks",
+        (
+            F.col("sq").cast("double")
+            / (F.col("n_blocks").cast("double") * F.lit(float(_RS_FP)))
+        ).alias("mean_rs"),
+        "hurst",
+    )
