@@ -1235,3 +1235,155 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+_RET_MAX_K = 14
+_ILOG_RET = "CAST(FLOOR(log2(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@query(
+    "events_retention_halflife",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    first AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY 1),
+    mx AS (SELECT MAX(d) AS m FROM act),
+    ks AS (SELECT CAST(i AS INTEGER) AS k
+           FROM UNNEST(range(1, {_RET_MAX_K} + 1)) AS u(i)),
+    eligible AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_eligible
+      FROM first, mx, ks
+      WHERE datediff('day', d0, m) >= k
+      GROUP BY 1
+    ),
+    retained AS (
+      SELECT datediff('day', f.d0, a.d) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_retained
+      FROM act a JOIN first f ON f.user_id = a.user_id
+      WHERE datediff('day', f.d0, a.d) BETWEEN 1 AND {_RET_MAX_K}
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT e.k, e.n_eligible, COALESCE(r.n_retained, 0) AS n_retained,
+             CASE WHEN COALESCE(r.n_retained, 0) > 0 THEN
+               {_ILOG_RET.format(x="r.n_retained")}
+             - {_ILOG_RET.format(x="e.n_eligible")} END AS yq
+      FROM eligible e LEFT JOIN retained r ON r.k = e.k
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS sx,
+             CAST(SUM(CAST(k AS BIGINT) * k) AS BIGINT) AS sxx,
+             CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(k * yq) AS BIGINT) AS sxy
+      FROM pts WHERE yq IS NOT NULL
+    ),
+    hl AS (
+      SELECT CASE WHEN n >= 2 AND n * sxy - sx * sy <> 0 THEN
+               CAST(-1000000 * (n * sxx - sx * sx) AS DOUBLE)
+               / (n * sxy - sx * sy) END AS half_life_days
+      FROM fit
+    )
+    SELECT p.k, p.n_eligible, p.n_retained,
+           CAST(p.n_retained AS DOUBLE) / p.n_eligible AS retention,
+           hl.half_life_days
+    FROM pts p, hl
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay curve + half-life: pooled day-k retention for
+    k = 1..14 (retained users / users whose first day is at least k
+    days before the corpus end), with an exponential-decay fit — the
+    log-linear slope of log2(retention) on k — reported as the
+    half-life in days (the single number a growth dashboard quotes).
+
+    Exactness: retention counts are integers; each point's
+    log2(retained/eligible) is the DIFFERENCE of two
+    floor(log2(int)*1e6) quantized logs (``textstats.py`` model-level
+    log discipline), so the OLS slope's numerator/denominator
+    (n·Σxy - Σx·Σy over int x=k, int y=yq) are exact int64 sums and
+    the half-life is one IEEE division. Zero-retention points drop
+    out of the fit on both engines. Shape: one distinct (user, day)
+    aggregate, a per-user min, and a 14-row broadcast k-frame — the
+    events table shuffles once.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    act = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    act = act.persist()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    mx = F.broadcast(act.agg(F.max("d").alias("m")))
+    ks = F.broadcast(
+        spark.range(1, _RET_MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    )
+    eligible = (
+        first.crossJoin(mx)
+        .crossJoin(ks)
+        .filter(F.datediff("m", "d0") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eligible"))
+    )
+    retained = (
+        act.join(first, "user_id")
+        .select(F.datediff("d", "d0").alias("k"))
+        .filter((F.col("k") >= 1) & (F.col("k") <= _RET_MAX_K))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
+    )
+    ilog = lambda c: F.floor(F.log2(c.cast("double")) * 1_000_000).cast("long")
+    pts = (
+        eligible.join(retained, "k", "left")
+        .select(
+            "k",
+            "n_eligible",
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        )
+        .withColumn(
+            "yq",
+            F.when(
+                F.col("n_retained") > 0,
+                ilog(F.col("n_retained")) - ilog(F.col("n_eligible")),
+            ),
+        )
+        .persist()
+    )
+    fit = pts.filter(F.col("yq").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum(F.col("k").cast("long") * F.col("k")).cast("long").alias("sxx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("k") * F.col("yq")).cast("long").alias("sxy"),
+    )
+    hl = F.broadcast(
+        fit.select(
+            F.when(
+                (F.col("n") >= 2)
+                & (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") != 0),
+                (
+                    F.lit(-1_000_000)
+                    * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                ).cast("double")
+                / (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")),
+            ).alias("half_life_days")
+        )
+    )
+    out = pts.crossJoin(hl).select(
+        "k",
+        "n_eligible",
+        "n_retained",
+        (F.col("n_retained").cast("double") / F.col("n_eligible")).alias(
+            "retention"
+        ),
+        "half_life_days",
+    )
+    out = out.persist()
+    out.count()
+    act.unpersist()
+    pts.unpersist()
+    return out

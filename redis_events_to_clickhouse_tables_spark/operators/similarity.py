@@ -1758,3 +1758,158 @@ def sim_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = "0.7"
+_MMR_1ML = "0.3"
+
+
+def _mmr_sql() -> str:
+    cos_q = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[],"
+        " a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[])))"
+    )
+    stages = [
+        f"""
+    sel1 AS (
+      SELECT CAST(1 AS INTEGER) AS pick_order, c_id, cosine,
+             {_MMR_LAMBDA} * cosine AS mmr_score
+      FROM cand ORDER BY cosine DESC, c_id LIMIT 1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT c_id FROM sel{i}" for i in range(1, k)
+        )
+        stages.append(
+            f"""
+    sel{k} AS (
+      SELECT CAST({k} AS INTEGER) AS pick_order, d.c_id, d.cosine,
+             {_MMR_LAMBDA} * d.cosine - {_MMR_1ML} * (
+               SELECT MAX(p.cos) FROM pc p
+               WHERE p.x = d.c_id AND p.y IN ({prev})) AS mmr_score
+      FROM cand d
+      WHERE d.c_id NOT IN ({prev})
+      ORDER BY mmr_score DESC, d.c_id LIMIT 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH cand AS (
+      SELECT c_id, cosine FROM (
+        SELECT b.vec_id AS c_id, {cos_q} AS cosine,
+               ROW_NUMBER() OVER (ORDER BY {cos_q} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        WHERE a.vec_id = 0) t
+      WHERE rk <= {_MMR_POOL}),
+    pc AS (
+      SELECT a.vec_id AS x, b.vec_id AS y, {_SQL_COSINE} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id IN (SELECT c_id FROM cand)
+        AND b.vec_id IN (SELECT c_id FROM cand)),
+    {",".join(stages)}
+    {final}
+    """
+
+
+@query("sim_mmr_diversified_topk", oracle=_mmr_sql())
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily pick 5 of the query's
+    top-20 cosine candidates, each round maximizing
+    0.7·sim(query, d) − 0.3·max_{s∈selected} sim(d, s) — the
+    diversified retrieval / diverse-exemplar-sampling operator that
+    plain top-k (``sim_bruteforce_topk``) lacks: near-duplicate
+    candidates can't all win because the second one pays its
+    similarity to the first.
+
+    Shape: one broadcast corpus scan finds the pool (global
+    TakeOrdered — no window), then EVERYTHING is model-level: the
+    20×20 candidate cosine matrix and five greedy rounds of
+    anti-join → max-sim aggregate → TakeOrdered(1), chained lazily
+    over broadcast-sized frames (the oracle unrolls the same five
+    stages as CTEs). Determinism: cosines are the shared
+    left-to-right ``_dot`` fold; the MMR score is one shared
+    expression tree; every argmax carries the c_id tiebreak.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_emb"), _norm("embedding").alias("q_norm")
+        )
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            "embedding",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * F.col("q_norm"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "c_id")
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    ca = cand.select(
+        F.col("c_id").alias("x"),
+        F.col("embedding").alias("ea"),
+    )
+    cb = cand.select(
+        F.col("c_id").alias("y"), F.col("embedding").alias("eb")
+    )
+    pc = (
+        ca.join(F.broadcast(cb), F.col("x") != F.col("y"))
+        .select(
+            "x",
+            "y",
+            (_dot("ea", "eb") / (_norm("ea") * _norm("eb"))).alias("cos"),
+        )
+        .persist()
+    )
+    lam, oml = F.lit(0.7), F.lit(0.3)
+    selected = (
+        cand.orderBy(F.desc("cosine"), "c_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("pick_order"),
+            "c_id",
+            "cosine",
+            (lam * F.col("cosine")).alias("mmr_score"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        rem = cand.join(selected.select("c_id"), "c_id", "left_anti")
+        ms = (
+            pc.join(
+                selected.select(F.col("c_id").alias("y")), "y"
+            )
+            .groupBy("x")
+            .agg(F.max("cos").alias("maxsim"))
+        )
+        pick = (
+            rem.join(ms, rem["c_id"] == ms["x"])
+            .select(
+                F.lit(k).cast("int").alias("pick_order"),
+                "c_id",
+                "cosine",
+                (lam * F.col("cosine") - oml * F.col("maxsim")).alias(
+                    "mmr_score"
+                ),
+            )
+            .orderBy(F.desc("mmr_score"), "c_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick)
+    out = selected.persist()
+    out.count()
+    cand.unpersist()
+    pc.unpersist()
+    return out

@@ -35,7 +35,7 @@ from ..functions.numeric import dec
 from ..functions.ranks import global_rank_desc
 from ..registry import query
 from ..session import tune
-from ..sources.tables import table
+from ..sources.tables import fanout, table
 
 
 # --------------------------------------------------------------------
@@ -772,4 +772,75 @@ def jsd_from_counts(cnt: DataFrame) -> DataFrame:
     )
     return n_chars.crossJoin(F.broadcast(agg)).select(
         F.col("nc").cast("long").alias("n_chars"), "jsd_bits"
+    )
+
+
+_BURSTY_TOPK = 50
+
+
+@query(
+    "text_token_burstiness",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, w AS token, COUNT(*) AS k
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> '' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT token, CAST(SUM(k) AS BIGINT) AS tf,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0))) AS sk2
+      FROM c GROUP BY 1
+    )
+    SELECT token, tf, df,
+           CAST(tf AS DOUBLE) / df AS mean_per_doc,
+           (CAST(sk2 AS DOUBLE) / df
+            - (CAST(tf AS DOUBLE) / df) * (CAST(tf AS DOUBLE) / df))
+           / (CAST(tf AS DOUBLE) / df) AS fano
+    FROM p
+    ORDER BY tf DESC, token ASC
+    LIMIT 50
+    """,
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale): for the top-50 corpus tokens,
+    the mean occurrences per CONTAINING document (tf/df — 1.0 means
+    the token appears once wherever it appears; content words run
+    high, function words low) and the Fano factor of the per-doc
+    count distribution (population var/mean; 1.0 = Poisson, >1 =
+    bursty). The term-level dispersion diagnostic behind stopword
+    and keyword heuristics — the lexical sibling of
+    ``stats_overdispersion_index``.
+
+    One corpus explode into a (doc, token) count aggregate whose
+    shuffle key space is the vocabulary (Heaps-sublinear), then
+    per-token integer power sums (Σk² in DECIMAL(38,0) — a boilerplate
+    token in every doc of a 100-TB corpus would wrap int64); the
+    var/mean tail is one shared double expression tree. Top-50 is a
+    total order (tf desc, token asc) via TakeOrdered.
+    """
+    tune(spark)
+    d = fanout(table(spark, sf_dir, "documents"))
+    c = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    p = c.groupBy("token").agg(
+        F.sum("k").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(
+            F.col("k").cast("decimal(19,0)") * F.col("k").cast("decimal(19,0)")
+        ).alias("sk2"),
+    )
+    mean = F.col("tf").cast("double") / F.col("df")
+    fano = (F.col("sk2").cast("double") / F.col("df") - mean * mean) / mean
+    return (
+        p.select("token", "tf", "df", mean.alias("mean_per_doc"),
+                 fano.alias("fano"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(_BURSTY_TOPK)
     )

@@ -1889,3 +1889,97 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_rs"),
         "hurst",
     )
+
+
+_SEAS_FP = 1_000_000_000  # 1e-9 quantum for detrended ratios
+
+
+@query(
+    "timeseries_seasonal_decompose_monthly",
+    oracle=f"""
+    WITH m AS (
+      SELECT (YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS t,
+             MONTH(o_orderdate) AS moy,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT a.t, a.moy, a.cents,
+             CAST(SUM(CASE WHEN ABS(b.t - a.t) = 6 THEN b.cents
+                           ELSE 2 * b.cents END) AS BIGINT) AS trend24,
+             CAST(SUM(CASE WHEN ABS(b.t - a.t) = 6 THEN 1 ELSE 2 END)
+               AS BIGINT) AS wsum
+      FROM m a JOIN m b ON ABS(b.t - a.t) <= 6
+      GROUP BY 1, 2, 3
+    ),
+    ratio AS (
+      SELECT moy,
+             CAST(FLOOR(CAST(cents AS DOUBLE) * 24 / trend24 * {_SEAS_FP})
+               AS BIGINT) AS rq
+      FROM win WHERE wsum = 24 AND trend24 > 0
+    )
+    SELECT moy AS month_of_year, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(rq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {_SEAS_FP})
+             AS seasonal_index
+    FROM ratio GROUP BY 1
+    """,
+)
+def timeseries_seasonal_decompose_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of monthly
+    order revenue: trend = the textbook 2x12 centered moving average
+    (half-weight end months), seasonal index per calendar month = the
+    mean revenue/trend ratio across all complete windows — the
+    "is December really bigger" table, complementing
+    ``timeseries_seasonal_profile``'s hour-of-week shape and
+    ``timeseries_periodogram_daily``'s frequency view.
+
+    Exactness: monthly revenue reduces to integer cents; the 2x12 MA
+    is kept as its exact INTEGER numerator (trend*24 = sum of
+    weighted cents — never a running float mean), each ratio is ONE
+    double division then floor-quantized to a 1e-9 long, and the
+    cross-year mean is an exact integer sum (order-independent).
+    Shape: the monthly frame is model-level (one row per month — a
+    broadcast self-join over +-6 months, no window at all, so
+    nothing global); the corpus contributes one map-side aggregate.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = m.select(
+        F.col("t").alias("ta"), F.col("moy").alias("moy"), F.col("cents").alias("ca")
+    )
+    b = m.select(F.col("t").alias("tb"), F.col("cents").alias("cb"))
+    w = F.when(F.abs(F.col("tb") - F.col("ta")) == 6, 1).otherwise(2)
+    win = (
+        a.join(F.broadcast(b), F.abs(F.col("tb") - F.col("ta")) <= 6)
+        .groupBy("ta", "moy", "ca")
+        .agg(
+            F.sum(w * F.col("cb")).cast("long").alias("trend24"),
+            F.sum(w).cast("long").alias("wsum"),
+        )
+    )
+    ratio = win.filter((F.col("wsum") == 24) & (F.col("trend24") > 0)).select(
+        "moy",
+        F.floor(
+            F.col("ca").cast("double") * 24 / F.col("trend24") * _SEAS_FP
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    return ratio.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        (
+            F.sum("rq").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(_SEAS_FP))
+        ).alias("seasonal_index"),
+    )

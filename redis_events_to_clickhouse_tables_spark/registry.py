@@ -184,6 +184,10 @@ _EXTERNALLY_VERIFIED = frozenset(
 # round-6 queries are appended at the FRONT of this tuple as they are
 # added, so they get sampled too.
 _SAMPLE_PRIORITY = (
+    "sim_mmr_diversified_topk",
+    "timeseries_seasonal_decompose_monthly",
+    "events_retention_halflife",
+    "text_token_burstiness",
     "eval_mrr_recall_bm25",
     "sample_systematic_every_k",
     "asof_nearest_click_tolerance",
