@@ -114,29 +114,43 @@ def _bfs_round(cur: str, nxt: str) -> str:
 def graph_bfs_hops_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the near-dup candidate graph: minimum hop
     distance (<= 3 rounds) from the seed set {doc_id % 10 == 0} —
-    reachability triage for duplication families. Each round unions
-    the frontier's neighbor expansion with the standing distances and
-    takes the per-node MIN; all-integer arithmetic, so rounds are
-    exact and the 3 fixed rounds chain into ONE lazy job (the
+    reachability triage for duplication families. All-integer
+    arithmetic; the oracle unrolls the same rounds as CTEs (the
     fixed-iteration doctrine of ``graph_pagerank_neardup``)."""
     tune(spark)
     edges = _edges(spark, sf_dir)
-    dist = (
+    seeds = (
         edges.select(F.col("s").alias("v"))
         .distinct()
         .filter(F.col("v") % _SEED_MOD == 0)
         .select("v", F.lit(0).cast("int").alias("hops"))
     )
+    # Frontier-chain shape: each round expands ONLY the previous
+    # level's frontier (single-use recurrence — the PageRank
+    # lazy-chain doctrine applies cleanly, unlike a standing-distance
+    # formulation whose dual reads double the plan per round), and
+    # the final per-node MIN over all levels IS the BFS distance
+    # because level k only ever holds values k. One job, linear plan,
+    # one tiny (node, hops) shuffle per round.
+    levels = [seeds]
+    frontier = seeds
     for _ in range(_BFS_ROUNDS):
-        expanded = edges.join(
-            dist.withColumnRenamed("v", "s"), "s"
-        ).select(F.col("d").alias("v"), (F.col("hops") + 1).alias("hops"))
-        dist = (
-            dist.unionAll(expanded)
+        frontier = (
+            edges.join(frontier.withColumnRenamed("v", "s"), "s")
+            .select(F.col("d").alias("v"), (F.col("hops") + 1).alias("hops"))
             .groupBy("v")
             .agg(F.min("hops").cast("int").alias("hops"))
         )
-    out = dist.select(F.col("v").alias("doc_id"), "hops").persist()
+        levels.append(frontier)
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionAll(lv)
+    out = (
+        dist.groupBy("v")
+        .agg(F.min("hops").cast("int").alias("hops"))
+        .select(F.col("v").alias("doc_id"), "hops")
+        .persist()
+    )
     out.count()
     edges.unpersist()
     return out

@@ -1875,29 +1875,30 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     lam, oml = F.lit(0.7), F.lit(0.3)
-    selected = (
+    # Greedy rounds materialize ONE row each to the driver (an O(k)
+    # scalar collect — the bounded-collect doctrine) and the growing
+    # "selected" set is re-fed as a literal frame: a fully lazy chain
+    # reads `selected` three times per round, which cubes the plan
+    # (observed: 244 broadcast-join nodes for 5 rounds). With literal
+    # picks every round is one flat job over the cached 20-row pool.
+    first = (
         cand.orderBy(F.desc("cosine"), "c_id")
         .limit(1)
-        .select(
-            F.lit(1).cast("int").alias("pick_order"),
-            "c_id",
-            "cosine",
-            (lam * F.col("cosine")).alias("mmr_score"),
-        )
+        .select("c_id", "cosine", (lam * F.col("cosine")).alias("mmr_score"))
+        .collect()[0]
     )
+    picks = [(1, first["c_id"], first["cosine"], first["mmr_score"])]
     for k in range(2, _MMR_K + 1):
-        rem = cand.join(selected.select("c_id"), "c_id", "left_anti")
+        sel_ids = [p[1] for p in picks]
+        rem = cand.filter(~F.col("c_id").isin(sel_ids))
         ms = (
-            pc.join(
-                selected.select(F.col("c_id").alias("y")), "y"
-            )
+            pc.filter(F.col("y").isin(sel_ids))
             .groupBy("x")
             .agg(F.max("cos").alias("maxsim"))
         )
-        pick = (
+        row = (
             rem.join(ms, rem["c_id"] == ms["x"])
             .select(
-                F.lit(k).cast("int").alias("pick_order"),
                 "c_id",
                 "cosine",
                 (lam * F.col("cosine") - oml * F.col("maxsim")).alias(
@@ -1906,10 +1907,11 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("mmr_score"), "c_id")
             .limit(1)
+            .collect()[0]
         )
-        selected = selected.unionByName(pick)
-    out = selected.persist()
-    out.count()
+        picks.append((k, row["c_id"], row["cosine"], row["mmr_score"]))
     cand.unpersist()
     pc.unpersist()
-    return out
+    return spark.createDataFrame(
+        picks, "pick_order int, c_id long, cosine double, mmr_score double"
+    )
