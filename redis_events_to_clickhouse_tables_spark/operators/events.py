@@ -1387,3 +1387,145 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     act.unpersist()
     pts.unpersist()
     return out
+
+
+_ENT_ILOG = "CAST(FLOOR(log2(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type AS s, next_type AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2),
+    t AS (SELECT s, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY s),
+    pq AS (SELECT c.s, c.d, n * {_MK_FP} // total AS pq
+           FROM c JOIN t USING (s)),
+    k AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS kk FROM c),
+    p0 AS (SELECT DISTINCT s AS v, {_MK_FP} // kk AS pi FROM c, k),
+    {_mk_iter_sql("p0", "p1")},
+    {_mk_iter_sql("p1", "p2")},
+    {_mk_iter_sql("p2", "p3")},
+    z AS (SELECT CAST(SUM(pi) AS BIGINT) AS zz FROM p3),
+    num AS (
+      SELECT c.s,
+             SUM(CAST(c.n AS DECIMAL(19,0))
+                 * ({_ENT_ILOG.format(x="t.total")}
+                    - {_ENT_ILOG.format(x="c.n")})) AS num
+      FROM c JOIN t USING (s) GROUP BY c.s),
+    terms AS (
+      SELECT CAST(FLOOR(CAST(p3.pi AS DOUBLE) * CAST(num.num AS DOUBLE)
+                        * 1000000
+                        / (CAST(z.zz AS DOUBLE) * CAST(t.total AS DOUBLE)))
+               AS BIGINT) AS q
+      FROM p3 JOIN num ON num.s = p3.v JOIN t ON t.s = p3.v, z)
+    SELECT k.kk AS n_states,
+           CAST(SUM(terms.q) AS DOUBLE) / 1e12 AS entropy_rate_bits,
+           CAST({_ENT_ILOG.format(x="k.kk")} AS DOUBLE) / 1e6
+             AS max_entropy_bits,
+           (CAST(SUM(terms.q) AS DOUBLE) / 1e12)
+             / (CAST({_ENT_ILOG.format(x="k.kk")} AS DOUBLE) / 1e6)
+             AS efficiency
+    FROM terms, k GROUP BY k.kk
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain:
+    H = Σ_i π_i · H(next | state i) in bits per step, with π from the
+    same 3-iteration fixed-point power method as
+    ``events_markov_stationary`` — how PREDICTABLE the next user
+    action is in steady state (0 = deterministic journeys, log2(K) =
+    uniform chaos), reported with the ceiling and the H/ceiling
+    efficiency. The chain-level summary the per-user
+    ``events_user_type_entropy`` doesn't give.
+
+    Exactness composition: π is already exact fixed-point int64; each
+    row entropy's numerator Σ n·(ilog(total)−ilog(n)) is an exact
+    DECIMAL(38,0) of 1e-6-quantized logs (``textstats.py``
+    discipline); the π-weighted combination evaluates one shared
+    double expression per state, floor-quantized to 1e-12 longs so
+    the final K-row sum is order-independent. Only the LEAD window
+    (user-partitioned) touches corpus-scale data.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    c = seq.groupBy("s", "d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = c.persist()
+    t = c.groupBy("s").agg(F.sum("n").cast("long").alias("total"))
+    pq = c.join(t, "s").select(
+        "s", "d", F.expr(f"n * {_MK_FP} div total").alias("pq")
+    )
+    k = F.broadcast(c.agg(F.countDistinct("s").cast("long").alias("kk")))
+    pi = (
+        c.select("s").distinct()
+        .crossJoin(k)
+        .select(F.col("s").alias("v"), F.expr(f"{_MK_FP} div kk").alias("pi"))
+    )
+    for _ in range(_MK_ITERS):
+        pi = (
+            pq.join(pi.withColumnRenamed("v", "s"), "s")
+            .groupBy("d")
+            .agg(
+                F.expr(f"sum(pi * pq) div {_MK_FP}").cast("long").alias("pi")
+            )
+            .select(F.col("d").alias("v"), "pi")
+        )
+    z = F.broadcast(pi.agg(F.sum("pi").cast("long").alias("zz")))
+    ilog = lambda col: F.floor(
+        F.log2(col.cast("double")) * F.lit(1_000_000)
+    ).cast("long")
+    num = (
+        c.join(t, "s")
+        .groupBy("s")
+        .agg(
+            F.sum(
+                F.col("n").cast("decimal(19,0)")
+                * (ilog(F.col("total")) - ilog(F.col("n")))
+            ).alias("num")
+        )
+    )
+    terms = (
+        pi.join(num, pi["v"] == num["s"])
+        .join(t, "s")
+        .crossJoin(z)
+        .select(
+            F.floor(
+                F.col("pi").cast("double")
+                * F.col("num").cast("double")
+                * F.lit(1_000_000)
+                / (F.col("zz").cast("double") * F.col("total").cast("double"))
+            )
+            .cast("long")
+            .alias("q")
+        )
+    )
+    maxent = ilog(F.col("kk")).cast("double") / F.lit(1e6)
+    out = (
+        terms.crossJoin(k)
+        .groupBy("kk")
+        .agg(F.sum("q").alias("sq"))
+        .select(
+            F.col("kk").alias("n_states"),
+            (F.col("sq").cast("double") / F.lit(1e12)).alias(
+                "entropy_rate_bits"
+            ),
+            maxent.alias("max_entropy_bits"),
+            (
+                (F.col("sq").cast("double") / F.lit(1e12)) / maxent
+            ).alias("efficiency"),
+        )
+        .persist()
+    )
+    out.count()
+    c.unpersist()
+    return out

@@ -1031,3 +1031,51 @@ def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_BAL_HASH = DUCKDB_MD5_LONG("CAST(doc_id AS VARCHAR)", salt="bal")
+
+
+@query(
+    "sample_class_balanced_downsample",
+    oracle=f"""
+    WITH sizes AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n) AS m FROM sizes),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_BAL_HASH}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r, m WHERE rk <= m.m
+    """,
+)
+def sample_class_balanced_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-balanced downsampling: keep exactly min-class-size
+    documents PER LANGUAGE, selected by deterministic salted-hash
+    order — the uniform-without-replacement per-class subsample that
+    equalizes a skewed label distribution before training (the
+    hard-quota sibling of ``sample_temperature_by_lang``'s soft
+    reweighting). Every class ends up the same size by construction.
+
+    Shape: per-class counts are one map-side aggregate; the min class
+    size is an O(#classes) driver scalar (bounded-collect doctrine);
+    per-class selection rides :func:`bottomk_per_group` — the hash
+    cutoff keeps ~c0·k rows per class out of the scan, so no class's
+    full row set ever streams through one window task, and the probe
+    loop guarantees EXACT plain-window semantics (which is what the
+    oracle expresses).
+    """
+    tune(spark)
+    from ..functions.ranks import bottomk_per_group
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", md5_long(F.col("doc_id").cast("string"), salt="bal").alias("h")
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    m = min(r["__n"] for r in counts.collect())
+    kept = bottomk_per_group(d, ["lang"], "h", ["doc_id"], int(m), counts=counts)
+    return kept.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
