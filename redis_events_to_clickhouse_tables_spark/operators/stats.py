@@ -1894,3 +1894,124 @@ def stats_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         disp.alias("dispersion"),
         ((F.col("n_users") - 1) * disp).alias("chi2_stat"),
     )
+
+
+@query(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    rn AS (SELECT event_type, c,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS r
+           FROM v),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM v GROUP BY 1),
+    med AS (SELECT rn.event_type, rn.c AS med
+            FROM rn JOIN nn USING (event_type)
+            WHERE rn.r = (nn.n + 1) // 2),
+    z AS (SELECT v.event_type, ABS(v.c - med.med) AS z
+          FROM v JOIN med USING (event_type)),
+    g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(z) AS BIGINT) AS sz,
+                 SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+                   AS szz
+          FROM z GROUP BY 1),
+    q AS (SELECT ng, sz, szz,
+                 CAST(FLOOR(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                            / CAST(ng AS DOUBLE) * 1000000) AS BIGINT) AS qg
+          FROM g),
+    tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(sz) AS BIGINT) AS stot,
+                   CAST(SUM(szz) AS DECIMAL(38,0)) AS szztot,
+                   CAST(SUM(qg) AS BIGINT) AS sq
+            FROM q)
+    SELECT n AS n_obs, k AS n_groups,
+           ((CAST(sq AS DOUBLE) / 1e6
+             - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (k - 1))
+           / ((CAST(szztot AS DOUBLE) - CAST(sq AS DOUBLE) / 1e6) / (n - k))
+             AS bf_statistic
+    FROM tot
+    """,
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (the median-based robust Levene variant)
+    for variance homogeneity across event types: one-way ANOVA on the
+    absolute deviations from each group's median — the
+    heteroscedasticity GATE a user should check before trusting
+    ``stats_anova_f_priority``/``stats_welch_t_test`` variance
+    assumptions. Median = the exact lower-median order statistic
+    ceil(n/2) (integer, interpolation-free — the cross-engine-safe
+    convention), via the sketch-bracketed exact selection primitive.
+
+    Exactness: deviations are integer cents; per-group Σz in int64 and
+    Σz² in DECIMAL(38,0); the one cross-group sum of non-rationals
+    (Σ sz_g²/n_g) floor-quantizes each group's term to a 1e-6 long
+    first, so every aggregate is order-independent and the F-ratio is
+    a single shared double expression tree.
+    """
+    tune(spark)
+    from ..functions.quantiles import exact_quantile_values_per_group
+
+    v = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+        )
+    )
+    v = v.persist()
+    med = exact_quantile_values_per_group(
+        v, ["event_type"], "c", [("med", 1, 2)]
+    ).select("event_type", F.col("value").cast("long").alias("med"))
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(
+            F.col("z").cast("decimal(19,0)") * F.col("z").cast("decimal(19,0)")
+        ).alias("szz"),
+    )
+    q = g.select(
+        "ng",
+        "sz",
+        "szz",
+        F.floor(
+            F.col("sz").cast("double")
+            * F.col("sz").cast("double")
+            / F.col("ng").cast("double")
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("qg"),
+    )
+    tot = q.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sz").cast("long").alias("stot"),
+        F.sum("szz").cast("decimal(38,0)").alias("szztot"),
+        F.sum("qg").cast("long").alias("sq"),
+    )
+    num = (
+        F.col("sq").cast("double") / F.lit(1e6)
+        - F.col("stot").cast("double")
+        * F.col("stot").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("k") - 1)
+    den = (
+        F.col("szztot").cast("double") - F.col("sq").cast("double") / F.lit(1e6)
+    ) / (F.col("n") - F.col("k"))
+    out = tot.select(
+        F.col("n").alias("n_obs"),
+        F.col("k").alias("n_groups"),
+        (num / den).alias("bf_statistic"),
+    )
+    out = out.persist()
+    out.count()
+    v.unpersist()
+    return out

@@ -521,3 +521,77 @@ def asof_nearest_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("direction"),
         F.when(pick_b, F.col("db")).when(ef, F.col("df")).alias("dist_us"),
     )
+
+
+_BURST_WIN_SEC = 60
+_BURST_MIN = 3
+
+
+@query(
+    "events_burst_rate_violations",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, ts FROM events
+               WHERE user_id IS NOT NULL)
+    SELECT a.user_id, CAST(MAX(cnt) AS BIGINT) AS max_burst
+    FROM (
+      SELECT a.user_id, a.event_id, COUNT(*) AS cnt
+      FROM e a JOIN e b
+        ON b.user_id = a.user_id
+       AND b.ts >= a.ts
+       AND b.ts < a.ts + INTERVAL {_BURST_WIN_SEC} SECOND
+      GROUP BY a.user_id, a.event_id
+    ) a
+    GROUP BY a.user_id
+    HAVING MAX(cnt) >= {_BURST_MIN}
+    """,
+)
+def events_burst_rate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-anchored burst detection: each user's maximum event count
+    inside ANY 60-second window (windows anchored at each event — the
+    exact sliding-max a fixed-grid window underestimates when a burst
+    straddles grid lines), reporting users whose peak rate hits the
+    threshold. The rate-limiter / bot-burst audit;
+    ``events_sliding_windows``' grid is the cheap approximation, this
+    is the exact form.
+
+    Shape: the same bounded bin join as ``range_join_error_context``
+    — each probe event explodes to the two 60-s bins its forward
+    window can touch, the build side buckets once, and the join is an
+    equi hash join on (user, bin) with the exact range predicate as a
+    post-filter. Candidate pairs are bounded by per-bin occupancy;
+    counts and the per-user max are exact integers (no float doctrine
+    needed at all).
+    """
+    tune(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
+    bin_of = F.floor(F.unix_timestamp("ts") / _BURST_WIN_SEC)
+    probe = ev.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.explode(F.array(bin_of, bin_of + 1)).alias("bin"),
+    )
+    build = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        bin_of.alias("bin"),
+    )
+    upper = F.col("p_ts") + F.expr(f"INTERVAL {_BURST_WIN_SEC} SECONDS")
+    cnt = (
+        probe.join(
+            build,
+            (probe.bin == build.bin) & (F.col("p_user") == F.col("b_user")),
+        )
+        .filter((F.col("b_ts") >= F.col("p_ts")) & (F.col("b_ts") < upper))
+        .groupBy("p_user", "p_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cnt.groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.max("cnt").cast("long").alias("max_burst"))
+        .filter(F.col("max_burst") >= _BURST_MIN)
+    )
