@@ -1316,6 +1316,14 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
+    return retention_from_activity(spark, act)
+
+
+def retention_from_activity(spark: SparkSession, act: DataFrame) -> DataFrame:
+    """The retention-curve + half-life algebra over distinct
+    (user_id, d) activity cells — shared verbatim by the batch query
+    above and ``streaming/retention.py``'s continuous maintainer (their
+    parity test pins bit-equality)."""
     act = act.persist()
     first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
     mx = F.broadcast(act.agg(F.max("d").alias("m")))
