@@ -1466,3 +1466,89 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("rk") - 1) % _SYS_STEP == 0).select(
         "doc_id", "n_chars", "rk"
     )
+
+
+_PVM_Y1, _PVM_Y2 = 1995, 1996
+
+
+@query(
+    "orders_price_volume_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT p.p_brand AS brand, YEAR(l.l_shipdate) AS y,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE YEAR(l.l_shipdate) IN ({_PVM_Y1}, {_PVM_Y2})
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.brand, a.q AS q1, a.rev AS rev1, b.q AS q2, b.rev AS rev2
+      FROM base a JOIN base b ON b.brand = a.brand
+      WHERE a.y = {_PVM_Y1} AND b.y = {_PVM_Y2}
+    )
+    SELECT brand, q1, q2, rev1, rev2,
+           rev2 - rev1 AS delta_cents,
+           (CAST(rev2 AS DOUBLE) / q2 - CAST(rev1 AS DOUBLE) / q1) * q1
+             AS price_effect_cents,
+           (CAST(rev1 AS DOUBLE) / q1) * (q2 - q1) AS volume_effect_cents,
+           (CAST(rev2 AS DOUBLE) / q2 - CAST(rev1 AS DOUBLE) / q1)
+             * (q2 - q1) AS mix_effect_cents
+    FROM j
+    """,
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition of year-over-year revenue per
+    brand (1995 -> 1996): Δrevenue split into the price effect
+    ((p2−p1)·q1), the volume effect (p1·Δq), and the joint/mix term
+    ((p2−p1)·Δq), which reconstruct the exact delta by construction —
+    the standard FP&A bridge ("did we sell more, or sell dearer?")
+    that none of the TPC-H aggregates express.
+
+    Shape: one (brand, year) aggregate over the fact table (exact
+    integer units and cents), then a model-level brand self-join.
+    Unit prices are rationals of exact integers; each effect is one
+    shared double expression, and ``delta_cents`` stays pure integer
+    so the decomposition's completeness is auditable row by row.
+    """
+    tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        l.filter(F.year("l_shipdate").isin(_PVM_Y1, _PVM_Y2))
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev"),
+        )
+    )
+    a = base.filter(F.col("y") == _PVM_Y1).select(
+        "brand",
+        F.col("q").alias("q1"),
+        F.col("rev").alias("rev1"),
+    )
+    b = base.filter(F.col("y") == _PVM_Y2).select(
+        "brand",
+        F.col("q").alias("q2"),
+        F.col("rev").alias("rev2"),
+    )
+    p1 = F.col("rev1").cast("double") / F.col("q1")
+    p2 = F.col("rev2").cast("double") / F.col("q2")
+    return a.join(b, "brand").select(
+        "brand",
+        "q1",
+        "q2",
+        "rev1",
+        "rev2",
+        (F.col("rev2") - F.col("rev1")).alias("delta_cents"),
+        ((p2 - p1) * F.col("q1")).alias("price_effect_cents"),
+        (p1 * (F.col("q2") - F.col("q1"))).alias("volume_effect_cents"),
+        ((p2 - p1) * (F.col("q2") - F.col("q1"))).alias("mix_effect_cents"),
+    )

@@ -2015,3 +2015,107 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     v.unpersist()
     return out
+
+
+@query(
+    "stats_cohens_d_matrix",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT) AS DECIMAL(19,0))
+                 * CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                             AS BIGINT) AS DECIMAL(19,0))) AS q
+      FROM orders GROUP BY 1
+    )
+    SELECT a.prio AS prio_a, b.prio AS prio_b, a.n AS n_a, b.n AS n_b,
+           (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100
+             AS mean_diff,
+           ((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+            / SQRT(((CAST(a.q AS DOUBLE)
+                     - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+                    + (CAST(b.q AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n))
+                   / (a.n + b.n - 2))) AS cohens_d,
+           ((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+            / SQRT(((CAST(a.q AS DOUBLE)
+                     - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+                    + (CAST(b.q AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n))
+                   / (a.n + b.n - 2)))
+           * (1 - CAST(3 AS DOUBLE) / (4 * (a.n + b.n) - 9)) AS hedges_g
+    FROM g a JOIN g b ON a.prio < b.prio
+    """,
+)
+def stats_cohens_d_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for every pair of order priorities:
+    Cohen's d (mean difference over the pooled standard deviation) and
+    the small-sample Hedges' g correction — the MAGNITUDE companion
+    to the significance tests (``stats_welch_t_test``,
+    ``stats_anova_f_priority``): with 100-TB row counts everything is
+    "significant"; effect size is the number that still means
+    something.
+
+    One aggregate produces every group's exact power sums (cents in
+    int64, squares in DECIMAL(38,0)); the pairwise table is a
+    broadcast self-join of the 5-row model frame, and d/g are one
+    shared double expression tree per pair.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 14) * 100).cast("long")
+    g = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(
+            cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
+        ).alias("q"),
+    )
+    a = g.select(
+        F.col("prio").alias("prio_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = g.select(
+        F.col("prio").alias("prio_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    mean_diff = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    )
+    ssq = (
+        F.col("q_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+        / F.col("n_a")
+    ) + (
+        F.col("q_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+        / F.col("n_b")
+    )
+    d = mean_diff / F.sqrt(ssq / (F.col("n_a") + F.col("n_b") - 2))
+    return (
+        a.join(F.broadcast(b), F.col("prio_a") < F.col("prio_b"))
+        .select(
+            "prio_a",
+            "prio_b",
+            "n_a",
+            "n_b",
+            (mean_diff / 100).alias("mean_diff"),
+            d.alias("cohens_d"),
+            (
+                d
+                * (
+                    1
+                    - F.lit(3).cast("double")
+                    / (4 * (F.col("n_a") + F.col("n_b")) - 9)
+                )
+            ).alias("hedges_g"),
+        )
+    )
