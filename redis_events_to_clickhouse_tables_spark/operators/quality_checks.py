@@ -296,3 +296,89 @@ def dq_events_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "event_day", "n_rows", *rule_cols, viol.alias("n_violations")
     ).orderBy("event_day")
+
+
+_PROFILE_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def _nulls_sql() -> str:
+    parts = []
+    for t, cols in _PROFILE_COLS.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+                f" CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*)"
+                f" AS null_rate"
+                f" FROM {t}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_null_profile_all_tables", oracle=_nulls_sql())
+def dq_null_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide completeness profile: one row per (table,
+    column) across ALL ten tables with its row count, null count, and
+    null rate — the first report a data-quality dashboard renders and
+    the baseline every per-table rule set (``dq_events_rules``,
+    ``profile_orders_columns``) refines.
+
+    Shape: one map-side aggregate PER TABLE (each computes every
+    column's null count in a single pass — no per-column scans), then
+    a union of 1-row frames; nothing shuffles more than aggregate
+    partials. Column lists are the fixed testdata schema contract,
+    identical in both engines. Counts are exact integers; the rate is
+    one division.
+    """
+    tune(spark)
+    frames = []
+    for t, cols in _PROFILE_COLS.items():
+        df = table(spark, sf_dir, t)
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__n_{c}")
+                for c in cols
+            ],
+        )
+        stack = ", ".join(f"'{c}', __n_{c}" for c in cols)
+        frames.append(
+            agg.select(
+                F.lit(t).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {stack}) AS (column_name, n_nulls)"
+                ),
+                "n_rows",
+            ).select(
+                "table_name",
+                "column_name",
+                "n_rows",
+                "n_nulls",
+                (F.col("n_nulls").cast("double") / F.col("n_rows")).alias(
+                    "null_rate"
+                ),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

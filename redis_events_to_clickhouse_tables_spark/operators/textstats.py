@@ -844,3 +844,125 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(_BURSTY_TOPK)
     )
+
+
+@query(
+    "text_js_divergence_lang_matrix",
+    oracle="""
+    WITH chars AS (
+      SELECT lang, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0),
+    cl AS (SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+           FROM chars GROUP BY 1, 2),
+    nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY 1),
+    alpha AS (SELECT DISTINCT ch FROM cl),
+    grid AS (
+      SELECT nl.lang, nl.n, alpha.ch, COALESCE(cl.c, 0) AS c
+      FROM nl CROSS JOIN alpha
+      LEFT JOIN cl ON cl.lang = nl.lang AND cl.ch = alpha.ch),
+    terms AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.c AS ca, b.c AS cb,
+             a.n AS na, b.n AS nb,
+             CASE WHEN a.c > 0 THEN CAST(FLOOR(log2(
+               (2.0 * CAST(a.c AS DOUBLE) * b.n)
+               / (CAST(a.c AS DOUBLE) * b.n + CAST(b.c AS DOUBLE) * a.n)
+             ) * 1000000) AS BIGINT) ELSE 0 END AS la6,
+             CASE WHEN b.c > 0 THEN CAST(FLOOR(log2(
+               (2.0 * CAST(b.c AS DOUBLE) * a.n)
+               / (CAST(a.c AS DOUBLE) * b.n + CAST(b.c AS DOUBLE) * a.n)
+             ) * 1000000) AS BIGINT) ELSE 0 END AS lb6
+      FROM grid a JOIN grid b ON a.ch = b.ch AND a.lang < b.lang)
+    SELECT lang_a, lang_b,
+           CAST(SUM(ca * la6) AS DOUBLE) / (2000000.0 * MIN(na))
+             + CAST(SUM(cb * lb6) AS DOUBLE) / (2000000.0 * MIN(nb))
+             AS jsd_bits
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def text_js_divergence_lang_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the character
+    distributions of EVERY language pair — the full drift matrix whose
+    single en-vs-rest cell is ``text_js_divergence_en_rest``; the
+    input a curator reads to decide which languages can share
+    normalization/tokenizer settings and which need their own.
+
+    Scale: the corpus contributes ONE (lang, char) count aggregate;
+    everything after is algebra on the (languages x alphabet) grid —
+    a model-level frame at any corpus size. Same determinism doctrine
+    as the pairwise query: each KL term is one IEEE division of exact
+    integer cross-products, floor(log2*1e6)-quantized per cell, and
+    the per-pair sums are exact integer dot products.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cl = (
+        fanout(d)
+        .select("lang", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    nl = cl.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    alpha = cl.select("ch").distinct()
+    grid = (
+        nl.crossJoin(F.broadcast(alpha))
+        .join(cl, ["lang", "ch"], "left")
+        .select(
+            "lang", "n", "ch", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    a = grid.select(
+        F.col("lang").alias("lang_a"),
+        F.col("ch").alias("ch"),
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = grid.select(
+        F.col("lang").alias("lang_b"),
+        F.col("ch").alias("chb"),
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    j = a.join(
+        F.broadcast(b),
+        (F.col("ch") == F.col("chb")) & (F.col("lang_a") < F.col("lang_b")),
+    )
+    den = (
+        F.col("ca").cast("double") * F.col("nb")
+        + F.col("cb").cast("double") * F.col("na")
+    )
+    la6 = F.when(
+        F.col("ca") > 0,
+        F.floor(
+            F.log2(F.lit(2.0) * F.col("ca").cast("double") * F.col("nb") / den)
+            * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    lb6 = F.when(
+        F.col("cb") > 0,
+        F.floor(
+            F.log2(F.lit(2.0) * F.col("cb").cast("double") * F.col("na") / den)
+            * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    out = (
+        j.select(
+            "lang_a", "lang_b", "ca", "cb", "na", "nb",
+            la6.alias("la6"), lb6.alias("lb6"),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            (
+                F.sum(F.col("ca") * F.col("la6")).cast("double")
+                / (F.lit(2_000_000.0) * F.min("na"))
+                + F.sum(F.col("cb") * F.col("lb6")).cast("double")
+                / (F.lit(2_000_000.0) * F.min("nb"))
+            ).alias("jsd_bits")
+        )
+        .persist()
+    )
+    out.count()
+    cl.unpersist()
+    return out
