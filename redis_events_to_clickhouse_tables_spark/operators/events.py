@@ -1537,3 +1537,133 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     c.unpersist()
     return out
+
+
+_FUNNEL_WIN_DAYS = 7
+
+
+@query(
+    "events_funnel_time_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL {_FUNNEL_WIN_DAYS} DAY
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL {_FUNNEL_WIN_DAYS} DAY
+      GROUP BY e.user_id),
+    steps AS (
+      SELECT 1 AS step, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM v
+      UNION ALL
+      SELECT 2, 'click_7d', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_7d', CAST(COUNT(*) AS BIGINT) FROM p)
+    SELECT s.step, s.stage, s.n_users,
+           CAST(s.n_users AS DOUBLE)
+             / (SELECT n_users FROM steps WHERE step = 1) AS conv_from_start,
+           CASE WHEN s.step = 1 THEN CAST(1 AS DOUBLE)
+                ELSE CAST(s.n_users AS DOUBLE)
+                     / (SELECT n_users FROM steps x WHERE x.step = s.step - 1)
+           END AS conv_from_prev
+    FROM steps s
+    """,
+)
+def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel summary: first view -> first click
+    within 7 DAYS of it -> first purchase within 7 days of that click,
+    reported as per-step user counts with step-over-step and
+    from-start conversion rates — the windowed variant marketing
+    actually quotes (``events_funnel_conversion`` is the unconstrained
+    per-user frame; an unbounded funnel credits conversions that took
+    a year).
+
+    Shape: the same chained grouped-min joins (each stage shuffles on
+    user_id only; the interval bound is a post-join predicate on
+    already-co-located rows), then a 3-row model frame with exact
+    counts and single-division rates (the step scaffold broadcasts).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    win = F.expr(f"INTERVAL {_FUNNEL_WIN_DAYS} DAYS")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    steps = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(2).alias("step"),
+                F.lit("click_7d").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(3).alias("step"),
+                F.lit("purchase_7d").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    steps = steps.persist()
+    prev = steps.select(
+        (F.col("step") + 1).alias("step"),
+        F.col("n_users").alias("n_prev"),
+    )
+    start = F.broadcast(
+        steps.filter(F.col("step") == 1).select(
+            F.col("n_users").alias("n_start")
+        )
+    )
+    out = (
+        steps.join(F.broadcast(prev), "step", "left")
+        .crossJoin(start)
+        .select(
+            "step",
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_start")).alias(
+                "conv_from_start"
+            ),
+            F.when(F.col("step") == 1, F.lit(1.0))
+            .otherwise(F.col("n_users").cast("double") / F.col("n_prev"))
+            .alias("conv_from_prev"),
+        )
+        .persist()
+    )
+    out.count()
+    steps.unpersist()
+    return out

@@ -1915,3 +1915,125 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick_order int, c_id long, cosine double, mmr_score double"
     )
+
+
+def _probe_sql(np_: int) -> str:
+    """Hamming-ball probe-bucket predicate for the sign-bucket IVF:
+    nprobe=1 is the query's own bucket; nprobe=5 adds the four
+    buckets at Hamming distance 1 (one sign bit flipped)."""
+    qa = _SQL_BUCKET.format(e="a")
+    qb = _SQL_BUCKET.format(e="b")
+    if np_ == 1:
+        return f"{qa} = {qb}"
+    return f"xor({qa}, {qb}) IN (0, 1, 2, 4, 8)"
+
+
+@query(
+    "sim_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3),
+    iv1 AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND {_probe_sql(1)}
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3),
+    iv5 AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND {_probe_sql(5)}
+        WHERE a.vec_id < {_N_QUERIES}) t
+      WHERE rk <= 3)
+    SELECT 1 AS nprobe,
+           CAST(COUNT(iv1.q_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(iv1.q_id) AS DOUBLE) / COUNT(*) AS avg_recall_at_3
+    FROM ex LEFT JOIN iv1 ON iv1.q_id = ex.q_id AND iv1.c_id = ex.c_id
+    UNION ALL
+    SELECT 5,
+           CAST(COUNT(iv5.q_id) AS BIGINT),
+           CAST(COUNT(iv5.q_id) AS DOUBLE) / COUNT(*)
+    FROM ex LEFT JOIN iv5 ON iv5.q_id = ex.q_id AND iv5.c_id = ex.c_id
+    """,
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-probe-cost curve of the sign-bucket IVF: recall@3
+    against exact brute force when probing 1 bucket (the query's own)
+    vs 5 buckets (its Hamming-1 ball — one flipped sign bit). The
+    tuning table an ANN deployment reads to pick nprobe: each step of
+    probe fan-out multiplies scan cost and buys back the neighbors
+    that fell just across a quantization boundary.
+
+    Shape: ground truth runs once over the bounded query set; each
+    sweep point is the same bucketed join with a widened probe-bucket
+    predicate (candidate volume ~ nprobe/2^bits of the corpus — the
+    plan stays bucket-bounded); recall aggregates exact hit counts
+    with one division.
+    """
+    tune(spark)
+    ex = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id")
+        .persist()
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+        _bucket("embedding").alias("q_bkt"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"),
+        _bucket("embedding").alias("c_bkt"),
+    )
+    rows = []
+    for np_ in (1, 5):
+        if np_ == 1:
+            pred = F.col("q_bkt") == F.col("c_bkt")
+        else:
+            pred = (
+                F.col("q_bkt").bitwiseXOR(F.col("c_bkt")).isin(0, 1, 2, 4, 8)
+            )
+        pairs = c.join(F.broadcast(q), pred & (F.col("q_id") != F.col("c_id")))
+        cosine = (
+            _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine")
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+        iv = (
+            pairs.select("q_id", "c_id", cosine)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("q_id", "c_id", F.lit(1).alias("hit"))
+        )
+        rows.append(
+            ex.join(iv, ["q_id", "c_id"], "left").agg(
+                F.lit(np_).alias("nprobe"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+                    "n_hits"
+                ),
+                (
+                    F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("avg_recall_at_3"),
+            )
+        )
+    out = rows[0].unionByName(rows[1]).persist()
+    out.count()
+    ex.unpersist()
+    return out
