@@ -1552,3 +1552,89 @@ def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p1 * (F.col("q2") - F.col("q1"))).alias("volume_effect_cents"),
         ((p2 - p1) * (F.col("q2") - F.col("q1"))).alias("mix_effect_cents"),
     )
+
+
+@query(
+    "orders_repeat_purchase_latency",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    f AS (SELECT o_custkey, o_orderdate AS d1 FROM r WHERE rn = 1),
+    s AS (SELECT o_custkey, o_orderdate AS d2 FROM r WHERE rn = 2),
+    g AS (
+      SELECT c.c_mktsegment AS segment,
+             COUNT(*) AS n_customers,
+             CAST(COUNT(s.o_custkey) AS BIGINT) AS n_repeat,
+             CAST(SUM(CASE WHEN s.o_custkey IS NOT NULL
+                      THEN datediff('day', f.d1, s.d2) END) AS BIGINT)
+               AS gap_days_sum
+      FROM f
+      JOIN customer c ON c.c_custkey = f.o_custkey
+      LEFT JOIN s ON s.o_custkey = f.o_custkey
+      GROUP BY 1)
+    SELECT segment, n_customers, n_repeat,
+           CAST(n_repeat AS DOUBLE) / n_customers AS repeat_rate,
+           CAST(gap_days_sum AS DOUBLE) / n_repeat AS avg_days_to_second
+    FROM g
+    """,
+)
+def orders_repeat_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase behavior per market segment: how many
+    first-time customers ever order a second time, and how long the
+    first-to-second-order gap runs — the retention/latency pair a
+    lifecycle-marketing dashboard leads with (the order-level
+    complement of ``events_retention_halflife``'s event-level curve).
+
+    Shape: the first/second order per customer is one
+    customer-partitioned ROW_NUMBER window (never global), the
+    segment lookup is a broadcast dim join, and the report is exact
+    integer counts/day-sums with two final divisions.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    f = r.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    s = r.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("s_ck"), F.col("o_orderdate").alias("d2")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    g = (
+        f.join(F.broadcast(c), "o_custkey")
+        .join(s, f["o_custkey"] == s["s_ck"], "left")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("s_ck").cast("long").alias("n_repeat"),
+            F.sum(
+                F.when(
+                    F.col("s_ck").isNotNull(), F.datediff("d2", "d1")
+                )
+            )
+            .cast("long")
+            .alias("gap_days_sum"),
+        )
+    )
+    return g.select(
+        "segment",
+        "n_customers",
+        "n_repeat",
+        (F.col("n_repeat").cast("double") / F.col("n_customers")).alias(
+            "repeat_rate"
+        ),
+        (F.col("gap_days_sum").cast("double") / F.col("n_repeat")).alias(
+            "avg_days_to_second"
+        ),
+    )

@@ -2119,3 +2119,115 @@ def stats_cohens_d_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hedges_g"),
         )
     )
+
+
+_OR_ILOG = "CAST(FLOOR(log2(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+_LN2 = "0.6931471805599453"
+
+
+@query(
+    "stats_odds_ratio_urgent_by_segment",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS exp
+      FROM customer),
+    outc AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN exp = 1 AND o.o_custkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN exp = 1 AND o.o_custkey IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN exp = 0 AND o.o_custkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN exp = 0 AND o.o_custkey IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM cust LEFT JOIN outc o ON o.o_custkey = cust.c_custkey)
+    SELECT a, b, c, d,
+           (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS odds_ratio,
+           CAST({_OR_ILOG.format(x="a * d")}
+                - {_OR_ILOG.format(x="b * c")} AS DOUBLE)
+             / 1000000 * {_LN2} AS log_or,
+           SQRT(CAST(1 AS DOUBLE) / a + CAST(1 AS DOUBLE) / b
+                + CAST(1 AS DOUBLE) / c + CAST(1 AS DOUBLE) / d) AS se_log_or
+    FROM cells
+    """,
+)
+def stats_odds_ratio_urgent_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2x2 odds ratio: does the AUTOMOBILE segment place URGENT orders
+    at different odds than everyone else? Reports the contingency
+    cells, the odds ratio ad/bc, its log (the quantity whose sampling
+    distribution is approximately normal), and the Woolf standard
+    error sqrt(1/a+1/b+1/c+1/d) — the effect+uncertainty pair for
+    binary-exposure/binary-outcome questions, complementing
+    ``stats_chi2_nation_segment`` (which tests, but doesn't size).
+
+    Shape: one distinct-outcome semi-side, one broadcast-joined
+    1-row cell aggregate. Exactness: cells are exact integers;
+    log(OR) = (ilog2(a·d) − ilog2(b·c)) · ln2 rides the quantized
+    integer-log discipline (products are int64-safe to ~3e9
+    customers per cell); OR and the SE are shared double expression
+    trees.
+    """
+    tune(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(0)
+        .alias("exp"),
+    )
+    outc = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = cust.join(
+        F.broadcast(outc), cust["c_custkey"] == outc["o_custkey"], "left"
+    )
+    cells = j.agg(
+        F.sum(F.when((F.col("exp") == 1) & F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("exp") == 1) & F.col("hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("exp") == 0) & F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("exp") == 0) & F.col("hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    ilog = lambda col: F.floor(
+        F.log2(col.cast("double")) * F.lit(1_000_000)
+    ).cast("long")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (
+            F.col("a").cast("double") * F.col("d")
+            / (F.col("b").cast("double") * F.col("c"))
+        ).alias("odds_ratio"),
+        (
+            (
+                ilog(F.col("a") * F.col("d")) - ilog(F.col("b") * F.col("c"))
+            ).cast("double")
+            / F.lit(1_000_000)
+            * F.lit(0.6931471805599453)
+        ).alias("log_or"),
+        F.sqrt(
+            F.lit(1.0) / F.col("a")
+            + F.lit(1.0) / F.col("b")
+            + F.lit(1.0) / F.col("c")
+            + F.lit(1.0) / F.col("d")
+        ).alias("se_log_or"),
+    )

@@ -184,6 +184,8 @@ _EXTERNALLY_VERIFIED = frozenset(
 # round-6 queries are appended at the FRONT of this tuple as they are
 # added, so they get sampled too.
 _SAMPLE_PRIORITY = (
+    "orders_repeat_purchase_latency",
+    "stats_odds_ratio_urgent_by_segment",
     "events_funnel_time_windowed",
     "sim_ivf_nprobe_sweep",
     "text_js_divergence_lang_matrix",
