@@ -619,7 +619,8 @@ _BUDGET_TOKENS = 800
              ) AS cum_tokens
       FROM scored
     )
-    SELECT doc_id, source, n_tokens, cum_tokens,
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
            cum_tokens <= {_BUDGET_TOKENS} AS selected
     FROM ranked
     """,

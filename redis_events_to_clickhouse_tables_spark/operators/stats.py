@@ -1836,7 +1836,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0))) AS sk2
       FROM k GROUP BY 1
     )
-    SELECT event_type, n_users, sk AS n_events,
+    SELECT event_type, n_users, CAST(sk AS BIGINT) AS n_events,
            CAST(sk AS DOUBLE) / n_users AS mean_k,
            ((CAST(sk2 AS DOUBLE)
              - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / n_users)

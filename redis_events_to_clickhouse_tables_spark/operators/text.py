@@ -1125,7 +1125,7 @@ def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1)
     SELECT b.doc_id,
            COUNT(*) AS n_bigrams,
-           SUM((cu.cu * {_BIGRAM_PREC}) // cb.cb) AS cost_fp,
+           CAST(SUM((cu.cu * {_BIGRAM_PREC}) // cb.cb) AS BIGINT) AS cost_fp,
            CAST(SUM((cu.cu * {_BIGRAM_PREC}) // cb.cb) AS DOUBLE)
              / (COUNT(*) * {_BIGRAM_PREC}) AS avg_branching
     FROM big b
@@ -1801,7 +1801,8 @@ _MERGE_PAIR_EXPR = (
       FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
       WHERE w <> '' GROUP BY 1
     )
-    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, SUM(f) AS n_occurrences
+    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+           CAST(SUM(f) AS BIGINT) AS n_occurrences
     FROM words, UNNEST(range(1, length(word))) AS u(i)
     GROUP BY 1
     ORDER BY n_occurrences DESC, pair ASC

@@ -49,7 +49,7 @@ def query(name: str, oracle: str | None = None):
 
 
 # Queries the external correctness gate has already verified in rounds
-# 1-5 (union of its 50-query samples, which take the FIRST 50 of this
+# 1-6 (union of its 50-query samples, which take the FIRST 50 of this
 # dict in order). Listing them lets load_all put the never-yet-sampled
 # queries first, so each round's sample covers new ground instead of
 # re-verifying the same prefix. Purely an ordering hint — every query
@@ -68,6 +68,8 @@ _EXTERNALLY_VERIFIED = frozenset(
         "agg_weighted_median",
         "approx_distinct_users",
         "approx_percentile_prices",
+        "asof_nearest_click_tolerance",
+        "classifier_hashed_linear",
         "contamination_ngram_overlap",
         "corpus_composition_stats",
         "curation_keep_mask",
@@ -80,6 +82,7 @@ _EXTERNALLY_VERIFIED = frozenset(
         "dedup_jaccard_verify_candidates",
         "dedup_levenshtein_verify",
         "dedup_lsh_parameter_sweep",
+        "dedup_minhash_bbit_estimate",
         "dedup_minhash_lsh_candidates",
         "dedup_minhash_signatures",
         "dedup_ngram_jaccard",
@@ -89,24 +92,43 @@ _EXTERNALLY_VERIFIED = frozenset(
         "dq_benford_first_digit",
         "dq_events_rules",
         "dq_k_anonymity",
+        "dq_null_profile_all_tables",
         "dq_referential_integrity",
         "dq_rule_violations",
         "embedding_drift_halves",
         "embedding_outlier_filter",
+        "embedding_pca_top_component",
+        "er_part_clusters",
+        "er_part_golden_record",
+        "er_part_match_pairs",
+        "eval_mrr_recall_bm25",
+        "events_activity_streaks",
         "events_attribution_linear",
+        "events_burst_rate_violations",
+        "events_cohort_ltv_matrix",
         "events_cusum_drift",
+        "events_dau_wau_stickiness",
         "events_flagship_daily",
         "events_funnel_conversion",
+        "events_funnel_time_windowed",
         "events_hourly_windows",
         "events_kaplan_meier",
+        "events_markov_entropy_rate",
+        "events_markov_stationary",
         "events_markov_transitions",
         "events_pivot_type_counts",
+        "events_retention_halflife",
         "events_session_window",
         "events_sessionize",
         "events_sliding_windows",
         "events_user_type_entropy",
+        "events_view_purchase_attribution",
         "features_point_in_time",
+        "graph_bfs_hops_neardup",
+        "graph_kcore_neardup",
+        "graph_linkpred_common_neighbors",
         "graph_pagerank_neardup",
+        "graph_source_modularity",
         "grouped_user_gap_stats",
         "grouping_sets_status_priority",
         "ingest_normalize_events",
@@ -121,6 +143,9 @@ _EXTERNALLY_VERIFIED = frozenset(
         "multimodal_fake_decode",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "orders_open_backlog_daily",
+        "orders_price_volume_mix",
+        "orders_repeat_purchase_latency",
         "orders_ship_latency_percentiles",
         "pack_sequences_contiguous",
         "pipeline_token_budget_waterfill",
@@ -131,41 +156,66 @@ _EXTERNALLY_VERIFIED = frozenset(
         "q6_forecast_revenue",
         "rolling_distinct_users_7d",
         "rollup_daily_gapfill",
+        "sample_class_balanced_downsample",
+        "sample_systematic_every_k",
         "scalar_conditional_functions",
         "scalar_regex_functions",
+        "scd2_as_of_tier_counts",
+        "scd2_user_tier_history",
         "set_except_all_heavy_lineitems",
         "set_intersect_all_orderkeys",
         "shard_manifest",
+        "sim_ivf_nprobe_sweep",
         "sim_kmeans_label_purity",
+        "sim_mmr_diversified_topk",
         "sim_srp_lsh_topk",
         "sim_srp_recall",
         "sketch_histogram_percentiles",
         "sketch_hll_mergeable_rollup",
+        "skyline_parts_price_size",
         "snapshot_diff_orders",
         "stats_ab_test_conversion",
+        "stats_anova_f_priority",
+        "stats_brown_forsythe",
         "stats_chi2_nation_segment",
+        "stats_cohens_d_matrix",
         "stats_corr_matrix",
+        "stats_cramers_v",
         "stats_gini_revenue_by_nation",
         "stats_hhi_supplier_concentration",
+        "stats_kendall_tau_daily",
+        "stats_kruskal_wallis",
         "stats_ks_two_sample",
         "stats_mann_whitney_u",
         "stats_mutual_information_lang_source",
+        "stats_odds_ratio_urgent_by_segment",
+        "stats_overdispersion_index",
         "stats_regression_price_qty",
         "stats_spearman_rho",
         "stats_theil_between_nations",
+        "stats_welch_t_test",
         "stats_winsorized_price",
         "stringagg_custkeys_by_status",
         "text_bigram_lm_bits",
+        "text_bpe_top_merges",
         "text_char_entropy",
         "text_heaps_law",
         "text_js_divergence_en_rest",
+        "text_js_divergence_lang_matrix",
         "text_keywords_topk",
+        "text_ngram_novelty",
         "text_repetition_filter",
+        "text_token_burstiness",
         "text_vocab_coverage",
+        "text_winnowing_fingerprints",
         "text_zipf_slope",
         "timeseries_autocorrelation",
         "timeseries_changepoint_cusum",
+        "timeseries_cross_correlation",
+        "timeseries_hurst_rs",
         "timeseries_m4_downsample",
+        "timeseries_periodogram_daily",
+        "timeseries_seasonal_decompose_monthly",
         "timeseries_seasonal_profile",
         "timeseries_twap_locf",
         "unpivot_lineitem_measures",
@@ -178,62 +228,12 @@ _EXTERNALLY_VERIFIED = frozenset(
 )
 
 
-# Head of the ordering: the 101 queries the external gate has NEVER
-# sampled across rounds 1-5 (VERDICT r5 item 7 — rotate sampled names
-# to the back so round 6's 50-query sample covers new ground). New
-# round-6 queries are appended at the FRONT of this tuple as they are
-# added, so they get sampled too.
+# Head of the ordering: the queries the external gate has NEVER
+# sampled across rounds 1-6 (rotation per VERDICT r5 item 7 / r6 item
+# 3 — sampled names move to the back so each round's 50-query sample
+# covers new ground). New round-7 queries are appended at the FRONT of
+# this tuple as they are added, so they get sampled too.
 _SAMPLE_PRIORITY = (
-    "orders_repeat_purchase_latency",
-    "stats_odds_ratio_urgent_by_segment",
-    "events_funnel_time_windowed",
-    "sim_ivf_nprobe_sweep",
-    "text_js_divergence_lang_matrix",
-    "dq_null_profile_all_tables",
-    "stats_cohens_d_matrix",
-    "orders_price_volume_mix",
-    "stats_brown_forsythe",
-    "events_burst_rate_violations",
-    "events_markov_entropy_rate",
-    "sample_class_balanced_downsample",
-    "sim_mmr_diversified_topk",
-    "timeseries_seasonal_decompose_monthly",
-    "events_retention_halflife",
-    "text_token_burstiness",
-    "eval_mrr_recall_bm25",
-    "sample_systematic_every_k",
-    "asof_nearest_click_tolerance",
-    "dedup_minhash_bbit_estimate",
-    "graph_source_modularity",
-    "graph_bfs_hops_neardup",
-    "graph_linkpred_common_neighbors",
-    "skyline_parts_price_size",
-    "text_bpe_top_merges",
-    "timeseries_hurst_rs",
-    "stats_overdispersion_index",
-    "timeseries_periodogram_daily",
-    "scd2_user_tier_history",
-    "scd2_as_of_tier_counts",
-    "er_part_match_pairs",
-    "er_part_clusters",
-    "er_part_golden_record",
-    "embedding_pca_top_component",
-    "graph_kcore_neardup",
-    "text_winnowing_fingerprints",
-    "events_markov_stationary",
-    "events_cohort_ltv_matrix",
-    "timeseries_cross_correlation",
-    "events_dau_wau_stickiness",
-    "text_ngram_novelty",
-    "stats_kruskal_wallis",
-    "stats_anova_f_priority",
-    "stats_welch_t_test",
-    "stats_kendall_tau_daily",
-    "stats_cramers_v",
-    "classifier_hashed_linear",
-    "events_activity_streaks",
-    "orders_open_backlog_daily",
-    "events_view_purchase_attribution",
     "user_ltv_deciles",
     "text_bm25_score",
     "text_pii_scan",
