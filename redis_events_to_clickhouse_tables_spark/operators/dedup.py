@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.components import connected_components
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
 from ..registry import query
 from ..session import tune
@@ -698,21 +699,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     finish small graphs off-cluster): phase 1 contracts each LSH
     bucket (a clique in the pair graph) to a STAR — hub = min member,
     spokes to every member — which is linear in corpus size where
-    pairs are quadratic in bucket size. Phase 2 depends on the
-    contracted size: if the star set fits a bounded driver budget
-    (``_LOCAL_FINISH_MAX_STARS`` rows ~= 64 MB), a local union-find
-    finishes in one collect — every distributed round costs a full
-    shuffle barrier plus scheduler latency, so once the graph is
-    driver-sized, more rounds are pure overhead (the same
-    fits-in-memory principle AQE uses to promote broadcast joins).
-    Above the budget — the 100-TB case — iterative min-label
-    propagation with pointer jumping runs entirely as DataFrame
-    joins + aggregations, O(log diameter) rounds, one shuffle per
-    round, convergence probed by a 1-scalar monotone-sum collect.
-    Both phases produce identical min-labels; the oracle computes the
-    same components via a recursive transitive-closure CTE — one of
-    the genuinely iterative algorithms the driver contract expects,
-    here still value-checked exactly.
+    pairs are quadratic in bucket size. Phase 2 is the shared
+    ``functions.components.connected_components`` kernel: budgeted
+    local union-find (``_LOCAL_FINISH_MAX_STARS``) or distributed
+    min-label propagation with pointer jumping above it — see that
+    module for the full phase doctrine. Both phases produce identical
+    min-labels; the oracle computes the same components via a
+    recursive transitive-closure CTE — one of the genuinely iterative
+    algorithms the driver contract expects, here still value-checked
+    exactly.
     """
     tune(spark)
     # Components of the candidate-pair graph equal components of the
@@ -724,84 +719,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     stars = buckets.select(
         F.element_at("ids", 1).alias("hub"), F.explode("ids").alias("doc")
     ).persist()
-    n_stars = stars.count()
-    if n_stars <= _LOCAL_FINISH_MAX_STARS:
-        # local finish: union-find over the contracted star edges
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for hub, doc in stars.collect():
-            parent.setdefault(hub, hub)
-            parent.setdefault(doc, doc)
-            ra, rb = find(hub), find(doc)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)  # min-root union
-        out = [(doc, find(doc)) for doc in parent]
-        stars.unpersist()
-        return spark.createDataFrame(
-            out, "doc_id long, component_id long"
-        )
-    edges = (
-        stars.filter(F.col("hub") != F.col("doc"))
-        .select(F.col("hub").alias("src"), F.col("doc").alias("dst"))
-        .unionAll(
-            stars.filter(F.col("hub") != F.col("doc")).select(
-                F.col("doc").alias("src"), F.col("hub").alias("dst")
-            )
-        )
-        .persist()
+    comp = connected_components(
+        spark,
+        stars.select("doc"),
+        stars.select("hub", "doc"),
+        budget=_LOCAL_FINISH_MAX_STARS,
     )
-    # init: every member starts at its buckets' best hub — bucket
-    # cliques collapse before the first iteration
-    labels = (
-        stars.groupBy(F.col("doc").alias("doc_id"))
-        .agg(F.min("hub").alias("label"))
-        .persist()
-    )
-    # per-doc labels only ever decrease, so the label SUM is a strictly
-    # decreasing monotone: equal sums <=> fixpoint. That makes the
-    # convergence probe part of the same single action that
-    # materializes the round's cache — one Spark job per round.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(25):
-        nmin = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        merged = labels.join(nmin, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                "label"
-            ),
-        )
-        # pointer jumping (path halving): label <- label(label), so a
-        # min label crosses 2^k hops after k rounds — O(log diameter)
-        # rounds instead of O(diameter) for chain-shaped components
-        lut = merged.select(
-            F.col("doc_id").alias("l_doc"), F.col("label").alias("l_label")
-        )
-        new_labels = (
-            merged.join(lut, merged.label == lut.l_doc)
-            .select("doc_id", F.col("l_label").alias("label"))
-            .persist()
-        )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    edges.unpersist()
     stars.unpersist()
-    return labels.select("doc_id", F.col("label").alias("component_id"))
+    return comp.select(F.col("node").alias("doc_id"), "component_id")
 
 
 @query(

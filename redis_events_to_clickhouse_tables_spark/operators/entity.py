@@ -17,11 +17,12 @@ transitive clustering, survivorship — expressed Spark-first:
 - **Matching**: JVM ``levenshtein`` on names (engine-exact, also used
   by dedup_levenshtein_verify) + a size band — a multi-attribute rule,
   distinct from the pure-text document dedup family.
-- **Clustering**: connected components over the signature match graph.
-  The graph is value-space-bounded, so a driver union-find over one
-  bounded collect finishes it (same budget precedent as
-  dedup_cluster_components' local-finish phase); the oracle mirrors it
-  with a recursive transitive-closure CTE.
+- **Clustering**: connected components over the signature match graph
+  via the shared budgeted kernel (functions/components.py): local
+  union-find only when the MEASURED signature+pair count fits the
+  collect budget, distributed pointer-jumping above it — the same
+  two-phase recipe dedup_cluster_components uses. The oracle mirrors
+  it with a recursive transitive-closure CTE.
 - **Survivorship** (golden record): per cluster, the modal name with a
   deterministic tiebreak (count desc, name asc via a min-struct), plus
   member/price/size summaries.
@@ -37,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.components import connected_components
 from ..functions.numeric import dec
 from ..registry import query
 from ..session import tune
@@ -102,10 +104,11 @@ def _sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sig_match_pairs(sig: DataFrame) -> DataFrame:
     """Blocked multi-attribute match over the signature frame.
 
-    Both join sides are value-space-bounded, so the self-join
-    broadcasts; block keys (first name token, type) keep the pair
-    space sum-of-squares-over-blocks even if the value space were
-    larger.
+    Block keys (first name token, type) keep the pair space
+    sum-of-squares-over-blocks; the self-join's physical strategy is
+    left to AQE — signatures grow ~linearly with a real catalog's
+    SKUs, so a forced broadcast would override AQE's size-based
+    demotion exactly when it matters (VERDICT r6).
     """
     a = sig.select(
         F.element_at(F.split("p_name", " "), 1).alias("blk"),
@@ -124,7 +127,7 @@ def _sig_match_pairs(sig: DataFrame) -> DataFrame:
         F.col("n_parts").alias("n_b"),
     )
     return (
-        a.join(F.broadcast(b), ["blk", "typ"])
+        a.join(b, ["blk", "typ"])
         .filter(F.col("rep_a") < F.col("rep_b"))
         .select(
             "rep_a",
@@ -144,34 +147,25 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p_partkey, p_name, p_size, p_retailprice, cluster_id) for every
     part; cluster_id = min rep_pk of the signature component.
 
-    The union-find runs on the driver over the SIGNATURE graph — rows
-    bounded by the attribute value space, not the corpus (the same
-    bounded-collect budget dedup_cluster_components' local finish
-    documents) — then maps back to parts via one broadcast join.
+    Clustering runs over the SIGNATURE graph through the shared
+    ``functions.components.connected_components`` kernel: the driver
+    union-find happens only when the measured signature+pair count
+    fits the collect budget; above it the kernel switches to
+    distributed min-label propagation with pointer jumping (VERDICT
+    r6: signatures grow ~linearly with real-catalog SKUs, so the
+    bounded-collect assumption must be enforced, not assumed). The
+    map back to parts is a join on the signature key, sized by AQE.
     """
     sig = _sig_frame(spark, sf_dir).persist()
     pairs = _sig_match_pairs(sig)
-    nodes = [r[0] for r in sig.select("rep_pk").collect()]
-    parent = {n: n for n in nodes}
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for ra, rb in pairs.select("rep_a", "rep_b").collect():
-        xa, xb = find(ra), find(rb)
-        if xa != xb:
-            parent[max(xa, xb)] = min(xa, xb)
-    comp = spark.createDataFrame(
-        [(n, find(n)) for n in nodes], "rep_pk long, cluster_id long"
+    comp = connected_components(
+        spark, sig.select("rep_pk"), pairs.select("rep_a", "rep_b")
+    ).select(
+        F.col("node").alias("rep_pk"), F.col("component_id").alias("cluster_id")
     )
     p = table(spark, sf_dir, "part")
     out = p.join(
-        F.broadcast(sig.join(comp, "rep_pk")),
+        sig.join(comp, "rep_pk"),
         ["p_name", "p_type", "p_size"],
     ).select("p_partkey", "p_name", "p_size", "p_retailprice", "cluster_id")
     sig.unpersist()
@@ -235,7 +229,7 @@ def er_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("canonical_name")
     )
     return (
-        m.join(F.broadcast(canon), "cluster_id")
+        m.join(canon, "cluster_id")
         .groupBy("cluster_id")
         .agg(
             F.any_value("canonical_name").alias("canonical_name"),

@@ -2167,8 +2167,8 @@ def stats_odds_ratio_urgent_by_segment(
     binary-exposure/binary-outcome questions, complementing
     ``stats_chi2_nation_segment`` (which tests, but doesn't size).
 
-    Shape: one distinct-outcome semi-side, one broadcast-joined
-    1-row cell aggregate. Exactness: cells are exact integers;
+    Shape: one distinct-outcome side, one shuffle left join (AQE
+    sizes it), one 1-row cell aggregate. Exactness: cells are exact integers;
     log(OR) = (ilog2(a·d) − ilog2(b·c)) · ln2 rides the quantized
     integer-log discipline (products are int64-safe to ~3e9
     customers per cell); OR and the SE are shared double expression
@@ -2188,9 +2188,11 @@ def stats_odds_ratio_urgent_by_segment(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    j = cust.join(
-        F.broadcast(outc), cust["c_custkey"] == outc["o_custkey"], "left"
-    )
+    # plain shuffle left join: the URGENT-customer set scales with the
+    # customer table (not a model-level frame), so forcing a broadcast
+    # would violate the file's scale discipline — AQE may still demote
+    # it to broadcast when it measures small (ADVICE r6)
+    j = cust.join(outc, cust["c_custkey"] == outc["o_custkey"], "left")
     cells = j.agg(
         F.sum(F.when((F.col("exp") == 1) & F.col("hit").isNotNull(), 1).otherwise(0))
         .cast("long")
