@@ -227,23 +227,66 @@ def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf, df, corpus size): explode -> tf -> df -> join.
 
     The corpus size is a broadcast 1-row aggregate; the tf<->df join
-    shuffles on token (bounded vocabulary). The final ``ln`` scores
-    are in ``text_tf_idf_scores`` (rows-only): JVM ``Math.log`` and
-    libm ``ln`` differ in the last ulp on ~3% of inputs, so the float
-    column legitimately cannot hash-match across engines.
+    shuffles on token (bounded vocabulary). The weighted scores are in
+    ``text_tf_idf_scores``.
     """
     tune(spark)
     return _tf_df(spark, sf_dir).select("doc_id", "tok", "tf", "df", "n_docs")
 
 
-@query("text_tf_idf_scores", oracle=None)  # ln() ulp-differs across engines
+@query(
+    "text_tf_idf_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             CAST(FLOOR(log2(CAST(n.n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(FLOOR(log2(CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT)
+               AS idf_fp
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok,
+           tf * idf_fp AS tf_idf_fp,
+           CAST(tf * idf_fp AS DOUBLE) / 1000000.0
+             * 0.6931471805599453 AS tf_idf
+    FROM w
+    """,
+)
 def text_tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual tf*ln(N/df) scores (rows-only check; see text_tf_idf)."""
+    """TF-IDF scores under the quantize-the-model doctrine: raw
+    ``tf*ln(N/df)`` needs a per-row ``ln`` whose last ulp differs
+    across engines, so instead the IDF weight is fixed-point —
+    ``idf_fp = floor(log2(N)*1e6) - floor(log2(df)*1e6)`` (log2 of
+    integers only; an irrational except at powers of two, so the
+    floor is boundary-safe) — making ``tf * idf_fp`` exact int64 and
+    the double score one shared IEEE expression
+    (``fp/1e6 * ln(2)``) both engines evaluate identically. Same
+    pattern as textstats' entropy/MI family.
+    """
     tune(spark)
-    return _tf_df(spark, sf_dir).select(
+    tfd = _tf_df(spark, sf_dir)
+    ilog = lambda c: F.floor(F.log2(c.cast("double")) * F.lit(1e6)).cast("long")
+    w = tfd.select(
         "doc_id",
         "tok",
-        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tf_idf"),
+        "tf",
+        (ilog(F.col("n_docs")) - ilog(F.col("df"))).alias("idf_fp"),
+    )
+    return w.select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.col("idf_fp")).alias("tf_idf_fp"),
+        (
+            (F.col("tf") * F.col("idf_fp")).cast("double")
+            / F.lit(1e6)
+            * F.lit(0.6931471805599453)
+        ).alias("tf_idf"),
     )
 
 
@@ -1590,8 +1633,8 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf log quantized once per distinct document frequency
     (model-level, quantize-the-model doctrine) — with token text as
     the tiebreak, so cross-engine order ties can't flap the way raw
-    float tf*ln(N/df) ordering would (text_tf_idf_scores is rows-only
-    for exactly that reason).
+    float tf*ln(N/df) ordering would (text_tf_idf_scores adopted the
+    same fixed-point IDF in r7 for exactly that reason).
 
     Scale: per-doc windows partition on doc_id with partitions
     bounded by a document's vocabulary — never a corpus-wide or

@@ -339,3 +339,11 @@ def test_weighted_median_window_is_partitioned(spark):
     win_pos = plan.index("Window")
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > win_pos, "expected price-collapse aggregate below window"
+
+
+def test_ansi_mode_pinned(spark):
+    """The parity suite must run under explicit ANSI semantics — the
+    engine's exactness claims (strict casts, overflow errors instead
+    of silent wraps) are audited under ANSI-on, so the pin has to be
+    structural, not inherited from the build's default."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"

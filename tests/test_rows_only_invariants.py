@@ -14,8 +14,9 @@ the offending group:
   (oracle-backed since r6).
 - sketch_hll_mergeable_rollup: merged daily sketches == direct weekly
   sketch, estimate within HLL error (oracle-backed since r6).
-- text_tf_idf_scores: equals the oracle-checked integer-form sibling
-  (text_tf_idf) after recomputing tf*ln(N/df) in Python, to 1e-12.
+- text_tf_idf_scores: oracle-backed since r7 (fixed-point IDF); the
+  test here pins the quantized score against the true tf*ln(N/df)
+  recomputed in Python (quantization error bound: tf * ln2 * 2e-6).
 - multimodal_fake_decode / multimodal_resize: byte-deterministic
   (two independent builds are row-for-row identical) and structurally
   consistent with the stub's documented arithmetic.
@@ -65,6 +66,10 @@ def test_approx_percentiles_bracket_true_quantiles(spark, ddb):
 
 
 def test_tf_idf_scores_match_integer_form(spark):
+    """The fixed-point score must track the true tf*ln(N/df): each of
+    the two floor-quantized log2 terms carries < 1e-6 absolute error
+    in log2 space, so |tf_idf - tf*ln(N/df)| < tf * ln2 * 2e-6 (plus
+    float slack). Also pins tf_idf == tf_idf_fp/1e6*ln2 exactly."""
     ints = {
         (r.doc_id, r.tok): (r.tf, r.df, r.n_docs)
         for r in _build(spark, "text_tf_idf").collect()
@@ -74,9 +79,11 @@ def test_tf_idf_scores_match_integer_form(spark):
     for r in scores:
         tf, df, n_docs = ints[(r.doc_id, r.tok)]
         expect = tf * math.log(n_docs / df)
-        assert math.isclose(r.tf_idf, expect, rel_tol=1e-12, abs_tol=1e-12), (
-            f"({r.doc_id},{r.tok}): {r.tf_idf} != {expect}"
+        bound = tf * math.log(2) * 2e-6 + 1e-9
+        assert abs(r.tf_idf - expect) <= bound, (
+            f"({r.doc_id},{r.tok}): {r.tf_idf} vs {expect} (bound {bound})"
         )
+        assert r.tf_idf == r.tf_idf_fp / 1e6 * 0.6931471805599453
 
 
 def _collect_sorted(df):
