@@ -26,9 +26,12 @@ from redis_events_to_clickhouse_tables_spark.registry import load_all
 from redis_events_to_clickhouse_tables_spark.session import get_spark
 
 
-def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
+def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int, dict]:
     """Time the full Layer-A path: raw JSON -> infer -> route ->
-    normalize -> evolve -> append. Returns (seconds, events).
+    normalize -> evolve -> append. Returns (seconds, events,
+    phase_seconds of the winning run — VERDICT r6 item 6: a
+    load-depressed headline must self-attribute, so the per-phase
+    decomposition rides the record).
 
     The reference's derived steady-state ceiling is 20 events/s per
     table (BASELINE.md); this measures ours on the same kind of
@@ -72,20 +75,29 @@ def bench_layer_a_ingest(spark, sf_dir: str) -> tuple[float, int]:
     # runs is the consistent estimator of the steady-state cost — a
     # median can land on a still-warming middle run (r6: median 2.9s
     # vs post-warm steady state 2.2s on an idle machine).
-    runs: list[float] = []
+    runs: list[tuple[float, dict]] = []
     try:
         for _ in range(5):
             tmp = tempfile.mkdtemp(prefix="ingest-bench-")
             try:
                 engine = IngestEngine(spark, TableStore(spark, tmp))
                 start = time.perf_counter()
-                engine.process_raw_batch(raw, 0)
-                runs.append(time.perf_counter() - start)
+                report = engine.process_raw_batch(raw, 0)
+                runs.append(
+                    (
+                        time.perf_counter() - start,
+                        {
+                            k: round(v, 4)
+                            for k, v in report.phase_seconds.items()
+                        },
+                    )
+                )
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
     finally:
         raw.unpersist()
-    return min(runs), n
+    best = min(runs, key=lambda r: r[0])
+    return best[0], n, best[1]
 
 
 _SCALE_FACTOR = 2.5
@@ -153,6 +165,57 @@ def build_scaled_corpus(spark, sf_dir: str, factor: float) -> str:
     for rep in replicas[1:]:
         scaled = scaled.unionByName(rep)
     scaled.coalesce(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def build_scaled_part(spark, sf_dir: str, factor: float) -> str:
+    """Materialize a ``factor``-times-larger part catalog for the ER
+    scaling probe (VERDICT r6 item 7): full replicas with fresh
+    partkeys and every name token suffixed with a replica tag.
+
+    Same honesty argument as build_scaled_corpus: the tag keeps the ER
+    block keys (first name token, type) DISJOINT across replicas, so
+    each replica reproduces the base catalog's internal match
+    structure and nothing collides across replicas — blocked signature
+    matching should scale linearly in replicas, and the recorded pair
+    counts separate data growth from engine cost. Other tables are
+    symlinked unchanged.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="bench-scale-part-")
+    for t in os.listdir(sf_dir):
+        if t != "part.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(out, t))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = part.agg({"p_partkey": "max"}).collect()[0][0] + 1
+    replicas = [part]
+    r = 1
+    remaining = factor - 1
+    while remaining > 1e-9:
+        rep = part if remaining >= 1 else part.filter(
+            (F.col("p_partkey") % round(1 / remaining)) == 0
+        )
+        tag = f"x{r}"
+        rep = rep.withColumn(
+            "p_name",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("p_name"), " "),
+                    lambda w: F.concat(w, F.lit(tag)),
+                ),
+                " ",
+            ),
+        ).withColumn("p_partkey", F.col("p_partkey") + F.lit(r * base))
+        replicas.append(rep)
+        remaining -= 1
+        r += 1
+    scaled = replicas[0]
+    for rep in replicas[1:]:
+        scaled = scaled.unionByName(rep)
+    scaled.coalesce(4).write.mode("overwrite").parquet(f"{out}/part.parquet")
     return out
 
 
@@ -227,10 +290,32 @@ def bench_scaling_sweep(spark, registry, sf_dir: str) -> dict:
             print(f"# probe:{name}: {pts}", file=sys.stderr)
     finally:
         shutil.rmtree(probe_dir, ignore_errors=True)
+
+    # ER probe (VERDICT r6 item 7): blocked signature matching over a
+    # scaled PART catalog — same x1/x2.5/x5 shape with pair counts, so
+    # the ER pair stage gets the same data-vs-engine separation the
+    # dedup pairs have.
+    er: dict[str, dict] = {}
+    spec = registry.get("er_part_match_pairs")
+    if spec is not None:
+        try:
+            pts = {"x1": _timed_count(spec, spark, sf_dir)}
+            for factor, label in ((_SCALE_FACTOR, "x2.5"), (_PROBE_FACTOR, "x5")):
+                d = build_scaled_part(spark, sf_dir, factor)
+                try:
+                    pts[label] = _timed_count(spec, spark, d)
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+            er["er_part_match_pairs"] = pts
+            print(f"# probe:er_part_match_pairs: {pts}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# probe:er_part_match_pairs: FAILED {exc}"[:300], file=sys.stderr)
+
     return {
         "corpus_factor": _SCALE_FACTOR,
         "queries": sweep,
         "superlinear_probe": {"factors": [1, _SCALE_FACTOR, _PROBE_FACTOR], **probe},
+        "er_probe": {"factors": [1, _SCALE_FACTOR, _PROBE_FACTOR], **er},
     }
 
 
@@ -346,9 +431,11 @@ def main() -> None:
     # sweep land in the timed runs — observed 34.8k events/s post-sweep
     # vs 43-58k on a quiet session at the same commit).
     try:
-        ingest_sec, ingest_events = bench_layer_a_ingest(spark, sf_dir)
+        ingest_sec, ingest_events, ingest_phases = bench_layer_a_ingest(
+            spark, sf_dir
+        )
     except Exception as exc:  # noqa: BLE001
-        ingest_sec, ingest_events = None, 0
+        ingest_sec, ingest_events, ingest_phases = None, 0, {}
         ingest_exc = f"{type(exc).__name__}: {exc}"[:300]
     else:
         ingest_exc = None
@@ -387,7 +474,8 @@ def main() -> None:
         events_per_sec = round(ingest_events / ingest_sec, 1)
         print(
             f"# layer_a_ingest: {ingest_sec:.3f}s for {ingest_events} events "
-            f"({events_per_sec:,.0f} events/s; reference ceiling 20/s/table)",
+            f"({events_per_sec:,.0f} events/s; reference ceiling 20/s/table) "
+            f"phases={ingest_phases}",
             file=sys.stderr,
         )
     else:
@@ -423,6 +511,7 @@ def main() -> None:
         "scaling": scaling,
         "layer_a_ingest_events": ingest_events,
         "layer_a_ingest_events_per_sec": events_per_sec,
+        "layer_a_ingest_phases": ingest_phases,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": errors,
@@ -478,6 +567,7 @@ def main() -> None:
                 "full_timings": "BENCH_FULL.json",
                 "layer_a_ingest_events": ingest_events,
                 "layer_a_ingest_events_per_sec": events_per_sec,
+                "layer_a_ingest_phases": ingest_phases,
                 "sf": sf_val,
                 "metric": "total_query_wall_seconds",
                 "value": total,

@@ -151,6 +151,12 @@ class IngestReport:
     n_dropped_non_critical: int = 0
     tables: dict[str, int] = field(default_factory=dict)
     errors: dict[str, str] = field(default_factory=dict)
+    # Wall seconds per pipeline phase (BENCH r6 item 6: a depressed
+    # ingest headline must self-attribute). parse_infer and route are
+    # single wall spans; normalize/append are SUMS across the
+    # concurrent per-table flushes, so they can exceed the batch wall
+    # time — they attribute cost, they don't partition the clock.
+    phase_seconds: dict[str, float] = field(default_factory=dict)
 
 
 class IngestEngine:
@@ -308,6 +314,14 @@ class IngestEngine:
         if not self.store.ping():  # B4: sink-health gate
             raise StoreUnavailableError(f"store {self.store.root} unavailable")
         report = IngestReport(batch_id=batch_id)
+
+        def _phase(name: str, sec: float) -> None:
+            with self._lock:
+                report.phase_seconds[name] = (
+                    report.phase_seconds.get(name, 0.0) + sec
+                )
+
+        t_parse = time.perf_counter()
         events = parse_events(self.spark, raw)
         if not events.columns:
             return report
@@ -327,6 +341,10 @@ class IngestEngine:
                 F.count(F.when(F.col(etp).isNull(), 1)).alias("miss"),
             ).collect()[0]
             report.n_events = counts["n"]
+            # the agg above is what materializes the cached JSON parse,
+            # so the span from parse_events to here is the parse+infer
+            # cost
+            _phase("parse_infer", time.perf_counter() - t_parse)
             # F1: events with no routing key are logged and dropped
             report.n_missing_routing_key = int(counts["miss"])
             if report.n_missing_routing_key:
@@ -341,15 +359,23 @@ class IngestEngine:
 
             # G1: route per event type — distinct() is bounded by the
             # number of destination tables, like the reference's bulkers
+            t_route = time.perf_counter()
             types = [r[0] for r in valid.select(etp).distinct().collect()]
+            _phase("route", time.perf_counter() - t_route)
 
             def _process_type(etype: str) -> None:
                 sub = valid.filter(F.col(etp) == etype)
                 try:
-                    # persist the normalized rows: the write materializes
-                    # the cache, so the row count afterwards doesn't
-                    # re-run the whole normalize pipeline
+                    # persist the normalized rows and materialize them
+                    # with the count HERE, so (a) the write below reads
+                    # the cache instead of re-running the pipeline and
+                    # (b) normalize+evolve cost is attributable
+                    # separately from the append
+                    t_norm = time.perf_counter()
                     rows = normalize_events(sub, self.config).persist()
+                    n = rows.count()
+                    _phase("normalize", time.perf_counter() - t_norm)
+                    t_append = time.perf_counter()
                     keys = self.config.upsert_keys
                     if keys and all(k in rows.columns for k in keys):
                         # CDC mode: MERGE on the key tuple
@@ -371,7 +397,7 @@ class IngestEngine:
                             partition_by=self.config.table_partition_by,
                             sort_by=self.config.table_sort_by,
                         )
-                    n = rows.count()
+                    _phase("append", time.perf_counter() - t_append)
                     rows.unpersist()
                     with self._lock:
                         report.tables[etype] = n
