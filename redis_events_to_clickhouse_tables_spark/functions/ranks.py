@@ -206,6 +206,59 @@ def bucketed_prefix_sums(
     return out.drop("__pf_bucket")
 
 
+def bucketed_prefix_min(
+    df: DataFrame,
+    key: str,
+    val: str,
+    out_col: str = "cum_min",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Attach the exact ASCENDING-order running MINIMUM of ``val``
+    along ``key`` order — the scan primitive Page-Hinkley-style
+    detectors need (min-so-far of a cumulative statistic) — without a
+    global window.
+
+    Same recipe as :func:`bucketed_prefix_sums`: approximate range
+    boundaries on ``key`` (load balance only), one O(n_buckets)
+    collect of per-bucket minima turned into broadcast EXCLUSIVE
+    prefix-min offsets, then a within-bucket ordered window min.
+    ``key`` values must be unique rows and integral; ``val`` integral
+    (offsets are materialized as int literals).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile_approx(key, qs, 10_000).alias("bs")).first()
+    bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col(key)))
+    else:
+        bucket = F.lit(0)
+    sb = df.withColumn("__pm_bucket", bucket)
+    mins = {
+        r["__pm_bucket"]: r["m"]
+        for r in sb.groupBy("__pm_bucket").agg(F.min(val).alias("m")).collect()
+    }
+    offsets: list[int | None] = []
+    acc: int | None = None
+    for b in range(len(bounds) + 1):
+        offsets.append(acc)  # exclusive: min of all PRIOR buckets
+        if b in mins and mins[b] is not None:
+            acc = mins[b] if acc is None else min(acc, mins[b])
+    w = (
+        Window.partitionBy("__pm_bucket")
+        .orderBy(F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        F.col("__pm_bucket") + 1,
+    )
+    within = F.min(val).over(w)
+    return sb.withColumn(out_col, F.least(F.coalesce(off, within), within)).drop(
+        "__pm_bucket"
+    )
+
+
 def topk_by_value_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -1,0 +1,867 @@
+"""Second statistics wave: paired / blocked nonparametrics, agreement
+measures, and sequential-drift diagnostics.
+
+Same exactness doctrine as ``stats.py``: every sum runs in exact
+integers (cents) or DECIMAL(38,0); ranks use the doubled-midrank
+trick so ties stay integral; transcendental-free statistics are one
+shared IEEE expression over exact inputs, so Spark and DuckDB produce
+bit-identical doubles. Scale doctrine: no global windows — ordered
+scans go through the bucketed prefix primitives (functions/ranks.py),
+model frames (per-day, per-block) are value-space-bounded.
+
+Reference parity note: the reference ETL (src/main.ts) has no
+statistics operators; this is Layer-B training-data-pipeline surface
+(paired A/B readouts, labeling-agreement QA, ingest-drift alarms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..functions.ranks import bucketed_prefix_min, bucketed_prefix_sums
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_SPLIT_DATE = "1998-06-01"  # orders midpoint-ish: ~1.5k paired customers/sf0.01
+
+_CENTS = "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+_DAY = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+
+def _spend_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer exact spend (cents) in each half of the order
+    history; only customers active in BOTH halves (the paired-design
+    requirement)."""
+    o = table(spark, sf_dir, "orders")
+    h = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit(_SPLIT_DATE).cast("date"),
+                (dec("o_totalprice", 14) * 100).cast("long"),
+            )
+        ).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit(_SPLIT_DATE).cast("date"),
+                (dec("o_totalprice", 14) * 100).cast("long"),
+            )
+        ).alias("s2"),
+    )
+    return h.filter(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < DATE '{_SPLIT_DATE}'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 END) AS s1,
+             SUM(CASE WHEN o_orderdate >= DATE '{_SPLIT_DATE}'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 END) AS s2
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT CAST(s2 - s1 AS BIGINT) AS diff
+      FROM h WHERE s1 IS NOT NULL AND s2 IS NOT NULL AND s2 <> s1),
+    dv AS (
+      SELECT ABS(diff) AS ad,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(CASE WHEN diff > 0 THEN 1 END) AS BIGINT) AS cp
+      FROM d GROUP BY 1),
+    r AS (
+      SELECT ad, c, cp,
+             2 * (SUM(c) OVER (ORDER BY ad) - c) + c + 1 AS mr2
+      FROM dv),
+    s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(cp * mr2) AS BIGINT) AS w2p
+      FROM r)
+    SELECT n AS n_pairs,
+           CAST(w2p AS DOUBLE) / 2 AS w_plus,
+           (CAST(w2p AS DOUBLE) / 2
+              - CAST(n AS DOUBLE) * (n + 1) / 4)
+           / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24)
+             AS z_approx
+    FROM s
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-customer spend (first
+    half vs second half of the order history): the nonparametric
+    paired-difference readout — did the SAME population shift? —
+    where Mann-Whitney (independent groups) would be the wrong
+    design.
+
+    Exactness: diffs are exact cents; |diff| midranks use the doubled
+    domain (tied ranks stay integral); W+ accumulates cp*mr2 in int64.
+    Halves of the doubled W are exactly representable, and the normal
+    approximation is one fixed IEEE tail. Scale: the midrank scan is
+    ``bucketed_prefix_sums`` over DISTINCT |diff| values — no global
+    window, no per-row rank shuffle.
+    """
+    tune(spark)
+    h = _spend_halves(spark, sf_dir)
+    d = h.filter(F.col("s2") != F.col("s1")).select(
+        (F.col("s2") - F.col("s1")).alias("diff")
+    )
+    dv = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.count(F.when(F.col("diff") > 0, 1)).cast("long").alias("cp"),
+    )
+    r = bucketed_prefix_sums(dv, "ad", ["c"]).select(
+        "ad",
+        "c",
+        "cp",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("mr2"),
+    )
+    s = r.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cp") * F.col("mr2")).cast("long").alias("w2p"),
+    )
+    n = F.col("n").cast("double")
+    wp = F.col("w2p").cast("double") / 2
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        wp.alias("w_plus"),
+        (
+            (wp - n * (F.col("n") + 1) / 4)
+            / F.sqrt(n * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24)
+        ).alias("z_approx"),
+    )
+
+
+@query(
+    "stats_mcnemar_urgent_halves",
+    oracle=f"""
+    WITH flags AS (
+      SELECT c.c_custkey,
+             COALESCE(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                 AND o.o_orderdate < DATE '{_SPLIT_DATE}'
+                 THEN 1 END), 0) AS x1,
+             COALESCE(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                 AND o.o_orderdate >= DATE '{_SPLIT_DATE}'
+                 THEN 1 END), 0) AS x2
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    cells AS (
+      SELECT CAST(COUNT(CASE WHEN x1 = 1 AND x2 = 1 THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 END) AS BIGINT) AS b,
+             CAST(COUNT(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 END) AS BIGINT) AS c,
+             CAST(COUNT(CASE WHEN x1 = 0 AND x2 = 0 THEN 1 END) AS BIGINT) AS d
+      FROM flags)
+    SELECT a, b, c, d,
+           CAST((b - c) * (b - c) AS DOUBLE) / (b + c) AS chi2,
+           CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE) / (b + c)
+             AS chi2_cc
+    FROM cells
+    """,
+)
+def stats_mcnemar_urgent_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on a paired binary outcome: per customer, "had
+    an URGENT order" in the first vs second half of the history. Only
+    the discordant cells (b: yes->no, c: no->yes) carry information —
+    the marginal-homogeneity readout a naive chi-square on the pooled
+    2x2 gets wrong because the samples are the same customers.
+
+    Cells are exact int64 counts from one grouped pass over the
+    customer left join; chi2 (plain and continuity-corrected) is a
+    single integer-ratio division each.
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("o_orderpriority") == "1-URGENT")
+                        & (
+                            F.col("o_orderdate")
+                            < F.lit(_SPLIT_DATE).cast("date")
+                        ),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).alias("x1"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("o_orderpriority") == "1-URGENT")
+                        & (
+                            F.col("o_orderdate")
+                            >= F.lit(_SPLIT_DATE).cast("date")
+                        ),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).alias("x2"),
+        )
+    )
+    cells = flags.agg(
+        F.count(F.when((F.col("x1") == 1) & (F.col("x2") == 1), 1))
+        .cast("long")
+        .alias("a"),
+        F.count(F.when((F.col("x1") == 1) & (F.col("x2") == 0), 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when((F.col("x1") == 0) & (F.col("x2") == 1), 1))
+        .cast("long")
+        .alias("c"),
+        F.count(F.when((F.col("x1") == 0) & (F.col("x2") == 0), 1))
+        .cast("long")
+        .alias("d"),
+    )
+    bc = F.col("b") - F.col("c")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        ((bc * bc).cast("double") / (F.col("b") + F.col("c"))).alias("chi2"),
+        (
+            ((F.abs(bc) - 1) * (F.abs(bc) - 1)).cast("double")
+            / (F.col("b") + F.col("c"))
+        ).alias("chi2_cc"),
+    )
+
+
+_KAPPA_CHARS = 306  # corpus median n_chars
+_KAPPA_TOKS = 56  # corpus median whitespace tokens
+
+
+@query(
+    "stats_cohens_kappa_raters",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= {_KAPPA_CHARS} THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(string_split(text, ' ')) >= {_KAPPA_TOKS}
+                  THEN 1 ELSE 0 END AS r2
+      FROM documents),
+    cells AS (
+      SELECT CAST(COUNT(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 END) AS BIGINT) AS b,
+             CAST(COUNT(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 END) AS BIGINT) AS c,
+             CAST(COUNT(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r)
+    SELECT a, b, c, d, n,
+           CAST(a + d AS DOUBLE) / n AS p_observed,
+           CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE) / (n * n)
+             AS p_expected,
+           CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+                AS DOUBLE)
+           / (n * n - ((a + b) * (a + c) + (c + d) * (b + d))) AS kappa
+    FROM cells
+    """,
+)
+def stats_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document "raters"
+    (char-length rule vs token-count rule): the chance-corrected
+    agreement score every labeling/QA pipeline reports before
+    trusting a rater pair.
+
+    kappa = (n(a+d) - [(a+b)(a+c)+(c+d)(b+d)]) / (n^2 - [...]) — the
+    whole statistic reduces to ONE division of exact int64 products,
+    so it hash-matches bit-for-bit. One grouped pass, no shuffle
+    beyond the 1-row aggregate.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        F.when(F.col("n_chars") >= _KAPPA_CHARS, 1).otherwise(0).alias("r1"),
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= _KAPPA_TOKS, 1
+        )
+        .otherwise(0)
+        .alias("r2"),
+    )
+    cells = r.agg(
+        F.count(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1))
+        .cast("long")
+        .alias("a"),
+        F.count(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1))
+        .cast("long")
+        .alias("c"),
+        F.count(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        "n",
+        ((F.col("a") + F.col("d")).cast("double") / F.col("n")).alias(
+            "p_observed"
+        ),
+        (pe_num.cast("double") / (F.col("n") * F.col("n"))).alias("p_expected"),
+        (
+            (F.col("n") * (F.col("a") + F.col("d")) - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num)
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "stats_friedman_priority_by_month",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS blk, o_orderpriority AS trt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS v
+      FROM orders GROUP BY 1, 2),
+    dv AS (
+      SELECT blk, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cell GROUP BY 1, 2),
+    mr AS (
+      SELECT blk, v,
+             2 * (SUM(c) OVER (PARTITION BY blk ORDER BY v) - c) + c + 1
+               AS mr2
+      FROM dv),
+    ranked AS (
+      SELECT cell.trt, mr.mr2
+      FROM cell JOIN mr ON cell.blk = mr.blk AND cell.v = mr.v),
+    rj AS (
+      SELECT trt, CAST(SUM(mr2) AS BIGINT) AS r2j,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(r2j * r2j) AS BIGINT) AS sr2,
+             CAST(MAX(n_blocks) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM rj)
+    SELECT rj.trt AS o_orderpriority,
+           CAST(rj.r2j AS DOUBLE) / 2 AS rank_sum,
+           CAST(3 * (tot.sr2 - tot.n * tot.n * tot.k
+                     * (tot.k + 1) * (tot.k + 1)) AS DOUBLE)
+           / (tot.n * tot.k * (tot.k + 1)) AS friedman_q
+    FROM rj CROSS JOIN tot
+    """,
+)
+def stats_friedman_priority_by_month(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman test: do order priorities rank consistently across
+    calendar-month blocks (revenue per (month, priority) cell)? The
+    within-block rank test for a randomized-block design — the
+    repeated-measures ANOVA's nonparametric sibling, next to
+    Kruskal-Wallis (independent groups).
+
+    The (12 x 5) cell frame is value-space-bounded, so within-block
+    doubled midranks come from a tiny partitioned window (blk
+    partitions — never global). Q reduces to one exact-integer ratio:
+    Q = 3(sum R2_j^2 - n^2 k (k+1)^2) / (n k (k+1)) in the doubled
+    domain. Every row carries Q plus its own rank sum.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.sum((dec("o_totalprice", 14) * 100)).cast("long").alias("v"))
+    dv = cell.groupBy("blk", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (
+        Window.partitionBy("blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mr = dv.select(
+        "blk",
+        "v",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("mr2"),
+    )
+    ranked = cell.join(mr, ["blk", "v"]).select("trt", "mr2")
+    rj = ranked.groupBy("trt").agg(
+        F.sum("mr2").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    tot = rj.agg(
+        F.sum(F.col("r2j") * F.col("r2j")).cast("long").alias("sr2"),
+        F.max("n_blocks").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return rj.crossJoin(F.broadcast(tot)).select(
+        F.col("trt").alias("o_orderpriority"),
+        (F.col("r2j").cast("double") / 2).alias("rank_sum"),
+        (
+            (
+                3
+                * (
+                    F.col("sr2")
+                    - F.col("n")
+                    * F.col("n")
+                    * F.col("k")
+                    * (F.col("k") + 1)
+                    * (F.col("k") + 1)
+                )
+            ).cast("double")
+            / (F.col("n") * F.col("k") * (F.col("k") + 1))
+        ).alias("friedman_q"),
+    )
+
+
+_PH_LAMBDA_CENTS = 2_000_000  # alarm when drift exceeds $20k x D days
+
+
+@query(
+    "stats_page_hinkley_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, SUM({_CENTS}) AS x
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily),
+    m AS (
+      SELECT d, x,
+             SUM(CAST(x AS BIGINT) * nd - s)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS md
+      FROM daily CROSS JOIN tot),
+    mm AS (
+      SELECT d, x, md,
+             MIN(md) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS md_min
+      FROM m)
+    SELECT mm.d AS day_idx, CAST(mm.x AS BIGINT) AS daily_cents,
+           CAST(mm.md AS BIGINT) AS ph_scaled,
+           CAST(mm.md - mm.md_min AS BIGINT) AS ph_rise,
+           mm.md - mm.md_min > CAST({_PH_LAMBDA_CENTS} AS BIGINT) * tot.nd
+             AS alarm
+    FROM mm CROSS JOIN tot
+    """,
+)
+def stats_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector over daily event value: the
+    sequential changepoint alarm (cumulative deviation from the global
+    mean minus its running minimum) that streaming ingest monitors run
+    — here as the exact batch replay.
+
+    Exact-arithmetic trick: multiply through by D (the day count) so
+    m_t = sum(D*x_i - S) stays int64 — no float mean ever enters. The
+    cumulative sum is ``bucketed_prefix_sums`` and the running minimum
+    is ``bucketed_prefix_min`` — both distributed scans, no global
+    window (the plan gate enforces it), even though a day frame is
+    small: the same query must hold on a years-deep event log.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(dec("value", 10) * 100).cast("long")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(F.sum(cents).alias("x"))
+    tot = daily.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "x", (F.col("x") * F.col("nd") - F.col("s")).alias("dev"), "nd"
+    )
+    cum = bucketed_prefix_sums(base, "d", ["dev"]).withColumnRenamed(
+        "cum_dev", "md"
+    )
+    mm = bucketed_prefix_min(cum, "d", "md", out_col="md_min")
+    return mm.select(
+        F.col("d").cast("long").alias("day_idx"),
+        F.col("x").cast("long").alias("daily_cents"),
+        F.col("md").cast("long").alias("ph_scaled"),
+        (F.col("md") - F.col("md_min")).cast("long").alias("ph_rise"),
+        (
+            (F.col("md") - F.col("md_min"))
+            > F.lit(_PH_LAMBDA_CENTS).cast("long") * F.col("nd")
+        ).alias("alarm"),
+    )
+
+
+@query(
+    "stats_durbin_watson_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, SUM({_CENTS}) AS y
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT d, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty
+      FROM idx),
+    resid AS (
+      SELECT t,
+             y * (n * stt - st * st)
+               - ((sy * stt - st * sty) + (n * sty - st * sy) * t) AS e
+      FROM idx CROSS JOIN s),
+    dw AS (
+      SELECT CAST(SUM(CAST(b.e - a.e AS HUGEINT) * (b.e - a.e)) AS DOUBLE)
+               AS num
+      FROM resid a JOIN resid b ON b.t = a.t + 1),
+    den AS (
+      SELECT CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) AS den
+      FROM resid)
+    SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_days,
+           dw.num / den.den AS durbin_watson
+    FROM dw CROSS JOIN den
+    """,
+)
+def stats_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic on the residuals of
+    the daily-revenue-vs-time OLS line: DW ~ 2 means the trend line
+    left white noise, DW << 2 means sticky positive autocorrelation
+    (the "my trend model is missing a regime" alarm).
+
+    Exactness: residuals are scaled by the OLS denominator
+    (e*den = y*den - alpha_num - beta_num*t), keeping EVERYTHING
+    integral until the single final division — DW is scale-invariant
+    so den cancels. Squares run in DECIMAL(38,0) (HUGEINT in DuckDB;
+    both convert correctly-rounded to double once). The day index t
+    comes from a row_number over the tiny distinct-day frame — but
+    partitioned bucketed rank is used Spark-side to honor the
+    no-global-window gate.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(dec("value", 10) * 100).cast("long")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(F.sum(cents).alias("y"))
+    ones = daily.withColumn("one", F.lit(1).cast("long"))
+    idx = bucketed_prefix_sums(ones, "d", ["one"]).select(
+        "d", "y", F.col("cum_one").alias("t")
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    resid = idx.crossJoin(F.broadcast(s)).select(
+        "t",
+        (
+            F.col("y") * (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+            - (
+                (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty"))
+                + (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+                * F.col("t")
+            )
+        ).alias("e"),
+        "n",
+    )
+    a = resid.select(F.col("t").alias("ta"), F.col("e").alias("ea"))
+    b = resid.select(F.col("t").alias("tb"), F.col("e").alias("eb"))
+    num = (
+        a.join(b, F.col("tb") == F.col("ta") + 1)
+        .agg(
+            F.sum(
+                (F.col("eb") - F.col("ea")).cast("decimal(38,0)")
+                * (F.col("eb") - F.col("ea"))
+            )
+            .cast("double")
+            .alias("num")
+        )
+    )
+    den = resid.agg(
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+        .cast("double")
+        .alias("den"),
+        F.max("n").alias("n_days"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("num") / F.col("den")).alias("durbin_watson"),
+    )
+
+
+_LB_MAX_LAG = 7
+
+
+@query(
+    "stats_ljung_box_daily_counts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily),
+    a AS (
+      SELECT l.k,
+             CAST(SUM((a.x * n - s) * CAST(b.x * n - s AS HUGEINT))
+                  AS DOUBLE) AS ak
+      FROM (SELECT unnest(range(1, {_LB_MAX_LAG} + 1)) AS k) l
+      CROSS JOIN tot
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.k
+      GROUP BY 1),
+    a0 AS (
+      SELECT CAST(SUM(CAST(x * n - s AS HUGEINT) * (x * n - s)) AS DOUBLE)
+               AS a0
+      FROM daily CROSS JOIN tot),
+    terms AS (
+      SELECT CAST(a.k AS BIGINT) AS lag,
+             a.ak / a0.a0 AS r_k,
+             CAST(FLOOR((a.ak / a0.a0) * (a.ak / a0.a0)
+                        / (n - a.k) * 1000000000 ) AS BIGINT) AS term_fp
+      FROM a CROSS JOIN a0 CROSS JOIN tot)
+    SELECT t.lag, t.r_k,
+           CAST(n AS DOUBLE) * (n + 2)
+             * (SELECT SUM(u.term_fp) FROM terms u WHERE u.lag <= t.lag)
+             / 1000000000.0 AS q_cumulative
+    FROM terms t CROSS JOIN tot
+    """,
+)
+def stats_ljung_box_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily event counts: are the first
+    7 autocorrelations jointly zero (white noise), or does the arrival
+    process remember itself? The standard residual-whiteness gate
+    after any forecasting fit.
+
+    Exactness: autocovariances are n-scaled integers (x*n - s), summed
+    in DECIMAL(38,0)/HUGEINT; each r_k is one double division. The
+    cross-lag accumulation sums DOUBLES in lag order — order-dependent
+    — so each lag's Q contribution is floor-quantized to 1e-9
+    fixed-point first and the cumulative Q is an exact integer sum
+    (quantize-the-model doctrine, same as the textstats entropy
+    family). Lags are a 7-row model frame joined against the day
+    table; no global window.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(F.col("id").alias("k"))
+    da = daily.crossJoin(F.broadcast(tot)).select(
+        "d", ((F.col("x") * F.col("n")) - F.col("s")).alias("ca"), "n", "s"
+    )
+    db = da.select(F.col("d").alias("d2"), F.col("ca").alias("cb"))
+    ak = (
+        F.broadcast(lags)
+        .join(da, F.lit(True))
+        .join(db, F.col("d2") == F.col("d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+            .cast("double")
+            .alias("ak")
+        )
+    )
+    a0 = da.agg(
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("ca"))
+        .cast("double")
+        .alias("a0")
+    )
+    terms = (
+        ak.crossJoin(F.broadcast(a0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            (F.col("ak") / F.col("a0")).alias("r_k"),
+            F.floor(
+                (F.col("ak") / F.col("a0"))
+                * (F.col("ak") / F.col("a0"))
+                / (F.col("n") - F.col("k"))
+                * F.lit(1_000_000_000)
+            )
+            .cast("long")
+            .alias("term_fp"),
+            "n",
+        )
+    )
+    t2 = terms.select(
+        F.col("lag").alias("lag2"), F.col("term_fp").alias("term2")
+    )
+    return (
+        terms.join(F.broadcast(t2), F.col("lag2") <= F.col("lag"))
+        .groupBy("lag", "r_k", "n")
+        .agg(F.sum("term2").cast("long").alias("qfp"))
+        .select(
+            "lag",
+            "r_k",
+            (
+                F.col("n").cast("double")
+                * (F.col("n") + 2)
+                * F.col("qfp")
+                / F.lit(1_000_000_000.0)
+            ).alias("q_cumulative"),
+        )
+    )
+
+
+_VR_Q = 5
+
+
+@query(
+    "stats_variance_ratio_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, SUM({_CENTS}) AS x
+      FROM events GROUP BY 1),
+    d1 AS (
+      SELECT CAST(b.x - a.x AS BIGINT) AS v
+      FROM daily a JOIN daily b ON b.d = a.d + 1),
+    dq AS (
+      SELECT CAST(b.x - a.x AS BIGINT) AS v
+      FROM daily a JOIN daily b ON b.d = a.d + {_VR_Q}),
+    s1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(v) AS BIGINT) AS sv1,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sq1,
+             CAST(CAST(SUM(v) AS HUGEINT) * SUM(v) AS DOUBLE) AS svsq1
+      FROM d1),
+    sq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nq, CAST(SUM(v) AS BIGINT) AS svq,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(v) AS HUGEINT) * SUM(v) AS DOUBLE) AS svsqq
+      FROM dq)
+    SELECT n1 AS n_diffs_1, nq AS n_diffs_q,
+           ((sqq - svsqq / nq) / nq)
+             / ({_VR_Q} * ((sq1 - svsq1 / n1) / n1)) AS variance_ratio
+    FROM s1 CROSS JOIN sq
+    """,
+)
+def stats_variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistic on daily revenue: if the
+    series is a random walk, the variance of {q}-day changes is q
+    times the 1-day variance (VR ~ 1); VR < 1 flags mean reversion,
+    VR > 1 momentum. The quick market-microstructure-style test for
+    "is this KPI drifting or just diffusing".
+
+    Both difference sets come from day-offset self-joins on the
+    distinct-day frame (no window at all); power sums are exact
+    DECIMAL(38,0)/HUGEINT, and VR is one shared IEEE expression over
+    their correctly-rounded double images.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(dec("value", 10) * 100).cast("long")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(F.sum(cents).alias("x"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+
+    def diff_stats(lag: int, pre: str):
+        dd = daily.join(b, F.col("d2") == F.col("d") + lag).select(
+            (F.col("x2") - F.col("x")).alias("v")
+        )
+        return dd.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{pre}"),
+            F.sum("v").cast("long").alias(f"sv{pre}"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+            .cast("double")
+            .alias(f"sq{pre}"),
+            (
+                F.sum("v").cast("decimal(38,0)")
+                * F.sum("v").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias(f"svsq{pre}"),
+        )
+
+    s1 = diff_stats(1, "1")
+    sq = diff_stats(_VR_Q, "q")
+    return s1.crossJoin(F.broadcast(sq)).select(
+        F.col("n1").alias("n_diffs_1"),
+        F.col("nq").alias("n_diffs_q"),
+        (
+            ((F.col("sqq") - F.col("svsqq") / F.col("nq")) / F.col("nq"))
+            / (
+                F.lit(_VR_Q)
+                * ((F.col("sq1") - F.col("svsq1") / F.col("n1")) / F.col("n1"))
+            )
+        ).alias("variance_ratio"),
+    )
+
+
+@query(
+    "eval_auc_doc_length_en",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(n_chars AS BIGINT) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    dv AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(pos) AS BIGINT) AS cp
+      FROM rows_ GROUP BY 1),
+    r AS (
+      SELECT score, c, cp,
+             2 * (SUM(c) OVER (ORDER BY score) - c) + c + 1 AS mr2
+      FROM dv),
+    s AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(c - cp) AS BIGINT) AS nn,
+             CAST(SUM(cp * mr2) AS BIGINT) AS rp2
+      FROM r)
+    SELECT np AS n_positive, nn AS n_negative,
+           (CAST(rp2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+           / (CAST(np AS DOUBLE) * nn) AS auc
+    FROM s
+    """,
+)
+def eval_auc_doc_length_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of document length as a predictor of lang == 'en', via
+    the rank-sum identity AUC = (R+ - n+(n+1)/2) / (n+ n-): the
+    standard threshold-free readout for a candidate quality/filter
+    signal, with exact tie handling (ties count half, which the
+    doubled-midrank domain keeps integral).
+
+    Same distributed-scan shape as the Wilcoxon/MWU family: midranks
+    over DISTINCT score values via ``bucketed_prefix_sums``, one
+    int64 dot product, one final double expression.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    rows = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    dv = rows.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("cp"),
+    )
+    r = bucketed_prefix_sums(dv, "score", ["c"]).select(
+        "score",
+        "c",
+        "cp",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("mr2"),
+    )
+    s = r.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum(F.col("c") - F.col("cp")).cast("long").alias("nn"),
+        F.sum(F.col("cp") * F.col("mr2")).cast("long").alias("rp2"),
+    )
+    np_, nn = F.col("np").cast("double"), F.col("nn")
+    return s.select(
+        F.col("np").alias("n_positive"),
+        F.col("nn").alias("n_negative"),
+        (
+            (F.col("rp2").cast("double") / 2 - np_ * (F.col("np") + 1) / 2)
+            / (np_ * nn)
+        ).alias("auc"),
+    )

@@ -360,6 +360,7 @@ def load_all() -> dict[str, QuerySpec]:
         skew,
         spectral,
         stats,
+        stats2,
         subqueries,
         temporal,
         text,
