@@ -366,6 +366,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         textstats,
         timeseries,
+        timeseries2,
         tpch_extra,
     )
 
