@@ -1,0 +1,452 @@
+"""Second event-analytics wave: segment migration, arrival-process
+diagnostics, audience overlap, heavy-tail fitting, uniformity testing,
+and session quality.
+
+Doctrine as everywhere: exact integer/decimal reductions, quantized
+logs for transcendentals (floor(log2(int)*1e6), or the fully exact
+``length(bin(x))`` when only the binary magnitude is needed), shared
+IEEE tails, user-partitioned (never global) windows.
+
+Reference parity note: the reference ETL (src/main.ts) has no
+analytics operators; Layer-B north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_CENTS = "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+_DAY = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+# events span 30 days from 2024-01-01; split the user history there
+_MID_DAY = "DATE '2024-01-16'"
+
+_RFM_FREQ = 8  # events per half for the "high-frequency" tier
+_RFM_CENTS = 70_000  # half-spend cents for the "big-spender" tier
+
+
+@query(
+    "events_rfm_migration_matrix",
+    oracle=f"""
+    WITH halves AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) < {_MID_DAY} THEN 1 ELSE 2 END AS h,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             SUM({_CENTS}) AS m
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2),
+    seg AS (
+      SELECT user_id, h,
+             CASE WHEN f >= {_RFM_FREQ} THEN 'hi' ELSE 'lo' END || '-' ||
+             CASE WHEN m >= {_RFM_CENTS} THEN 'big' ELSE 'small' END AS s
+      FROM halves),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    SELECT COALESCE(a.s, 'absent') AS segment_h1,
+           COALESCE(b.s, 'absent') AS segment_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM users u
+    LEFT JOIN (SELECT user_id, s FROM seg WHERE h = 1) a USING (user_id)
+    LEFT JOIN (SELECT user_id, s FROM seg WHERE h = 2) b USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: each user's frequency x monetary tier
+    in the first vs second half of the window (with 'absent' for
+    churn/new) — the movement table a growth team reads before any
+    single-period RFM snapshot (customer_rfm_segments is the
+    point-in-time sibling).
+
+    Tiers come from exact integer thresholds (no percentile in the
+    rule, so the segment is stable under resampling); the matrix is
+    two user-keyed left joins and one grouped count — co-partitioned
+    shuffles on user_id throughout.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cents = F.round(dec("value", 10) * 100).cast("long")
+    halves = e.groupBy(
+        "user_id",
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(2)
+        .alias("h"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(cents).alias("m"),
+    )
+    seg = halves.select(
+        "user_id",
+        "h",
+        F.concat(
+            F.when(F.col("f") >= _RFM_FREQ, "hi").otherwise("lo"),
+            F.lit("-"),
+            F.when(F.col("m") >= _RFM_CENTS, "big").otherwise("small"),
+        ).alias("s"),
+    )
+    users = e.select("user_id").distinct()
+    a = seg.filter(F.col("h") == 1).select("user_id", F.col("s").alias("s1"))
+    b = seg.filter(F.col("h") == 2).select("user_id", F.col("s").alias("s2"))
+    return (
+        users.join(a, "user_id", "left")
+        .join(b, "user_id", "left")
+        .groupBy(
+            F.coalesce("s1", F.lit("absent")).alias("segment_h1"),
+            F.coalesce("s2", F.lit("absent")).alias("segment_h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "events_interarrival_profile",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events WHERE user_id IS NOT NULL),
+    gaps AS (
+      SELECT CAST(date_diff('second', ts, nxt) AS BIGINT) AS gap_s
+      FROM ordered WHERE nxt IS NOT NULL AND date_diff('second', ts, nxt) > 0)
+    SELECT CAST(length(bin(gap_s)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s
+    FROM gaps GROUP BY 1
+    """,
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: per-user consecutive event gaps,
+    bucketed by binary magnitude — the arrival-process fingerprint
+    (exponential arrivals give a geometric bucket decay; a bump at
+    minutes-scale means sessions, at day-scale means habits).
+
+    The log2 bucket is ``length(bin(gap))`` — the EXACT binary length
+    of the integer gap, no float log at all (both engines render
+    identical binary strings). Gaps come from a user-partitioned lead
+    window (bounded per-partition state); the histogram is one grouped
+    aggregate keyed by ~40 buckets.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            "ts",
+            F.lead("ts").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("nxt") - F.unix_timestamp("ts")
+            ).alias("gap_s")
+        )
+        .filter(F.col("gap_s") > 0)
+    )
+    return gaps.groupBy(
+        F.length(F.bin(F.col("gap_s"))).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_s"
+        ),
+    )
+
+
+@query(
+    "events_type_audience_jaccard",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tu GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, sa.n AS n_users_a, sb.n AS n_users_b,
+           i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_type_audience_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap between event types: Jaccard of the user sets
+    for every type pair — which behaviors share an audience and which
+    segment it. The co-occurrence readout behind "users who X also Y".
+
+    The pair counts come from a self-join of the DISTINCT (type,user)
+    frame on user_id — shuffle keyed by user, pair space bounded by
+    the type-count square per user (types are a small vocabulary).
+    Jaccard is one exact-integer ratio per pair.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_users_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_users_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_users_a") + F.col("n_users_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "events_user_powerlaw_alpha",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(log2(CAST(k AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS silog,
+             CAST(MAX(k) AS BIGINT) AS k_max
+      FROM k WHERE k >= 1)
+    SELECT n AS n_users, k_max,
+           1 + CAST(n AS DOUBLE) * 1000000
+               / (0.6931471805599453 * CAST(silog AS DOUBLE)) AS alpha_mle
+    FROM s
+    """,
+)
+def events_user_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail exponent of per-user activity: the continuous-MLE
+    power-law alpha = 1 + n / sum(ln k_i) (x_min = 1) over user event
+    counts — the one-number answer to "how concentrated is usage"
+    that pairs with the degree-distribution and Pareto-curve views.
+
+    The log sum rides the quantize-the-model doctrine: each user's
+    ln k is floor(log2(k)*1e6) int64 (integer inputs only), summed
+    exactly; alpha is one shared IEEE expression converting the
+    fixed-point log2 sum through ln 2.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.log2(F.col("k").cast("double")) * F.lit(1e6)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("silog"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        "k_max",
+        (
+            1
+            + F.col("n").cast("double")
+            * F.lit(1_000_000)
+            / (F.lit(0.6931471805599453) * F.col("silog"))
+        ).alias("alpha_mle"),
+    )
+
+
+@query(
+    "events_hour_dow_uniformity",
+    oracle="""
+    WITH cell AS (
+      SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS sc2,
+             CAST(MAX(c) AS BIGINT) AS c_max,
+             CAST(MIN(c) AS BIGINT) AS c_min
+      FROM cell)
+    SELECT n AS n_events, n_cells, c_min, c_max,
+           CAST(n_cells * sc2 - CAST(n AS HUGEINT) * n AS DOUBLE) / n
+             AS chi2_uniform,
+           CAST(n_cells - 1 AS BIGINT) AS dof
+    FROM s
+    """,
+)
+def events_hour_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity test over the hour-of-day x day-of-week
+    grid: is traffic flat across the 168 weekly cells, or does it
+    carry real seasonality worth modeling? (The seasonal-profile query
+    shows the shape; this one says whether the shape is signal.)
+
+    The whole statistic collapses to exact integers:
+    chi2 = (n_cells * sum(c^2) - N^2) / N — one division of a
+    DECIMAL(38,0)/HUGEINT expression. One grouped pass over a
+    168-cell model frame.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+        F.max("c").cast("long").alias("c_max"),
+        F.min("c").cast("long").alias("c_min"),
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        "n_cells",
+        "c_min",
+        "c_max",
+        (
+            (
+                F.col("n_cells") * F.col("sc2")
+                - F.col("n").cast("decimal(38,0)") * F.col("n")
+            ).cast("double")
+            / F.col("n")
+        ).alias("chi2_uniform"),
+        (F.col("n_cells") - 1).alias("dof"),
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_session_bounce_by_entry",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events WHERE user_id IS NOT NULL),
+    marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev IS NULL
+                  OR date_diff('second', prev, ts) > {_SESSION_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    per AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             FIRST(event_type ORDER BY ts, event_id) AS entry_type
+      FROM sess GROUP BY 1, 2)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+             AS n_bounces,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_session_events
+    FROM per GROUP BY 1
+    """,
+)
+def events_session_bounce_by_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounce rate by session entry type: 30-minute-gap sessions, each
+    attributed to its FIRST event type; a bounce is a single-event
+    session — the landing-quality readout per entry behavior.
+
+    Sessionization is the standard user-partitioned gap-flag cumsum
+    (bounded per-user window state); the entry event is a min-struct
+    aggregate, so no second window pass. Rates are exact-count
+    ratios.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > _SESSION_GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("et"),
+            )
+        )
+        .getField("et")
+        .alias("entry_type"),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("long")
+        .alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_session_events"
+        ),
+    )

@@ -349,6 +349,7 @@ def load_all() -> dict[str, QuerySpec]:
         enrichment,
         entity,
         events,
+        events2,
         graphplus,
         grouped,
         multimodal,
