@@ -1,0 +1,364 @@
+"""Second corpus-science wave: windowed lexical diversity, vocabulary
+richness, readability proxies, co-occurrence PMI, and concentration.
+
+Exactness: every statistic here reduces to exact integer counts with
+at most one shared IEEE tail; logs ride the fixed-point
+floor(log2(int)*1e6) doctrine. Regex surfaces stick to explicit ASCII
+classes so Java regex (Spark) and RE2 (DuckDB) agree — the same
+contract text_bpe_token_counts pinned.
+
+Reference parity note: the reference ETL (src/main.ts) has no text
+operators; Layer-B training-data-pipeline surface (diversity and
+readability are standard corpus-quality filters; PMI is the
+collocation signal tokenizer/phrase miners use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_MATTR_W = 20  # token window for moving-average TTR
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    wins AS (
+      SELECT doc_id, n,
+             CAST(i AS BIGINT) AS pos,
+             len(list_distinct(list_slice(ts, CAST(i AS BIGINT),
+                                          CAST(i AS BIGINT) + {_MATTR_W} - 1)))
+               AS d
+      FROM toks, UNNEST(range(1, n - {_MATTR_W} + 2)) AS u(i)
+      WHERE n >= {_MATTR_W})
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(d) AS BIGINT) AS sum_distinct,
+           CAST(SUM(d) AS DOUBLE) / (COUNT(*) * {_MATTR_W}) AS mattr
+    FROM wins GROUP BY doc_id
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (moving-average type-token ratio, window {w}): the
+    length-robust lexical-diversity score — plain TTR collapses as
+    documents grow, MATTR doesn't, which is why corpus-quality filters
+    use it. Score = mean over every {w}-token window of
+    distinct/window — an exact integer ratio (sum of per-window
+    distinct counts over windows*{w}).
+
+    The window explode is O(tokens * {w}) work but stays JVM-side
+    (sequence + slice + array_distinct codegen); partitioning is by
+    document, so the shape is embarrassingly parallel at any corpus
+    size.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("ts"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).filter(F.col("n") >= _MATTR_W)
+    wins = toks.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - _MATTR_W + 1)
+        ).alias("pos"),
+        "ts",
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        F.size(
+            F.array_distinct(F.slice(F.col("ts"), F.col("pos"), _MATTR_W))
+        ).alias("d"),
+    )
+    return wins.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("d").cast("long").alias("sum_distinct"),
+        (
+            F.sum("d").cast("double") / (F.count(F.lit(1)) * _MATTR_W)
+        ).alias("mattr"),
+    )
+
+
+@query(
+    "text_yule_k_by_source",
+    oracle="""
+    WITH f AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> '' GROUP BY 1, 2),
+    s AS (
+      SELECT source,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             -- freq^2 sums wrap int64 on a web-scale source; HUGEINT
+             -- (DECIMAL(38,0) Spark-side) keeps them exact
+             SUM(CAST(m AS HUGEINT) * m) AS sm2
+      FROM f GROUP BY 1)
+    SELECT source, n AS n_tokens, v AS n_types,
+           10000.0 * (CAST(sm2 AS DOUBLE) - n)
+             / (CAST(n AS DOUBLE) * n) AS yule_k
+    FROM s
+    """,
+)
+def text_yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source: 1e4 * (sum m^2 V_m - N) /
+    N^2 — the classic vocabulary-richness constant (length-invariant,
+    unlike TTR), flagging sources whose token distribution is
+    suspiciously repetitive or suspiciously flat.
+
+    sum(m^2 V_m) is just sum over types of freq^2, so the whole
+    statistic is three exact int64 sums per source and one shared
+    double tail. Shuffle keys: (source, token) then source.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    s = f.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("sm2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        (
+            F.lit(10000.0)
+            * (F.col("sm2").cast("double") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("yule_k"),
+    )
+
+
+_VOWEL_RUN = "[aeiouAEIOU]+"
+_SENT_END = "[.!?]"
+
+
+@query(
+    "text_readability_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{_VOWEL_RUN}')) AS BIGINT)
+             AS n_syllables,
+           CAST(GREATEST(len(regexp_extract_all(text, '{_SENT_END}')), 1)
+                AS BIGINT) AS n_sentences,
+           206.835
+             - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / GREATEST(len(regexp_extract_all(text,
+                                                          '{_SENT_END}')), 1))
+             - 84.6 * (CAST(len(regexp_extract_all(text, '{_VOWEL_RUN}'))
+                            AS DOUBLE)
+                       / len(string_split(text, ' '))) AS flesch_proxy
+    FROM documents
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document with a vowel-run syllable
+    proxy (an explicit ASCII class, so Java regex and RE2 count
+    identically): 206.835 - 1.015*(words/sentence) -
+    84.6*(syllables/word). The standard cheap complexity filter for
+    training-corpus curation.
+
+    Map-only: three regex counts per row, no shuffle at all — runs at
+    parquet scan speed at any corpus size. The score combines the
+    exact counts in one shared IEEE expression (integer operands CAST
+    to DOUBLE before any float literal touches them — the DuckDB
+    DECIMAL-literal trap events_user_powerlaw_alpha pinned).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    syll = F.size(F.regexp_extract_all(F.col("text"), F.lit(_VOWEL_RUN), F.lit(0)))
+    sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SENT_END), F.lit(0))),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        syll.cast("long").alias("n_syllables"),
+        sent.cast("long").alias("n_sentences"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sent)
+            - F.lit(84.6) * (syll.cast("double") / words)
+        ).alias("flesch_proxy"),
+    )
+
+
+_PMI_VOCAB = 30  # top-df words form the co-occurrence vocabulary
+_PMI_TOP = 50  # emitted pairs
+
+
+@query(
+    "text_pmi_top_pairs",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+    vocab AS (
+      SELECT w, df FROM df ORDER BY df DESC, w ASC LIMIT {_PMI_VOCAB}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM (SELECT dw.doc_id, dw.w FROM dw JOIN vocab USING (w)) a
+      JOIN (SELECT dw.doc_id, dw.w FROM dw JOIN vocab USING (w)) b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT w1, w2, c_ab, va.df AS df1, vb.df AS df2,
+             CAST(FLOOR(log2(CAST(c_ab AS DOUBLE) * n_docs) * 1000000)
+                  AS BIGINT)
+             - CAST(FLOOR(log2(CAST(va.df AS DOUBLE) * vb.df) * 1000000)
+                    AS BIGINT) AS pmi_fp
+      FROM pairs
+      JOIN vocab va ON va.w = pairs.w1
+      JOIN vocab vb ON vb.w = pairs.w2
+      CROSS JOIN n)
+    SELECT w1, w2, c_ab, df1, df2, pmi_fp,
+           CAST(pmi_fp AS DOUBLE) / 1000000 * 0.6931471805599453 AS pmi
+    FROM scored
+    ORDER BY pmi_fp DESC, w1 ASC, w2 ASC
+    LIMIT {_PMI_TOP}
+    """,
+)
+def text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by document-level PMI over the {v}-word
+    high-df vocabulary: PMI = ln(c_ab * N / (df_a * df_b)) — the
+    phrase-mining signal behind merged-token candidates.
+
+    Scale shape: the vocabulary is a deterministic top-{v} model frame
+    (df desc, word asc), broadcast into the document-word stream; the
+    pair space is bounded by {v}^2 per document, never vocabulary^2.
+    PMI is fixed-point (two quantized integer log2 terms over integer
+    products), so ranking can't flap; the double image is one shared
+    expression. Total ordering on the emitted top-{top}.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    df_ = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab = df_.orderBy(F.desc("df"), F.asc("w")).limit(_PMI_VOCAB)
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dv = dw.join(F.broadcast(vocab), "w").select("doc_id", "w")
+    a = dv.select("doc_id", F.col("w").alias("w1"))
+    b = dv.select("doc_id", F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    va = vocab.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    vb = vocab.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    ilog = lambda c: F.floor(F.log2(c) * F.lit(1e6)).cast("long")
+    scored = (
+        pairs.join(F.broadcast(va), "w1")
+        .join(F.broadcast(vb), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "df1",
+            "df2",
+            (
+                ilog(F.col("c_ab").cast("double") * F.col("n_docs"))
+                - ilog(F.col("df1").cast("double") * F.col("df2"))
+            ).alias("pmi_fp"),
+        )
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "c_ab",
+        "df1",
+        "df2",
+        "pmi_fp",
+        (
+            F.col("pmi_fp").cast("double")
+            / F.lit(1_000_000)
+            * F.lit(0.6931471805599453)
+        ).alias("pmi"),
+    ).orderBy(F.desc("pmi_fp"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOP)
+
+
+@query(
+    "text_simpson_concentration",
+    oracle="""
+    WITH f AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> '' GROUP BY 1, 2),
+    s AS (
+      SELECT source, CAST(SUM(m) AS BIGINT) AS n,
+             SUM(CAST(m AS HUGEINT) * (m - 1)) AS rep
+      FROM f GROUP BY 1)
+    SELECT source, n AS n_tokens,
+           CAST(rep AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+             AS simpson_lambda,
+           1 - CAST(rep AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+             AS simpson_diversity
+    FROM s
+    """,
+)
+def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's concentration per source: the probability two
+    randomly drawn tokens are the same type (unbiased m(m-1)/N(N-1)
+    form) — the collision-probability view of vocabulary concentration
+    that complements entropy (text_char_entropy) and Yule's K.
+    Exact integer sums, one shared double tail per source.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    s = f.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)") * (F.col("m") - 1)).alias(
+            "rep"
+        ),
+    )
+    lam = F.col("rep").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        lam.alias("simpson_lambda"),
+        (1 - lam).alias("simpson_diversity"),
+    )

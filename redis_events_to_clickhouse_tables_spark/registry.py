@@ -365,6 +365,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         temporal,
         text,
+        text2,
         textstats,
         timeseries,
         timeseries2,
