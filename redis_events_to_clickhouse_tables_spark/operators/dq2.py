@@ -1,0 +1,140 @@
+"""Second data-quality wave: uniqueness profiling and l-diversity.
+
+Reference parity note: the reference's only quality surface is its
+defined-value predicate and poison-event handling (src/main.ts); the
+warehouse-grade profiling here is Layer-B surface. Exact counts
+throughout; ratios are single divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+# (table, column) inventory for the uniqueness profile — the columns a
+# warehouse key-discovery pass would probe.
+_UNIQ_COLS: list[tuple[str, list[str]]] = [
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]),
+    ("customer", ["c_custkey", "c_nationkey", "c_mktsegment"]),
+    ("part", ["p_partkey", "p_brand", "p_type"]),
+    ("lineitem", ["l_orderkey", "l_returnflag"]),
+    ("events", ["event_id", "user_id", "event_type"]),
+    ("documents", ["doc_id", "lang", "source"]),
+]
+
+_UNIQ_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+       CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*) AS uniqueness,
+       COUNT(DISTINCT {c}) = COUNT(*) AS key_candidate
+    FROM {t}"""
+    for t, cols in _UNIQ_COLS
+    for c in cols
+)
+
+
+@query("dq_uniqueness_all_tables", oracle=_UNIQ_ORACLE)
+def dq_uniqueness_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide uniqueness profile: per probed column, row
+    count, distinct count, non-null count, uniqueness ratio, and the
+    key-candidate flag (distinct == rows) — the key-discovery /
+    duplicate-suspicion sweep that pairs with the null-rate profile
+    (dq_null_profile_all_tables).
+
+    One pass PER TABLE computes all of that table's columns in a
+    single aggregate (count distincts fused by Spark's expand), then
+    the per-column rows are unioned — 6 scans total regardless of
+    column count, each a pure aggregate with no join.
+    """
+    tune(spark)
+    frames: list[DataFrame] = []
+    for t, cols in _UNIQ_COLS:
+        df = table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+            aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+        row = df.agg(*aggs)
+        for c in cols:
+            frames.append(
+                row.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    "n_rows",
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                    F.col(f"nn_{c}").alias("n_non_null"),
+                    (
+                        F.col(f"nd_{c}").cast("double") / F.col("n_rows")
+                    ).alias("uniqueness"),
+                    (F.col(f"nd_{c}") == F.col("n_rows")).alias(
+                        "key_candidate"
+                    ),
+                )
+            )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+_L_MIN = 3  # diversity threshold
+
+
+@query(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 0 THEN 'negative'
+                  WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 5000 THEN 'mid'
+                  ELSE 'high' END AS balance_band
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS k_size,
+             CAST(COUNT(DISTINCT balance_band) AS BIGINT) AS l_diversity
+      FROM banded GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, k_size, l_diversity,
+           l_diversity < {_L_MIN} AS below_l
+    FROM g
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit on top of the k-anonymity quasi-identifier
+    groups (nation x segment): each group must carry at least l
+    distinct values of the sensitive attribute (account-balance band),
+    else a re-identified group leaks the attribute even when k is
+    large — the standard second check after dq_k_anonymity.
+
+    The banding is an exact DECIMAL comparison (no float threshold);
+    one grouped pass, group count bounded by the quasi-identifier
+    value space.
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(bal < 0, "negative")
+        .when(bal < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+    )
+    g = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k_size"),
+        F.countDistinct("balance_band").cast("long").alias("l_diversity"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k_size",
+        "l_diversity",
+        (F.col("l_diversity") < _L_MIN).alias("below_l"),
+    )

@@ -1,0 +1,392 @@
+"""Second curation-pipeline wave: mixture scheduling, split
+decontamination, an explicit Bloom-filter accuracy probe, and
+embedding covariance structure.
+
+Exactness notes:
+
+- sqrt shares: per-source sqrt weights are floor-quantized to 1e-6
+  fixed point BEFORE normalization, so the share denominator is an
+  exact integer sum (double sums over sources would be
+  order-dependent).
+- Bloom: bit positions are md5-derived (the cross-engine hash
+  contract in functions/hashing.py); the false-positive estimate uses
+  the MEASURED fill ratio raised to k by explicit multiplication (no
+  pow()).
+- Covariance: float embedding coordinates are floor-scaled by 2^20
+  (exact power-of-two multiply on the double image of the float, so
+  both engines floor the identical value); all moment sums are
+  DECIMAL(38,0)/HUGEINT, ordering on exact integers.
+
+Reference parity note: the reference ETL (src/main.ts) has none of
+this; Layer-B training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_EPOCH_BUDGET_TOKENS = 20_000  # global training-token budget
+
+
+@query(
+    "pipeline_mixture_epoch_schedule",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, avail_tokens,
+             CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS sq_fp
+      FROM avail),
+    tot AS (SELECT CAST(SUM(sq_fp) AS BIGINT) AS sq_tot FROM w)
+    SELECT source, avail_tokens,
+           CAST(sq_fp AS DOUBLE) / sq_tot AS target_share,
+           CAST(sq_fp AS DOUBLE) / sq_tot * {_EPOCH_BUDGET_TOKENS}
+             AS target_tokens,
+           CAST(sq_fp AS DOUBLE) / sq_tot * {_EPOCH_BUDGET_TOKENS}
+             / avail_tokens AS epochs,
+           CAST(sq_fp AS DOUBLE) / sq_tot * {_EPOCH_BUDGET_TOKENS}
+             / avail_tokens > 1.0 AS oversampled
+    FROM w CROSS JOIN tot
+    """,
+)
+def pipeline_mixture_epoch_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-mixture epoch schedule under sqrt-proportional source
+    weighting (the standard upweight-the-tail heuristic): each
+    source's target share is sqrt(available)/sum(sqrt(available)),
+    and epochs = target/available says how many times the source must
+    repeat (oversampled > 1) to fill its slot of the token budget.
+
+    The sqrt weights are floor-quantized to 1e-6 fixed point so the
+    normalizing denominator is an exact integer sum — the per-source
+    rows then share one deterministic double pipeline. One grouped
+    pass plus a broadcast 1-row total.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("avail_tokens")
+    )
+    w = avail.select(
+        "source",
+        "avail_tokens",
+        F.floor(F.sqrt(F.col("avail_tokens").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("sq_fp"),
+    )
+    tot = w.agg(F.sum("sq_fp").cast("long").alias("sq_tot"))
+    share = F.col("sq_fp").cast("double") / F.col("sq_tot")
+    tgt = share * F.lit(_EPOCH_BUDGET_TOKENS)
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        share.alias("target_share"),
+        tgt.alias("target_tokens"),
+        (tgt / F.col("avail_tokens")).alias("epochs"),
+        (tgt / F.col("avail_tokens") > 1.0).alias("oversampled"),
+    )
+
+
+_SPLIT_HASH = DUCKDB_MD5_LONG("CAST(doc_id AS VARCHAR)", salt="split")
+
+
+@query(
+    "pipeline_decontam_split_report",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                                 ' ')) AS dig,
+             CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                  WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    ds AS (SELECT DISTINCT dig, split FROM assigned)
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_digests
+    FROM ds a JOIN ds b ON a.dig = b.dig AND a.split < b.split
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_decontam_split_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-split contamination by CONTENT: documents whose
+    head-shingle fingerprint (first 8 tokens — text_fingerprint's
+    cheap prefix-dup detector) appears in two different
+    train/val/test splits. The id-hash split is leak-proof by id, but
+    near-duplicated content still crosses splits — the
+    decontamination report every eval pipeline needs before trusting
+    held-out numbers. (Exact-text digests catch nothing on this
+    corpus — prefix dups are the realistic leak channel.)
+
+    Shuffle key is the fingerprint (fixed width, never the text); the
+    split-pair matrix is a self-join of the DISTINCT (digest, split)
+    frame — at most 3 rows per digest.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    ds = d.select(
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+        ).alias("dig"),
+        split.alias("split"),
+    ).distinct()
+    a = ds.select("dig", F.col("split").alias("split_a"))
+    b = ds.select("dig", F.col("split").alias("split_b"))
+    return (
+        a.join(b, "dig")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_digests"))
+    )
+
+
+_BLOOM_M = 65_536  # bits
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return f"{DUCKDB_MD5_LONG(expr, salt=f'bloom{i}')} % {_BLOOM_M}"
+
+
+@query(
+    "sketch_bloom_fpr",
+    oracle=f"""
+    WITH member AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    -- true negatives by construction: offset keys live outside the
+    -- custkey domain (every customer has orders in this data, so an
+    -- anti-join negative set would be empty)
+    neg AS (SELECT c_custkey + 1000000000 AS k FROM customer),
+    bits AS (
+      SELECT DISTINCT pos FROM member,
+        UNNEST([{", ".join(_bloom_pos_sql("CAST(k AS VARCHAR)", i) for i in range(_BLOOM_K))}])
+          AS t(pos)),
+    probes AS (
+      SELECT neg.k, t.pos
+      FROM neg, UNNEST([{", ".join(_bloom_pos_sql("CAST(k AS VARCHAR)", i) for i in range(_BLOOM_K))}])
+        AS t(pos)),
+    hits AS (
+      SELECT probes.k, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM probes JOIN bits USING (pos) GROUP BY 1),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM member) AS n_inserted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM neg) AS n_tested,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+              WHERE n_hit = {_BLOOM_K}) AS n_false_pos)
+    SELECT n_inserted, n_bits_set, n_tested, n_false_pos,
+           CAST(n_false_pos AS DOUBLE) / n_tested AS fpr_measured,
+           (CAST(n_bits_set AS DOUBLE) / {_BLOOM_M})
+           * (CAST(n_bits_set AS DOUBLE) / {_BLOOM_M})
+           * (CAST(n_bits_set AS DOUBLE) / {_BLOOM_M})
+           * (CAST(n_bits_set AS DOUBLE) / {_BLOOM_M}) AS fpr_fill_model
+    FROM s
+    """,
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom filter accuracy probe: insert every ordering
+    customer key (k md5-derived hash functions into m bits), probe an
+    equal-sized key set OUTSIDE the custkey domain (true negatives by
+    construction), and report the measured false-positive rate next to
+    the fill-ratio model (rho^k, expanded by explicit multiplication —
+    no pow()). The companion to join_bloom_prefilter: that one USES a
+    filter, this one MEASURES one, the same way the CountMin/HLL
+    probes pin their sketch error.
+
+    Scale: the bit array is a DISTINCT-positions frame bounded by m;
+    probes shuffle on position (m-bounded key space); everything else
+    is exact counts.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    member = o.select(F.col("o_custkey").alias("k")).distinct()
+    neg = c.select((F.col("c_custkey") + 1_000_000_000).alias("k"))
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        md5_long(F.col("k").cast("string"), salt=f"bloom{i}")
+                        % _BLOOM_M
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(member).select("pos").distinct()
+    hits = (
+        positions(neg)
+        .join(bits, "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    s = (
+        member.agg(F.count(F.lit(1)).cast("long").alias("n_inserted"))
+        .crossJoin(
+            F.broadcast(
+                bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                neg.agg(F.count(F.lit(1)).cast("long").alias("n_tested"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                hits.filter(F.col("n_hit") == _BLOOM_K).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_false_pos")
+                )
+            )
+        )
+    )
+    rho = F.col("n_bits_set").cast("double") / F.lit(_BLOOM_M)
+    return s.select(
+        "n_inserted",
+        "n_bits_set",
+        "n_tested",
+        "n_false_pos",
+        (F.col("n_false_pos").cast("double") / F.col("n_tested")).alias(
+            "fpr_measured"
+        ),
+        (rho * rho * rho * rho).alias("fpr_fill_model"),
+    )
+
+
+_COV_DIMS = 16  # leading dims profiled
+_COV_SCALE = 1_048_576  # 2^20: exact power-of-two scaling of floats
+_COV_TOP = 10
+
+
+@query(
+    "embedding_covariance_top_pairs",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE)
+                        * {_COV_SCALE}) AS BIGINT) AS xf
+      FROM embeddings, UNNEST(range(1, {_COV_DIMS} + 1)) AS u(i)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mom1 AS (SELECT i, CAST(SUM(xf) AS BIGINT) AS sx FROM x GROUP BY 1),
+    mom2 AS (
+      SELECT a.i AS di, b.i AS dj,
+             SUM(CAST(a.xf AS HUGEINT) * b.xf) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT di, dj,
+             n.n * mom2.sxy - CAST(ma.sx AS HUGEINT) * mb.sx AS cov_num, n.n
+      FROM mom2
+      JOIN mom1 ma ON ma.i = mom2.di
+      JOIN mom1 mb ON mb.i = mom2.dj
+      CROSS JOIN n)
+    SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(cov_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * {_COV_SCALE} * {_COV_SCALE}.0)
+             AS covariance
+    FROM scored
+    ORDER BY ABS(cov_num) DESC, di ASC, dj ASC
+    LIMIT {_COV_TOP}
+    """,
+)
+def embedding_covariance_top_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strongest off-diagonal covariance pairs among the leading
+    {d} embedding dimensions — the redundancy/whitening diagnostic
+    (large |cov| between dims means the representation wastes
+    capacity; PCA (embedding_pca_top_component) shows the direction,
+    this shows the raw pair structure).
+
+    Floats enter exact arithmetic by flooring their double image
+    scaled by 2^20 (a power-of-two multiply is exact, so both engines
+    floor the same value — no float sum ever forms). Moment sums are
+    DECIMAL(38,0)/HUGEINT; the top-pair ordering compares EXACT
+    integer numerators, so the cut cannot flap. Pair space is d^2 per
+    vector (d fixed), shuffle keyed by dimension pair.
+    """
+    tune(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, _COV_DIMS)).alias(
+            "i0", "v"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * F.lit(_COV_SCALE))
+        .cast("long")
+        .alias("xf"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mom1 = x.groupBy("i").agg(F.sum("xf").cast("long").alias("sx"))
+    a = x.select("vec_id", F.col("i").alias("di"), F.col("xf").alias("xa"))
+    b = x.select("vec_id", F.col("i").alias("dj"), F.col("xf").alias("xb"))
+    mom2 = (
+        a.join(b, "vec_id")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias(
+                "sxy"
+            )
+        )
+    )
+    ma = mom1.select(F.col("i").alias("di"), F.col("sx").alias("sxa"))
+    mb = mom1.select(F.col("i").alias("dj"), F.col("sx").alias("sxb"))
+    scored = (
+        mom2.join(F.broadcast(ma), "di")
+        .join(F.broadcast(mb), "dj")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "di",
+            "dj",
+            "n",
+            (
+                F.col("n") * F.col("sxy")
+                - F.col("sxa").cast("decimal(38,0)") * F.col("sxb")
+            ).alias("cov_num"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("di").cast("long").alias("dim_i"),
+            F.col("dj").cast("long").alias("dim_j"),
+            F.col("n").alias("n_vectors"),
+            (
+                F.col("cov_num").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * F.lit(_COV_SCALE)
+                    * F.lit(float(_COV_SCALE))
+                )
+            ).alias("covariance"),
+            F.abs(F.col("cov_num")).alias("__abs"),
+        )
+        .orderBy(F.desc("__abs"), F.asc("dim_i"), F.asc("dim_j"))
+        .limit(_COV_TOP)
+        .drop("__abs")
+    )

@@ -345,6 +345,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         advanced,
         dedup,
+        dq2,
         drift,
         enrichment,
         entity,
@@ -354,6 +355,7 @@ def load_all() -> dict[str, QuerySpec]:
         grouped,
         multimodal,
         pipeline,
+        pipeline2,
         quality_checks,
         relational,
         scd,
