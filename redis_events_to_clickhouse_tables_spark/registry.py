@@ -344,6 +344,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from .operators import (  # noqa: F401
         advanced,
+        analytics2,
         dedup,
         dq2,
         drift,
