@@ -1,0 +1,296 @@
+"""Closed-form ML primitives: decision stump, ridge probe, HITS.
+
+The ML operators a data-curation stack actually runs inside the
+warehouse (threshold learners for filters, linear probes for
+embedding quality, authority scores for source ranking) — all
+CLOSED-FORM or fixed-round, so they stay oracle-checkable: exact
+moment/prefix sums, Cramer solves, and integer message passing; no
+gradient loops, no RNG.
+
+Reference parity note: the reference ETL (src/main.ts) has no ML
+operators; Layer-B north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ranks import bucketed_prefix_sums
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+@query(
+    "ml_decision_stump_nchars",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    dv AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(pos) AS BIGINT) AS p
+      FROM rows_ GROUP BY 1),
+    cum AS (
+      SELECT x,
+             SUM(c) OVER (ORDER BY x) AS nl,
+             SUM(p) OVER (ORDER BY x) AS pl
+      FROM dv),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS np
+      FROM dv),
+    cand AS (
+      SELECT x AS threshold, CAST(nl AS BIGINT) AS n_left,
+             CAST(pl AS BIGINT) AS p_left, n, np,
+             -- weighted-gini numerator over common denominator
+             -- n_l * n_r (exact integers; argmin cannot flap)
+             ((CAST(nl AS HUGEINT) * nl
+               - CAST(pl AS HUGEINT) * pl
+               - CAST(nl - pl AS HUGEINT) * (nl - pl)) * (n - nl)
+              + (CAST(n - nl AS HUGEINT) * (n - nl)
+                 - CAST(np - pl AS HUGEINT) * (np - pl)
+                 - CAST((n - nl) - (np - pl) AS HUGEINT)
+                   * ((n - nl) - (np - pl))) * nl) AS wg_num,
+             CAST(nl AS HUGEINT) * (n - nl) AS wg_den
+      FROM cum CROSS JOIN tot
+      WHERE nl < n)
+    SELECT threshold, n_left, p_left, n AS n_total, np AS n_positive,
+           CAST(wg_num AS DOUBLE) / CAST(wg_den AS DOUBLE) / n
+             AS weighted_gini,
+           (2.0 * np * (n - np)) / (CAST(n AS DOUBLE) * n) AS gini_parent
+    FROM cand
+    ORDER BY CAST(wg_num AS DOUBLE) / CAST(wg_den AS DOUBLE) ASC,
+             threshold ASC
+    LIMIT 1
+    """,
+)
+def ml_decision_stump_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision stump on document length predicting
+    lang == 'en': the split threshold minimizing weighted Gini
+    impurity — the single-feature threshold learner behind every
+    "where should the filter cut" question (and the root step of a
+    tree ensemble).
+
+    Candidate thresholds are the distinct feature values; class
+    prefix counts ride ``bucketed_prefix_sums`` (no global window);
+    the weighted-Gini objective is an EXACT integer numerator over
+    n_l*n_r, so both engines order candidates identically and the
+    argmin (threshold tiebreak) is deterministic. One TakeOrdered(1).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    rows = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    dv = rows.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    cum = bucketed_prefix_sums(dv, "x", ["c", "p"]).select(
+        "x", F.col("cum_c").alias("nl"), F.col("cum_p").alias("pl")
+    )
+    tot = dv.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("np"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    nl, pl, n, np_ = F.col("nl"), F.col("pl"), F.col("n"), F.col("np")
+    nr, pr = n - nl, np_ - pl
+    wg_num = (
+        (d38(nl) * nl - d38(pl) * pl - d38(nl - pl) * (nl - pl)) * nr
+        + (d38(nr) * nr - d38(pr) * pr - d38(nr - pr) * (nr - pr)) * nl
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nl < n)
+        .select(
+            F.col("x").alias("threshold"),
+            nl.alias("n_left"),
+            pl.alias("p_left"),
+            n.alias("n_total"),
+            np_.alias("n_positive"),
+            wg_num.alias("wg_num"),
+            (d38(nl) * nr).alias("wg_den"),
+        )
+    )
+    wg = F.col("wg_num").cast("double") / F.col("wg_den").cast("double")
+    return (
+        cand.select(
+            "threshold",
+            "n_left",
+            "p_left",
+            "n_total",
+            "n_positive",
+            (wg / F.col("n_total")).alias("weighted_gini"),
+            (
+                F.lit(2.0)
+                * F.col("n_positive")
+                * (F.col("n_total") - F.col("n_positive"))
+                / (F.col("n_total").cast("double") * F.col("n_total"))
+            ).alias("gini_parent"),
+            wg.alias("__wg"),
+        )
+        .orderBy(F.asc("__wg"), F.asc("threshold"))
+        .limit(1)
+        .drop("__wg")
+    )
+
+
+_RIDGE_SCALE = 1_048_576  # 2^20 fixed-point for float coordinates
+_RIDGE_LAMBDA_FP = 1 << 40  # lambda = 1.0 in original units
+
+
+@query(
+    "ml_ridge_probe_2d",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {_RIDGE_SCALE})
+                  AS BIGINT) AS x1,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {_RIDGE_SCALE})
+                  AS BIGINT) AS x2,
+             CAST(label AS BIGINT) AS y
+      FROM embeddings),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x1 AS HUGEINT) * x1) + {_RIDGE_LAMBDA_FP} AS a00,
+             SUM(CAST(x1 AS HUGEINT) * x2) AS a01,
+             SUM(CAST(x2 AS HUGEINT) * x2) + {_RIDGE_LAMBDA_FP} AS a11,
+             SUM(CAST(x1 AS HUGEINT) * y) AS b0,
+             SUM(CAST(x2 AS HUGEINT) * y) AS b1
+      FROM x)
+    SELECT n AS n_vectors,
+           CAST(a00 * a11 - a01 * a01 AS DOUBLE) AS det,
+           CAST(b0 * a11 - b1 * a01 AS DOUBLE)
+             / CAST(a00 * a11 - a01 * a01 AS DOUBLE) * {_RIDGE_SCALE}
+             AS beta_1,
+           CAST(a00 * b1 - a01 * b0 AS DOUBLE)
+             / CAST(a00 * a11 - a01 * a01 AS DOUBLE) * {_RIDGE_SCALE}
+             AS beta_2
+    FROM s
+    """,
+)
+def ml_ridge_probe_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge linear probe: regress the embedding label on
+    the first two embedding coordinates, beta = (X'X + lambda I)^-1
+    X'y solved by Cramer's rule — the "is this information linearly
+    decodable" check run on representation quality, with the ridge
+    term keeping the solve well-posed.
+
+    Float coordinates enter as power-of-two floor-scaled integers
+    (exact in both engines); every Gram/moment entry is
+    DECIMAL(38,0)/HUGEINT; determinant and both numerators convert to
+    double once, so the betas are two IEEE divisions. One aggregate
+    pass, 1-row output.
+    """
+    tune(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.floor(
+            F.element_at("embedding", 1).cast("double") * F.lit(_RIDGE_SCALE)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") * F.lit(_RIDGE_SCALE)
+        )
+        .cast("long")
+        .alias("x2"),
+        F.col("label").cast("long").alias("y"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(d38("x1") * F.col("x1")) + F.lit(_RIDGE_LAMBDA_FP)).alias(
+            "a00"
+        ),
+        F.sum(d38("x1") * F.col("x2")).alias("a01"),
+        (F.sum(d38("x2") * F.col("x2")) + F.lit(_RIDGE_LAMBDA_FP)).alias(
+            "a11"
+        ),
+        F.sum(d38("x1") * F.col("y")).alias("b0"),
+        F.sum(d38("x2") * F.col("y")).alias("b1"),
+    )
+    det = (F.col("a00") * F.col("a11") - F.col("a01") * F.col("a01")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").alias("n_vectors"),
+        det.alias("det"),
+        (
+            (F.col("b0") * F.col("a11") - F.col("b1") * F.col("a01")).cast(
+                "double"
+            )
+            / det
+            * F.lit(_RIDGE_SCALE)
+        ).alias("beta_1"),
+        (
+            (F.col("a00") * F.col("b1") - F.col("a01") * F.col("b0")).cast(
+                "double"
+            )
+            / det
+            * F.lit(_RIDGE_SCALE)
+        ).alias("beta_2"),
+    )
+
+
+_HITS_TOP = 20
+
+
+@query(
+    "graph_hits_bipartite",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY 1),
+    h1 AS (
+      SELECT e.s, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM e JOIN a1 ON a1.p = e.p GROUP BY 1),
+    a2 AS (
+      SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM e JOIN h1 ON h1.s = e.s GROUP BY 1)
+    SELECT a2.p AS p_partkey, a1.a AS degree, a2.a AS authority_2
+    FROM a2 JOIN a1 ON a1.p = a2.p
+    ORDER BY a2.a DESC, a2.p ASC
+    LIMIT {_HITS_TOP}
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS rounds on the supplier-part supply graph: authority_2
+    = A'A applied twice from the unit vector — parts supplied by
+    well-connected suppliers of well-connected parts outrank plain
+    degree. Unnormalized fixed-round HITS keeps every score an EXACT
+    integer (normalization only rescales the ranking), so the
+    iterative algorithm stays hash-checkable.
+
+    Each round is one keyed join + grouped sum (the sparse
+    matrix-vector product); two rounds, two shuffles, top-{k} with id
+    tiebreak.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "s")
+        .groupBy("p")
+        .agg(F.sum("h").cast("long").alias("a2"))
+    )
+    return (
+        a2.join(a1, "p")
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("a").alias("degree"),
+            F.col("a2").alias("authority_2"),
+        )
+        .orderBy(F.desc("authority_2"), F.asc("p_partkey"))
+        .limit(_HITS_TOP)
+    )

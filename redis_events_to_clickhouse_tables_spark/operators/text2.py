@@ -362,3 +362,76 @@ def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam.alias("simpson_lambda"),
         (1 - lam).alias("simpson_diversity"),
     )
+
+
+_C4_MIN_WORDS = 5
+_C4_MAX_WORD_LEN = 100
+
+
+@query(
+    "quality_c4_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> length(x) > {_C4_MAX_WORD_LEN})) AS BIGINT)
+               AS n_long_words,
+             regexp_matches(text, '[.!?]\\s*$') AS ends_terminal,
+             contains(text, '{{') OR contains(text, '}}') AS has_brace,
+             contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM documents)
+    SELECT doc_id, n_words, n_long_words,
+           ends_terminal, has_brace, has_lorem,
+           n_words >= {_C4_MIN_WORDS}
+             AND n_long_words = 0
+             AND ends_terminal
+             AND NOT has_brace
+             AND NOT has_lorem AS keep
+    FROM t
+    """,
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document filter (the published colossal-cleaned-corpus
+    rules, doc-level subset): minimum word count, no pathological
+    (>100-char) words, terminal punctuation at the end, no curly
+    braces (code/templating tell), no boilerplate 'lorem ipsum' —
+    alongside quality_gopher_rules, the second standard public filter
+    battery a curation stack runs.
+
+    Map-only exact booleans (regex/contains on explicit ASCII
+    patterns); keep is the AND. Runs at parquet scan speed — the
+    filter pushes straight into the scan stage at 100 TB.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(
+            F.filter(words, lambda w: F.length(w) > _C4_MAX_WORD_LEN)
+        )
+        .cast("long")
+        .alias("n_long_words"),
+        F.col("text").rlike(r"[.!?]\s*$").alias("ends_terminal"),
+        (
+            F.col("text").contains("{") | F.col("text").contains("}")
+        ).alias("has_brace"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_long_words",
+        "ends_terminal",
+        "has_brace",
+        "has_lorem",
+        (
+            (F.col("n_words") >= _C4_MIN_WORDS)
+            & (F.col("n_long_words") == 0)
+            & F.col("ends_terminal")
+            & ~F.col("has_brace")
+            & ~F.col("has_lorem")
+        ).alias("keep"),
+    )

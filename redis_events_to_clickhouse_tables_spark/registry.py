@@ -354,6 +354,7 @@ def load_all() -> dict[str, QuerySpec]:
         events2,
         graphplus,
         grouped,
+        ml,
         multimodal,
         pipeline,
         pipeline2,
