@@ -450,3 +450,205 @@ def events_session_bounce_by_entry(
             "avg_session_events"
         ),
     )
+
+
+_NA_FP = 10**12
+
+
+@query(
+    "events_nelson_aalen",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    sign AS (
+      SELECT user_id, MIN(ts) AS start FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    subj AS (
+      SELECT s.user_id, s.start,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.start
+                      THEN e.ts END) AS pts
+      FROM sign s LEFT JOIN events e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.start),
+    durs AS (
+      SELECT date_diff('day', CAST(start AS DATE),
+                       CAST(COALESCE(pts, max_ts) AS DATE)) AS dur,
+             CASE WHEN pts IS NULL THEN 0 ELSE 1 END AS ev
+      FROM subj, mx),
+    dt AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM durs GROUP BY dur),
+    risk AS (
+      SELECT a.dur, a.d, CAST(SUM(b.c) AS BIGINT) AS n_at_risk
+      FROM dt a JOIN dt b ON b.dur >= a.dur
+      WHERE a.d > 0 GROUP BY a.dur, a.d),
+    f AS (
+      SELECT dur, d, n_at_risk,
+             (d * {_NA_FP}) // n_at_risk AS h_fp
+      FROM risk)
+    SELECT a.dur AS duration_days, a.n_at_risk, a.d AS n_events,
+           CAST(a.h_fp AS DOUBLE) / {_NA_FP} AS hazard_increment,
+           CAST(SUM(b.h_fp) AS DOUBLE) / {_NA_FP} AS cumulative_hazard
+    FROM f a JOIN f b ON b.dur <= a.dur
+    GROUP BY a.dur, a.n_at_risk, a.d, a.h_fp
+    """,
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for signup -> first purchase
+    (right-censored at the horizon): H(t) = sum of d_i/n_i over event
+    durations <= t — the additive sibling of the Kaplan-Meier curve
+    (events_kaplan_meier) that variance estimates and hazard-ratio
+    eyeballing prefer.
+
+    Each hazard increment is an exact INTEGER floor division
+    (d * 1e12 div n), so the cumulative sum is exact int64 arithmetic
+    and the curve hash-matches bit-for-bit. Risk sets and the
+    cumulative sum ride bounded self-joins over the DISTINCT duration
+    table (observation-window days), exactly the KM scale shape.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    sign = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+    )
+    evs = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("et2"),
+        F.col("ts").alias("ts2"),
+    )
+    subj = (
+        sign.join(evs, sign.user_id == F.col("u2"), "left")
+        .groupBy("user_id", "start")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("et2") == "purchase")
+                    & (F.col("ts2") >= F.col("start")),
+                    F.col("ts2"),
+                )
+            ).alias("pts")
+        )
+    )
+    durs = subj.crossJoin(F.broadcast(mx)).select(
+        F.datediff(
+            F.to_date(F.coalesce(F.col("pts"), F.col("max_ts"))),
+            F.to_date("start"),
+        ).alias("dur"),
+        F.when(F.col("pts").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    dt = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    b = dt.select(F.col("dur").alias("dur2"), F.col("c").alias("c2"))
+    risk = (
+        dt.filter(F.col("d") > 0)
+        .join(b, F.col("dur2") >= F.col("dur"))
+        .groupBy("dur", "d")
+        .agg(F.sum("c2").cast("long").alias("n_at_risk"))
+    )
+    f = risk.select(
+        "dur",
+        "d",
+        "n_at_risk",
+        F.expr(f"(d * {_NA_FP}) div n_at_risk").alias("h_fp"),
+    )
+    fb = f.select(F.col("dur").alias("durb"), F.col("h_fp").alias("h_fpb"))
+    return (
+        f.join(fb, F.col("durb") <= F.col("dur"))
+        .groupBy("dur", "n_at_risk", "d", "h_fp")
+        .agg(F.sum("h_fpb").cast("long").alias("cum_fp"))
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_at_risk",
+            F.col("d").alias("n_events"),
+            (F.col("h_fp").cast("double") / F.lit(_NA_FP)).alias(
+                "hazard_increment"
+            ),
+            (F.col("cum_fp").cast("double") / F.lit(_NA_FP)).alias(
+                "cumulative_hazard"
+            ),
+        )
+    )
+
+
+@query(
+    "events_gap_lognormal_fit",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events WHERE user_id IS NOT NULL),
+    gaps AS (
+      SELECT CAST(FLOOR(log2(CAST(date_diff('second', ts, nxt) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS l
+      FROM ordered
+      WHERE nxt IS NOT NULL AND date_diff('second', ts, nxt) > 0),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(l) AS BIGINT) AS sl,
+             SUM(CAST(l AS HUGEINT) * l) AS sll
+      FROM gaps)
+    SELECT n AS n_gaps,
+           CAST(sl AS DOUBLE) / n / 1000000 * 0.6931471805599453 AS mu_ln,
+           (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n) / n
+             / 1000000.0 / 1000000.0
+             * 0.6931471805599453 * 0.6931471805599453 AS sigma2_ln
+    FROM s
+    """,
+)
+def events_gap_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of per-user inter-event gaps by the method of
+    moments in LOG space: mu = mean(ln gap), sigma^2 = var(ln gap) —
+    the two numbers behind "are arrivals heavy-tailed bursts or a
+    steady hum", complementing the binary-magnitude histogram
+    (events_interarrival_profile).
+
+    Each ln rides the quantized integer-log doctrine
+    (floor(log2(seconds)*1e6) — integer inputs only); moment sums are
+    exact int64/DECIMAL(38,0); mu and sigma^2 are shared IEEE tails
+    through ln2.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", F.lead("ts").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).alias("gap_s")
+        )
+        .filter(F.col("gap_s") > 0)
+        .select(
+            F.floor(F.log2(F.col("gap_s").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("l")
+        )
+    )
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum(F.col("l").cast("decimal(38,0)") * F.col("l")).alias("sll"),
+    )
+    ln2 = F.lit(0.6931471805599453)
+    return s.select(
+        F.col("n").alias("n_gaps"),
+        (
+            F.col("sl").cast("double") / F.col("n") / F.lit(1_000_000) * ln2
+        ).alias("mu_ln"),
+        (
+            (
+                F.col("sll").cast("double")
+                - F.col("sl").cast("double") * F.col("sl") / F.col("n")
+            )
+            / F.col("n")
+            / F.lit(1_000_000.0)
+            / F.lit(1_000_000.0)
+            * ln2
+            * ln2
+        ).alias("sigma2_ln"),
+    )

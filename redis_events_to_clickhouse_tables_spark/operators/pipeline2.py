@@ -390,3 +390,127 @@ def embedding_covariance_top_pairs(
         .limit(_COV_TOP)
         .drop("__abs")
     )
+
+
+_TRIPLET_ANCHOR_MOD = 10
+
+
+@query(
+    "embedding_triplet_violations",
+    oracle=f"""
+    WITH anch AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % {_TRIPLET_ANCHOR_MOD} = 0),
+    pos AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS pos_id
+      FROM anch a JOIN embeddings b
+        ON b.label = a.label AND b.vec_id > a.vec_id
+      GROUP BY 1),
+    neg AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS neg_id
+      FROM anch a JOIN embeddings b
+        ON b.label <> a.label AND b.vec_id > a.vec_id
+      GROUP BY 1),
+    trip AS (
+      SELECT a.vec_id, a.label, a.embedding AS ea,
+             p.embedding AS ep, n.embedding AS en
+      FROM anch a
+      JOIN pos ON pos.vec_id = a.vec_id
+      JOIN neg ON neg.vec_id = a.vec_id
+      JOIN embeddings p ON p.vec_id = pos.pos_id
+      JOIN embeddings n ON n.vec_id = neg.neg_id),
+    scored AS (
+      SELECT label,
+             list_dot_product(ea::DOUBLE[], ep::DOUBLE[])
+               / (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[]))
+                  * sqrt(list_dot_product(ep::DOUBLE[], ep::DOUBLE[])))
+               AS cos_pos,
+             list_dot_product(ea::DOUBLE[], en::DOUBLE[])
+               / (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[]))
+                  * sqrt(list_dot_product(en::DOUBLE[], en::DOUBLE[])))
+               AS cos_neg
+      FROM trip)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           CAST(COUNT(CASE WHEN cos_pos < cos_neg THEN 1 END) AS BIGINT)
+             AS n_violations,
+           CAST(COUNT(CASE WHEN cos_pos < cos_neg THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS violation_rate
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_triplet_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triplet-ordering violation rate per label: for deterministic
+    triplets (anchor, nearest-id same-label positive, nearest-id
+    different-label negative), how often is cos(anchor, positive) <
+    cos(anchor, negative)? The representation-quality eval a training
+    pipeline runs on every new embedding model — high violation rates
+    mean the space doesn't separate the labels.
+
+    Cosines use the engine's zip_with/aggregate dot product (strict
+    left-to-right doubles — identical to DuckDB's list_dot_product),
+    so the comparison is between bit-identical doubles and the count
+    is exact. Triplet selection is id-deterministic (MIN over a keyed
+    join); anchors are a fixed hash-mod sample, so the triplet count
+    scales with corpus/|mod|, never quadratically.
+    """
+    tune(spark)
+    from .similarity import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    anch = emb.filter(F.col("vec_id") % _TRIPLET_ANCHOR_MOD == 0).select(
+        "vec_id", F.col("embedding").alias("ea"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+    )
+    pos = (
+        anch.join(
+            b,
+            (F.col("b_label") == F.col("label"))
+            & (F.col("b_id") > F.col("vec_id")),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("pos_id"))
+    )
+    neg = (
+        anch.join(
+            b,
+            (F.col("b_label") != F.col("label"))
+            & (F.col("b_id") > F.col("vec_id")),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("neg_id"))
+    )
+    ep = emb.select(
+        F.col("vec_id").alias("pos_id"), F.col("embedding").alias("ep")
+    )
+    en = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("embedding").alias("en")
+    )
+    trip = (
+        anch.join(pos, "vec_id")
+        .join(neg, "vec_id")
+        .join(ep, "pos_id")
+        .join(en, "neg_id")
+    )
+    cos_pos = _dot("ea", "ep") / (_norm("ea") * _norm("ep"))
+    cos_neg = _dot("ea", "en") / (_norm("ea") * _norm("en"))
+    scored = trip.select(
+        "label", cos_pos.alias("cos_pos"), cos_neg.alias("cos_neg")
+    )
+    return scored.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triplets"),
+        F.count(F.when(F.col("cos_pos") < F.col("cos_neg"), 1))
+        .cast("long")
+        .alias("n_violations"),
+        (
+            F.count(F.when(F.col("cos_pos") < F.col("cos_neg"), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("violation_rate"),
+    )
