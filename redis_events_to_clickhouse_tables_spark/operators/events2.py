@@ -545,7 +545,7 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = dt.select(F.col("dur").alias("dur2"), F.col("c").alias("c2"))
     risk = (
         dt.filter(F.col("d") > 0)
-        .join(b, F.col("dur2") >= F.col("dur"))
+        .join(F.broadcast(b), F.col("dur2") >= F.col("dur"))
         .groupBy("dur", "d")
         .agg(F.sum("c2").cast("long").alias("n_at_risk"))
     )
@@ -557,7 +557,7 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fb = f.select(F.col("dur").alias("durb"), F.col("h_fp").alias("h_fpb"))
     return (
-        f.join(fb, F.col("durb") <= F.col("dur"))
+        f.join(F.broadcast(fb), F.col("durb") <= F.col("dur"))
         .groupBy("dur", "n_at_risk", "d", "h_fp")
         .agg(F.sum("h_fpb").cast("long").alias("cum_fp"))
         .select(
