@@ -574,3 +574,93 @@ def events_attribution_time_decay(
         "weight_fp",
         (F.col("weight_fp").cast("double") / F.col("w_tot")).alias("credit"),
     )
+
+
+@query(
+    "basket_rules_confidence",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+    supp AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY 1),
+    pair AS (
+      SELECT a.b AS ant, c.b AS cons, CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b <> c.b
+      GROUP BY 1, 2)
+    SELECT pair.ant AS antecedent, pair.cons AS consequent,
+           sa.s AS supp_antecedent, sc.s AS supp_consequent, pair.s_ab
+             AS supp_both,
+           CAST(pair.s_ab AS DOUBLE) / sa.s AS confidence,
+           CAST(n.n_orders AS DOUBLE) * pair.s_ab
+             / (CAST(sa.s AS DOUBLE) * sc.s) AS lift,
+           CAST((n.n_orders - sc.s) AS DOUBLE) * sa.s
+             / (CAST(n.n_orders AS DOUBLE) * NULLIF(sa.s - pair.s_ab, 0))
+             AS conviction
+    FROM pair
+    JOIN supp sa ON sa.b = pair.ant
+    JOIN supp sc ON sc.b = pair.cons
+    CROSS JOIN n
+    """,
+)
+def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over brand baskets: for every
+    ordered brand pair a -> b, support, confidence P(b|a), lift, and
+    conviction — the full rule metrics behind "customers who buy a
+    also buy b" (basket_brand_pairs_lift is the symmetric lift-only
+    sibling).
+
+    Rule space is bounded by the brand-vocabulary square; counts are
+    exact integers from one order-keyed self-join; each metric is a
+    single IEEE expression over exact counts (conviction NULLs out at
+    confidence = 1 via an integer NULLIF — no division-by-zero float
+    path).
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    ob.count()  # multi-branch consumer (n, supp, both pair sides)
+    n = ob.agg(F.countDistinct("o").cast("long").alias("n_orders"))
+    supp = ob.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = ob.select("o", F.col("b").alias("ant"))
+    c = ob.select("o", F.col("b").alias("cons"))
+    pair = (
+        a.join(c, "o")
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
+    )
+    sa = supp.select(F.col("b").alias("ant"), F.col("s").alias("sa"))
+    sc = supp.select(F.col("b").alias("cons"), F.col("s").alias("sc"))
+    return (
+        pair.join(F.broadcast(sa), "ant")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("ant").alias("antecedent"),
+            F.col("cons").alias("consequent"),
+            F.col("sa").alias("supp_antecedent"),
+            F.col("sc").alias("supp_consequent"),
+            F.col("s_ab").alias("supp_both"),
+            (F.col("s_ab").cast("double") / F.col("sa")).alias("confidence"),
+            (
+                F.col("n_orders").cast("double")
+                * F.col("s_ab")
+                / (F.col("sa").cast("double") * F.col("sc"))
+            ).alias("lift"),
+            (
+                (F.col("n_orders") - F.col("sc")).cast("double")
+                * F.col("sa")
+                / (
+                    F.col("n_orders").cast("double")
+                    * F.nullif(F.col("sa") - F.col("s_ab"), F.lit(0))
+                )
+            ).alias("conviction"),
+        )
+    )

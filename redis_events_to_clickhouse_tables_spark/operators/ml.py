@@ -294,3 +294,143 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_2"), F.asc("p_partkey"))
         .limit(_HITS_TOP)
     )
+
+
+_KNN_PROBE_MOD = 40
+_KNN_K = 5
+
+
+@query(
+    "ml_knn_accuracy",
+    oracle=f"""
+    WITH probe AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % {_KNN_PROBE_MOD} = 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.embedding::DOUBLE[],
+                                        p.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[])))
+               AS cosine
+      FROM probe p JOIN embeddings c ON c.vec_id <> p.vec_id),
+    topk AS (
+      SELECT probe_id, true_label, cand_label
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= {_KNN_K}),
+    votes AS (
+      SELECT probe_id, true_label, cand_label,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM topk GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT probe_id, true_label,
+             FIRST(cand_label ORDER BY c DESC, cand_label ASC)
+               AS predicted
+      FROM votes GROUP BY 1, 2)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(CASE WHEN predicted = true_label THEN 1 END)
+                AS BIGINT) AS n_correct,
+           CAST(COUNT(CASE WHEN predicted = true_label THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification accuracy on the embedding space: for a
+    deterministic probe sample, predict each probe's label by
+    majority vote of its {k} nearest neighbors (cosine) and score
+    against the true label per class — the standard
+    representation-quality eval next to the triplet-violation rate.
+
+    Cosines are the engine's fold dot product (bit-identical to
+    DuckDB's list_dot_product), ranking ties break on candidate id,
+    and the vote tiebreak is (count desc, label asc) via a min-struct
+    — every step deterministic, so accuracy hash-matches exactly.
+    The probe side broadcasts; ranking windows partition per probe.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cand_label"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(
+                F.col(x),
+                F.col(y),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(x):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(x), lambda v: v.cast("double") * v.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    scored = (
+        F.broadcast(probe)
+        .join(cand, F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "cand_id",
+            "cand_label",
+            (dot("pe", "ce") / (norm("pe") * norm("ce"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = topk.groupBy("probe_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pred = votes.groupBy("probe_id", "true_label").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"), F.col("cand_label").alias("lb")
+            )
+        )
+        .getField("lb")
+        .alias("predicted")
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("long").alias("true_label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.count(F.when(F.col("predicted") == F.col("true_label"), 1))
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.count(
+                F.when(F.col("predicted") == F.col("true_label"), 1)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )

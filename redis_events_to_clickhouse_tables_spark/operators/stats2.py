@@ -865,3 +865,287 @@ def eval_auc_doc_length_en(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (np_ * nn)
         ).alias("auc"),
     )
+
+
+_Z_ALPHA2 = 1.959963984540054  # two-sided 5%
+_Z_BETA = 0.8416212335729143  # 80% power
+
+
+@query(
+    "stats_sample_size_two_prop",
+    oracle=f"""
+    WITH flags AS (
+      SELECT c.c_mktsegment = 'AUTOMOBILE' AS grp,
+             COALESCE(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                               THEN 1 END), 0) AS hit
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, 1),
+    s AS (
+      SELECT CAST(COUNT(CASE WHEN grp THEN 1 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp THEN hit ELSE 0 END) AS BIGINT) AS k1,
+             CAST(COUNT(CASE WHEN NOT grp THEN 1 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN NOT grp THEN hit ELSE 0 END) AS BIGINT)
+               AS k2
+      FROM flags),
+    p AS (
+      SELECT n1, k1, n2, k2,
+             CAST(k1 AS DOUBLE) / n1 AS p1,
+             CAST(k2 AS DOUBLE) / n2 AS p2,
+             CAST(k1 + k2 AS DOUBLE) / (n1 + n2) AS pbar
+      FROM s)
+    SELECT n1, k1, n2, k2, p1, p2,
+           CEIL(
+             ({_Z_ALPHA2} * sqrt(2 * pbar * (1 - pbar))
+              + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             * ({_Z_ALPHA2} * sqrt(2 * pbar * (1 - pbar))
+                + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             / ((p1 - p2) * (p1 - p2))) AS n_per_arm
+    FROM p
+    """,
+)
+def stats_sample_size_two_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size calculator seeded from observed data: the
+    required n per arm to detect the OBSERVED urgent-order-rate gap
+    between AUTOMOBILE and other customers at alpha=5% (two-sided),
+    power=80% — the pre-registration power analysis every experiment
+    design needs, computed in-warehouse from the live baseline.
+
+    p1/p2/pbar are exact count ratios; the z quantiles are fixed
+    literals; the whole formula is one shared IEEE expression (the
+    squared numerator is written as an explicit product — no pow()),
+    and ceil() of identical doubles is identical.
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(
+            "c_custkey", (F.col("c_mktsegment") == "AUTOMOBILE").alias("grp")
+        )
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1)),
+                F.lit(0),
+            ).alias("hit")
+        )
+    )
+    s = flags.agg(
+        F.count(F.when(F.col("grp"), 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp"), F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.count(F.when(~F.col("grp"), 1)).cast("long").alias("n2"),
+        F.sum(F.when(~F.col("grp"), F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pbar = (F.col("k1") + F.col("k2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    num = F.lit(_Z_ALPHA2) * F.sqrt(2 * pbar * (1 - pbar)) + F.lit(
+        _Z_BETA
+    ) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    return s.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        F.ceil(num * num / ((p1 - p2) * (p1 - p2))).alias("n_per_arm"),
+    )
+
+
+# SPRT fixed-point log-likelihood weights for H0: p=0.15 vs H1: p=0.25
+# (precomputed once in Python and embedded as identical literals in
+# both engines — round(ln(p1/p0)*1e9) etc.)
+_SPRT_WK = 510825624  # ln(0.25/0.15) * 1e9
+_SPRT_WN = -125163143  # ln(0.75/0.85) * 1e9
+_SPRT_A = 2944438979  # ln(0.95/0.05) * 1e9  (accept H1 above)
+_SPRT_B = -2944438979  # ln(0.05/0.95) * 1e9  (accept H0 below)
+
+
+@query(
+    "stats_sprt_conversion_trace",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    llr AS (
+      SELECT d, n, k,
+             k * CAST({_SPRT_WK} AS BIGINT)
+               + (n - k) * CAST({_SPRT_WN} AS BIGINT) AS day_llr_fp
+      FROM daily),
+    cum AS (
+      SELECT d, n, k, day_llr_fp,
+             SUM(day_llr_fp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS cum_fp
+      FROM llr)
+    SELECT d AS day_idx, n AS n_events, k AS n_conversions,
+           CAST(cum_fp AS DOUBLE) / 1000000000 AS cum_llr,
+           CASE WHEN cum_fp > {_SPRT_A} THEN 'accept_h1'
+                WHEN cum_fp < {_SPRT_B} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def stats_sprt_conversion_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT trace on the daily purchase-conversion rate (H0:
+    p=0.15 vs H1: p=0.25, alpha=beta=5%): the cumulative binomial
+    log-likelihood ratio with the accept/continue decision per day —
+    the always-valid sequential test a metrics platform runs instead
+    of a fixed-horizon z-test.
+
+    The LLR weights are precomputed fixed-point constants embedded
+    identically in both engines, so every increment k*wk + (n-k)*wn
+    is exact int64 and the cumulative trace (bucketed prefix sums —
+    no global window) hash-matches bit-for-bit; only the display
+    column divides once.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("k"),
+    )
+    llr = daily.select(
+        "d",
+        "n",
+        "k",
+        (
+            F.col("k") * F.lit(_SPRT_WK) + (F.col("n") - F.col("k")) * F.lit(_SPRT_WN)
+        ).alias("day_llr_fp"),
+    )
+    cum = bucketed_prefix_sums(llr, "d", ["day_llr_fp"])
+    return cum.select(
+        F.col("d").cast("long").alias("day_idx"),
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_conversions"),
+        (F.col("cum_day_llr_fp").cast("double") / F.lit(1_000_000_000)).alias(
+            "cum_llr"
+        ),
+        F.when(F.col("cum_day_llr_fp") > _SPRT_A, "accept_h1")
+        .when(F.col("cum_day_llr_fp") < _SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+@query(
+    "stats_iqr_fences_by_priority",
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS pri,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    dv AS (
+      SELECT pri, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rows_ GROUP BY 1, 2),
+    cum AS (
+      SELECT pri, cents, c,
+             SUM(c) OVER (PARTITION BY pri ORDER BY cents) AS cl
+      FROM dv),
+    tot AS (SELECT pri, CAST(SUM(c) AS BIGINT) AS n FROM dv GROUP BY 1),
+    q AS (
+      SELECT cum.pri,
+             MIN(CASE WHEN cl >= CAST(CEIL(0.25 * n) AS BIGINT)
+                      THEN cents END) AS q1,
+             MIN(CASE WHEN cl >= CAST(CEIL(0.75 * n) AS BIGINT)
+                      THEN cents END) AS q3
+      FROM cum JOIN tot ON tot.pri = cum.pri
+      GROUP BY 1)
+    SELECT q.pri AS o_orderpriority,
+           tot.n AS n_orders, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM cum
+                 WHERE cum.pri = q.pri
+                   AND 2 * cents < 2 * q.q1 - 3 * (q.q3 - q.q1))
+                AS BIGINT) AS n_low_outliers,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM cum
+                 WHERE cum.pri = q.pri
+                   AND 2 * cents > 2 * q.q3 + 3 * (q.q3 - q.q1))
+                AS BIGINT) AS n_high_outliers
+    FROM q JOIN tot ON tot.pri = q.pri
+    """,
+)
+def stats_iqr_fences_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey IQR outlier fences per order priority with EXACT type-1
+    quartiles (the smallest value whose cumulative count reaches
+    ceil(q*n) — real data values, no interpolation) and exact fence
+    tests doubled through integers (2x < 2q1 - 3*IQR), so not a
+    single float enters the outlier decision — the boxplot-rule
+    screen that feeds anomaly review queues.
+
+    Quartiles come from per-group cumulative counts over DISTINCT
+    cent values (group-partitioned windows, bounded by the group's
+    value space); fence counts are two conditional re-aggregations of
+    the same distinct-value frame.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    rows = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+    )
+    dv = rows.groupBy("pri", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dv.withColumn("cl", F.sum("c").over(w))
+    tot = dv.groupBy("pri").agg(F.sum("c").cast("long").alias("n"))
+    j = cum.join(tot, "pri")
+    q = j.groupBy("pri").agg(
+        F.min(
+            F.when(
+                F.col("cl") >= F.ceil(0.25 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cl") >= F.ceil(0.75 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+    )
+    fen = cum.join(q, "pri")
+    low = fen.filter(
+        2 * F.col("cents") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+    ).groupBy("pri").agg(F.sum("c").cast("long").alias("n_low"))
+    high = fen.filter(
+        2 * F.col("cents") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    ).groupBy("pri").agg(F.sum("c").cast("long").alias("n_high"))
+    return (
+        q.join(tot, "pri")
+        .join(low, "pri", "left")
+        .join(high, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            F.coalesce("n_low", F.lit(0)).cast("long").alias("n_low_outliers"),
+            F.coalesce("n_high", F.lit(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+    )
