@@ -111,6 +111,9 @@ _SCALE_FAMILY_PREFIXES = (
     # per-term top-k), curriculum rank deciles, chunk-dedup explode
     "eval_ndcg_bm25", "pipeline_curriculum_buckets",
     "multimodal_payload_dedup",
+    # round-7 corpus-heavy additions: MATTR's O(tokens*window) slice
+    # explode and PMI's per-doc vocabulary pair space
+    "text_mattr_diversity", "text_pmi_top_pairs",
 )
 
 

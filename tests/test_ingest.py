@@ -351,3 +351,31 @@ def test_cdc_upsert_mode_last_write_wins(spark, tmp_path):
         batch_id=2,
     )
     assert store.read("click").count() == 2
+
+
+def test_ingest_reports_phase_timings(spark, tmp_path):
+    """BENCH r6 item 6: every batch must self-attribute its wall time
+    across parse_infer / route / normalize / append so a depressed
+    ingest headline can be decomposed."""
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        IngestEngine,
+    )
+    from redis_events_to_clickhouse_tables_spark.streaming.store import (
+        TableStore,
+    )
+    from redis_events_to_clickhouse_tables_spark.sources.tables import table
+
+    events = table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    raw = events.select(
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias(
+            "value"
+        )
+    )
+    engine = IngestEngine(spark, TableStore(spark, str(tmp_path)))
+    report = engine.process_raw_batch(raw, 0)
+    assert report.n_events == 500
+    for phase in ("parse_infer", "route", "normalize", "append"):
+        assert phase in report.phase_seconds, report.phase_seconds
+        assert report.phase_seconds[phase] > 0
