@@ -483,3 +483,93 @@ def timeseries_ses_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc * F.lit(0.5) + v * F.lit(0.5),
         ).alias("ses_level"),
     )
+
+
+@query(
+    "timeseries_pacf_lag2",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily),
+    a AS (
+      SELECT l.k,
+             CAST(SUM((a.x * n - s) * CAST(b.x * n - s AS HUGEINT))
+                  AS DOUBLE) AS ak
+      FROM (SELECT unnest([1, 2]) AS k) l
+      CROSS JOIN tot
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.k
+      GROUP BY 1),
+    a0 AS (
+      SELECT CAST(SUM(CAST(x * n - s AS HUGEINT) * (x * n - s)) AS DOUBLE)
+               AS a0
+      FROM daily CROSS JOIN tot),
+    r AS (
+      SELECT MAX(CASE WHEN k = 1 THEN ak END) / MAX(a0.a0) AS r1,
+             MAX(CASE WHEN k = 2 THEN ak END) / MAX(a0.a0) AS r2
+      FROM a CROSS JOIN a0)
+    SELECT r1, r2,
+           (r2 - r1 * r1) / (1 - r1 * r1) AS pacf_lag2
+    FROM r
+    """,
+)
+def timeseries_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lag 2 of daily event counts via the
+    Durbin-Levinson closed form pacf(2) = (r2 - r1^2)/(1 - r1^2) —
+    the AR-order diagnostic that separates "true 2-step memory" from
+    lag-1 correlation echoing (timeseries_autocorrelation shows the
+    raw r_k curve this corrects).
+
+    Autocovariances are n-scaled exact integers (DECIMAL(38,0)/
+    HUGEINT) from day-offset self-joins; r1/r2/pacf are one shared
+    IEEE expression tree.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    da = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("x") * F.col("n") - F.col("s")).alias("ca")
+    )
+    db = da.select(F.col("d").alias("d2"), F.col("ca").alias("cb"))
+    lags = spark.range(1, 3).select(F.col("id").alias("k"))
+    ak = (
+        F.broadcast(lags)
+        .join(da, F.lit(True))
+        .join(db, F.col("d2") == F.col("d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+            .cast("double")
+            .alias("ak")
+        )
+    )
+    a0 = da.agg(
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("ca"))
+        .cast("double")
+        .alias("a0")
+    )
+    r = ak.crossJoin(F.broadcast(a0)).agg(
+        (
+            F.max(F.when(F.col("k") == 1, F.col("ak"))) / F.max("a0")
+        ).alias("r1"),
+        (
+            F.max(F.when(F.col("k") == 2, F.col("ak"))) / F.max("a0")
+        ).alias("r2"),
+    )
+    return r.select(
+        "r1",
+        "r2",
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1"))
+        ).alias("pacf_lag2"),
+    )

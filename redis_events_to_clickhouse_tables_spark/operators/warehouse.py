@@ -1,0 +1,296 @@
+"""Warehouse-operations wave: ABC classification, sourcing risk,
+cohort revenue retention, and categorical mix-shift testing.
+
+Exactness: revenue in exact cents end-to-end; the ABC class cut is an
+integer cross-multiplication (cum*100 <= total*share — no float at
+the boundary); chi-square contributions are exact rationals whose
+total is accumulated in fixed point. Scale: the ABC cumulative rides
+the bucketed global-rank/prefix primitives, never a global window.
+
+Reference parity note: the reference ETL (src/main.ts) has no
+analytics operators; Layer-B north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..functions.ranks import bucketed_prefix_sums, global_rank_desc
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    cum AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN c * 100 <= total * 80 THEN 'A'
+                  WHEN c * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cum CROSS JOIN tot)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) AS DOUBLE) / MAX(total) AS revenue_share
+    FROM cls CROSS JOIN tot GROUP BY 1
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail — the Pareto workhorse behind stocking and attention
+    policies (customer_pareto_curve is the per-customer sibling).
+
+    The cumulative runs along EXACT global ranks from the
+    range-bucketed rank primitive plus a bucketed prefix sum — no
+    global window at any corpus size — and the class boundary is an
+    integer cross-multiplication (cum*100 <= total*80), so a part can
+    never flap between classes on a float edge.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 14) * 100).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    ranked, _n = global_rank_desc(rev, "cents", "l_partkey", rank_col="r")
+    cum = bucketed_prefix_sums(ranked, "r", ["cents"]).withColumnRenamed(
+        "cum_cents", "c"
+    )
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("c") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("c") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        (F.sum("cents").cast("double") / F.max("total")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@query(
+    "supplier_single_source_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1)
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(CASE WHEN ps.n_suppliers = 1 THEN 1 END) AS BIGINT)
+             AS n_single_sourced,
+           CAST(SUM(CASE WHEN ps.n_suppliers = 1 THEN ps.cents ELSE 0 END)
+                AS BIGINT) AS cents_at_risk,
+           CAST(SUM(CASE WHEN ps.n_suppliers = 1 THEN ps.cents ELSE 0 END)
+                AS DOUBLE) / SUM(ps.cents) AS share_at_risk
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    GROUP BY 1
+    """,
+)
+def supplier_single_source_risk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-sourcing risk per brand: parts observed shipping from
+    exactly one supplier, and the revenue share exposed to that
+    supplier — the supply-chain concentration screen next to the HHI
+    view (stats_hhi_supplier_concentration).
+
+    One grouped distinct-count over lineitem (shuffle on partkey),
+    one brand join, exact cents; the share is a single division.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(dec("l_extendedprice", 14) * 100).cast("long").alias("cents"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    risk_cents = F.sum(
+        F.when(F.col("n_suppliers") == 1, F.col("cents")).otherwise(0)
+    )
+    return (
+        ps.join(p, ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.count(F.when(F.col("n_suppliers") == 1, 1))
+            .cast("long")
+            .alias("n_single_sourced"),
+            risk_cents.cast("long").alias("cents_at_risk"),
+            (risk_cents.cast("double") / F.sum("cents")).alias(
+                "share_at_risk"
+            ),
+        )
+    )
+
+
+@query(
+    "customer_cohort_nrr",
+    oracle="""
+    WITH first_y AS (
+      SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS BIGINT) AS cohort
+      FROM orders GROUP BY 1),
+    rev AS (
+      SELECT f.cohort, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders o JOIN first_y f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    base AS (
+      SELECT cohort, cents AS base_cents FROM rev WHERE order_year = cohort)
+    SELECT rev.cohort AS cohort_year, rev.order_year, rev.cents
+             AS revenue_cents,
+           CAST(rev.cents AS DOUBLE) / base.base_cents AS revenue_multiple
+    FROM rev JOIN base ON base.cohort = rev.cohort
+    """,
+)
+def customer_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue-retention matrix: customers grouped by
+    first-order year, each cohort's yearly revenue expressed as a
+    multiple of its acquisition-year revenue — the NRR/LTV expansion
+    view finance reads (events_cohort_ltv_matrix is the event-stream
+    sibling at week grain).
+
+    First-order years are one grouped MIN; the matrix is a
+    co-partitioned custkey join plus a (cohort, year) aggregate —
+    exact cents, one division per cell.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    first_y = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort")
+    )
+    rev = (
+        o.join(first_y, "o_custkey")
+        .groupBy("cohort", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("cents"))
+    )
+    base = rev.filter(F.col("order_year") == F.col("cohort")).select(
+        "cohort", F.col("cents").alias("base_cents")
+    )
+    return rev.join(base, "cohort").select(
+        F.col("cohort").alias("cohort_year"),
+        "order_year",
+        F.col("cents").alias("revenue_cents"),
+        (F.col("cents").cast("double") / F.col("base_cents")).alias(
+            "revenue_multiple"
+        ),
+    )
+
+
+_MIX_SPLIT = "1998-06-01"
+_MIX_FP = 10**9
+
+
+@query(
+    "dq_priority_mix_shift",
+    oracle=f"""
+    WITH cell AS (
+      SELECT o_orderpriority AS pri,
+             CAST(COUNT(CASE WHEN o_orderdate < DATE '{_MIX_SPLIT}'
+                        THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN o_orderdate >= DATE '{_MIX_SPLIT}'
+                        THEN 1 END) AS BIGINT) AS b
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+      FROM cell),
+    contrib AS (
+      SELECT pri, a, b, n1, n2,
+             CAST(FLOOR(
+               CAST(CAST(a * (n1 + n2) - (a + b) * n1 AS HUGEINT)
+                    * (a * (n1 + n2) - (a + b) * n1) AS DOUBLE)
+               / (CAST(n1 + n2 AS DOUBLE) * (a + b) * n1) * {_MIX_FP})
+               AS BIGINT)
+             + CAST(FLOOR(
+               CAST(CAST(b * (n1 + n2) - (a + b) * n2 AS HUGEINT)
+                    * (b * (n1 + n2) - (a + b) * n2) AS DOUBLE)
+               / (CAST(n1 + n2 AS DOUBLE) * (a + b) * n2) * {_MIX_FP})
+               AS BIGINT) AS cell_fp
+      FROM cell CROSS JOIN tot),
+    q AS (SELECT CAST(SUM(cell_fp) AS BIGINT) AS chi_fp FROM contrib)
+    SELECT contrib.pri AS o_orderpriority, contrib.a AS n_first_half,
+           contrib.b AS n_second_half,
+           CAST(contrib.cell_fp AS DOUBLE) / {_MIX_FP} AS cell_chi2,
+           CAST(q.chi_fp AS DOUBLE) / {_MIX_FP} AS chi2_total
+    FROM contrib CROSS JOIN q
+    """,
+)
+def dq_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test of the order-priority MIX between
+    the two halves of the history: did the categorical composition
+    shift (a schema-stable form of data drift the PSI price check
+    can't see)? Each cell's contribution rides an exact rational
+    ((a*N - (a+b)*N1)^2 / (N*(a+b)*N1)), floor-quantized to 1e-9
+    fixed point so the cross-cell total is an exact integer sum —
+    the same quantize-then-sum discipline as the Ljung-Box trace.
+    One grouped pass; the category space bounds everything.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    cell = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(
+            F.when(F.col("o_orderdate") < F.lit(_MIX_SPLIT).cast("date"), 1)
+        )
+        .cast("long")
+        .alias("a"),
+        F.count(
+            F.when(F.col("o_orderdate") >= F.lit(_MIX_SPLIT).cast("date"), 1)
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    tot = cell.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    a, b, n1, n2 = F.col("a"), F.col("b"), F.col("n1"), F.col("n2")
+    da = a * (n1 + n2) - (a + b) * n1
+    db_ = b * (n1 + n2) - (a + b) * n2
+    cell_fp = (
+        F.floor(
+            (d38(da) * da).cast("double")
+            / ((n1 + n2).cast("double") * (a + b) * n1)
+            * F.lit(_MIX_FP)
+        ).cast("long")
+        + F.floor(
+            (d38(db_) * db_).cast("double")
+            / ((n1 + n2).cast("double") * (a + b) * n2)
+            * F.lit(_MIX_FP)
+        ).cast("long")
+    )
+    contrib = cell.crossJoin(F.broadcast(tot)).select(
+        "pri", "a", "b", cell_fp.alias("cell_fp")
+    )
+    q = contrib.agg(F.sum("cell_fp").cast("long").alias("chi_fp"))
+    return contrib.crossJoin(F.broadcast(q)).select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("a").alias("n_first_half"),
+        F.col("b").alias("n_second_half"),
+        (F.col("cell_fp").cast("double") / F.lit(_MIX_FP)).alias("cell_chi2"),
+        (F.col("chi_fp").cast("double") / F.lit(_MIX_FP)).alias("chi2_total"),
+    )

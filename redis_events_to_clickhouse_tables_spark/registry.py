@@ -374,6 +374,7 @@ def load_all() -> dict[str, QuerySpec]:
         timeseries,
         timeseries2,
         tpch_extra,
+        warehouse,
     )
 
     head = {n: REGISTRY[n] for n in _SAMPLE_PRIORITY if n in REGISTRY}
