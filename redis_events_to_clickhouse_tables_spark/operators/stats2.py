@@ -423,6 +423,35 @@ def stats_friedman_priority_by_month(
 _PH_LAMBDA_CENTS = 2_000_000  # alarm when drift exceeds $20k x D days
 
 
+def page_hinkley_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The Page-Hinkley trace over a ``(d long, x long)`` daily-cents
+    frame — shared verbatim by the batch query below and the
+    streaming maintainer (streaming/drift_monitor.py), so stream and
+    batch agree bit-for-bit by construction."""
+    tot = daily.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "x", (F.col("x") * F.col("nd") - F.col("s")).alias("dev"), "nd"
+    )
+    cum = bucketed_prefix_sums(base, "d", ["dev"]).withColumnRenamed(
+        "cum_dev", "md"
+    )
+    mm = bucketed_prefix_min(cum, "d", "md", out_col="md_min")
+    return mm.select(
+        F.col("d").cast("long").alias("day_idx"),
+        F.col("x").cast("long").alias("daily_cents"),
+        F.col("md").cast("long").alias("ph_scaled"),
+        (F.col("md") - F.col("md_min")).cast("long").alias("ph_rise"),
+        (
+            (F.col("md") - F.col("md_min"))
+            > F.lit(_PH_LAMBDA_CENTS).cast("long") * F.col("nd")
+        ).alias("alarm"),
+    )
+
+
+
 @query(
     "stats_page_hinkley_daily",
     oracle=f"""
@@ -468,27 +497,7 @@ def stats_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
     ).agg(F.sum(cents).alias("x"))
-    tot = daily.agg(
-        F.sum("x").cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("nd"),
-    )
-    base = daily.crossJoin(F.broadcast(tot)).select(
-        "d", "x", (F.col("x") * F.col("nd") - F.col("s")).alias("dev"), "nd"
-    )
-    cum = bucketed_prefix_sums(base, "d", ["dev"]).withColumnRenamed(
-        "cum_dev", "md"
-    )
-    mm = bucketed_prefix_min(cum, "d", "md", out_col="md_min")
-    return mm.select(
-        F.col("d").cast("long").alias("day_idx"),
-        F.col("x").cast("long").alias("daily_cents"),
-        F.col("md").cast("long").alias("ph_scaled"),
-        (F.col("md") - F.col("md_min")).cast("long").alias("ph_rise"),
-        (
-            (F.col("md") - F.col("md_min"))
-            > F.lit(_PH_LAMBDA_CENTS).cast("long") * F.col("nd")
-        ).alias("alarm"),
-    )
+    return page_hinkley_from_daily(spark, daily)
 
 
 @query(
