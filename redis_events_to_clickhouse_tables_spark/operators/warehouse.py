@@ -294,3 +294,114 @@ def dq_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell_fp").cast("double") / F.lit(_MIX_FP)).alias("cell_chi2"),
         (F.col("chi_fp").cast("double") / F.lit(_MIX_FP)).alias("chi2_total"),
     )
+
+
+@query(
+    "stats_negbin_fit_user_counts",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk,
+             SUM(CAST(k AS HUGEINT) * k) AS sk2
+      FROM k),
+    mo AS (
+      SELECT n, sk,
+             CAST(sk AS DOUBLE) / n AS m,
+             (CAST(sk2 AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n) / n AS v
+      FROM s)
+    SELECT n AS n_users, CAST(sk AS BIGINT) AS n_events, m AS mean_k,
+           v AS var_k,
+           m * m / (v - m) AS r_shape,
+           m / v AS p_success,
+           v / m AS dispersion
+    FROM mo
+    """,
+)
+def stats_negbin_fit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-user event counts by the method of
+    moments: r = m^2/(v - m), p = m/v — the distributional model that
+    the overdispersion index (stats_overdispersion_index) motivates
+    once dispersion > 1, used to model contact/purchase frequency for
+    simulation and CLV. Moment sums are exact int64/DECIMAL(38,0)
+    (population variance form), the parameters one shared IEEE tree.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("sk2"),
+    )
+    m = F.col("sk").cast("double") / F.col("n")
+    v = (
+        F.col("sk2").cast("double")
+        - F.col("sk").cast("double") * F.col("sk") / F.col("n")
+    ) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("sk").alias("n_events"),
+        m.alias("mean_k"),
+        v.alias("var_k"),
+        (m * m / (v - m)).alias("r_shape"),
+        (m / v).alias("p_success"),
+        (v / m).alias("dispersion"),
+    )
+
+
+@query(
+    "relational_division_all_regions",
+    oracle="""
+    WITH universe AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_regions FROM region),
+    sr AS (
+      SELECT l.l_suppkey,
+             CAST(COUNT(DISTINCT n.n_regionkey) AS BIGINT) AS n_served,
+             CAST(COUNT(*) AS BIGINT) AS n_lineitems
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1)
+    SELECT sr.l_suppkey, sr.n_served, sr.n_lineitems
+    FROM sr CROSS JOIN universe
+    WHERE sr.n_served = universe.n_regions
+    """,
+)
+def relational_division_all_regions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Relational DIVISION: suppliers whose lineitems have reached
+    customers in EVERY region — the "for all" query shape (suppliers
+    / regions = ?) that trips naive SQL, expressed as the standard
+    count-distinct == universe-count reduction rather than nested NOT
+    EXISTS. The join chain shuffles on its natural keys
+    (orderkey -> custkey -> nationkey, the small dims broadcast by
+    AQE); the universe is a broadcast 1-row count — no
+    double-negation join cascade to explode at scale.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    universe = table(spark, sf_dir, "region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regions")
+    )
+    sr = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(n, F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("n_regionkey").cast("long").alias("n_served"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+    return (
+        sr.crossJoin(F.broadcast(universe))
+        .filter(F.col("n_served") == F.col("n_regions"))
+        .select("l_suppkey", "n_served", "n_lineitems")
+    )
