@@ -297,7 +297,13 @@ def bench_scaling_sweep(spark, registry, sf_dir: str) -> dict:
     # ER probe (VERDICT r6 item 7): blocked signature matching over a
     # scaled PART catalog — same x1/x2.5/x5 shape with pair counts, so
     # the ER pair stage gets the same data-vs-engine separation the
-    # dedup pairs have.
+    # dedup pairs have. Reading the record: pair counts grow EXACTLY
+    # linearly (disjoint block keys per replica); wall grows slightly
+    # faster (~5.7x at x5, idle min-of-3) because the fixture's
+    # replica tag lengthens every name token by 2 chars and
+    # levenshtein is quadratic in string length (~1.8x per-pair cost
+    # on 6-char tokens) — a scaled-data artifact, not engine
+    # superlinearity.
     er: dict[str, dict] = {}
     spec = registry.get("er_part_match_pairs")
     if spec is not None:
