@@ -138,3 +138,68 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_diversity",
         (F.col("l_diversity") < _L_MIN).alias("below_l"),
     )
+
+
+@query(
+    "dq_id_sequence_islands",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+    rn AS (
+      SELECT id,
+             CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) AS rn
+      FROM ids),
+    isl AS (
+      SELECT id - rn AS grp, CAST(COUNT(*) AS BIGINT) AS island_len
+      FROM rn GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM ids) AS BIGINT) AS n_ids,
+           CAST((SELECT MIN(id) FROM ids) AS BIGINT) AS min_id,
+           CAST((SELECT MAX(id) FROM ids) AS BIGINT) AS max_id,
+           CAST((SELECT MAX(id) - MIN(id) + 1 - COUNT(*) FROM ids)
+                AS BIGINT) AS n_missing,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(island_len) AS BIGINT) AS longest_island
+    FROM isl
+    """,
+)
+def dq_id_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit on event ids: the gaps-and-islands
+    decomposition (distinct count vs id span -> missing ids; the
+    classic id - row_number grouping -> contiguous islands and the
+    longest run) — the ingest-loss detector for any monotonically
+    assigned id column.
+
+    The global row number rides ``bucketed_prefix_sums`` over the
+    distinct-id frame (never a global window); islands are one
+    grouped count on the exact id - rank key.
+    """
+    tune(spark)
+    from ..functions.ranks import bucketed_prefix_sums
+
+    e = table(spark, sf_dir, "events")
+    ids = e.select(F.col("event_id").cast("long").alias("id")).distinct()
+    ones = ids.withColumn("one", F.lit(1).cast("long"))
+    rn = bucketed_prefix_sums(ones, "id", ["one"]).select(
+        "id", F.col("cum_one").alias("rn")
+    )
+    isl = rn.groupBy((F.col("id") - F.col("rn")).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("island_len")
+    )
+    stats = ids.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+    agg = isl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("island_len").cast("long").alias("longest_island"),
+    )
+    return stats.crossJoin(F.broadcast(agg)).select(
+        "n_ids",
+        "min_id",
+        "max_id",
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids")).alias(
+            "n_missing"
+        ),
+        "n_islands",
+        "longest_island",
+    )

@@ -514,3 +514,85 @@ def embedding_triplet_violations(
             / F.count(F.lit(1))
         ).alias("violation_rate"),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH basics AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents),
+    dup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_head_dup_docs
+      FROM (
+        SELECT md5(array_to_string(list_slice(string_split(text, ' '),
+                                              1, 8), ' ')) AS hf,
+               COUNT(*) AS c
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1)),
+    en AS (
+      SELECT CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+               AS n_en
+      FROM documents)
+    SELECT basics.n_docs, basics.n_tokens, basics.n_chars,
+           basics.n_langs, basics.n_sources,
+           CAST(basics.n_tokens AS DOUBLE) / basics.n_docs
+             AS mean_tokens_per_doc,
+           dup.n_head_dup_docs AS n_duplicated_head_groups,
+           CAST(en.n_en AS DOUBLE) / basics.n_docs AS english_share
+    FROM basics CROSS JOIN dup CROSS JOIN en
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the summary manifest (documents, tokens,
+    characters, language/source coverage, mean length, prefix-dup
+    group count, English share) a curated corpus release publishes —
+    every number an exact count or a single ratio, derivable at 100
+    TB with three aggregate passes and no join wider than a 1-row
+    broadcast.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    basics = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    dup = (
+        d.groupBy(
+            F.md5(
+                F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+            ).alias("hf")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_head_dup_docs"))
+    )
+    en = d.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("n_en")
+    )
+    return (
+        basics.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(en))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_sources",
+            (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+                "mean_tokens_per_doc"
+            ),
+            F.col("n_head_dup_docs").alias("n_duplicated_head_groups"),
+            (F.col("n_en").cast("double") / F.col("n_docs")).alias(
+                "english_share"
+            ),
+        )
+    )

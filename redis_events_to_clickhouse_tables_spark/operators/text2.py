@@ -435,3 +435,145 @@ def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("has_lorem")
         ).alias("keep"),
     )
+
+
+_DELTA_VOCAB = 20  # top corpus words form the Delta feature set
+_DELTA_FP = 10**6
+
+
+@query(
+    "text_burrows_delta_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, w
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    corpus AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT w FROM corpus ORDER BY cf DESC, w ASC LIMIT {_DELTA_VOCAB}),
+    stot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1),
+    sw AS (
+      SELECT toks.source, toks.w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks JOIN vocab ON vocab.w = toks.w
+      GROUP BY 1, 2),
+    -- relative frequency per (source, word), zero-filled over the
+    -- full source x vocab grid
+    grid AS (
+      -- fixed-point relative frequency (exact integer floor division)
+      -- so the per-word moment sums below are exact integers, not
+      -- order-dependent double sums over sources
+      SELECT stot.source, vocab.w,
+             (COALESCE(sw.c, 0) * 1000000000000) // stot.n AS ffp
+      FROM stot CROSS JOIN vocab
+      LEFT JOIN sw ON sw.source = stot.source AND sw.w = vocab.w),
+    mv AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ffp) AS BIGINT) AS sf,
+             SUM(CAST(ffp AS HUGEINT) * ffp) AS sff
+      FROM grid GROUP BY 1),
+    z AS (
+      SELECT grid.source, grid.w,
+             (CAST(grid.ffp AS DOUBLE) - CAST(mv.sf AS DOUBLE) / mv.k)
+               / sqrt(CAST(mv.k * mv.sff - CAST(mv.sf AS HUGEINT) * mv.sf
+                           AS DOUBLE)) * mv.k AS z
+      FROM grid JOIN mv ON mv.w = grid.w),
+    pairz AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(FLOOR(ABS(a.z - b.z) * {_DELTA_FP}) AS BIGINT) AS dz_fp
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(SUM(dz_fp) AS DOUBLE) / COUNT(*) / {_DELTA_FP} AS delta
+    FROM pairz GROUP BY 1, 2
+    """,
+)
+def text_burrows_delta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair: z-score each source's
+    relative frequency of the top-{v} corpus words (the
+    most-frequent-word stylometric fingerprint), Delta = mean |z_a -
+    z_b| — the classic authorship/provenance distance, here as the
+    source-attribution screen for a mixed corpus.
+
+    The z pipeline is exact until one shared IEEE tail: relative
+    frequencies are fixed-point integer floor divisions, per-word
+    moment sums exact DECIMAL(38,0)/HUGEINT;
+    each |z_a - z_b| is floor-quantized to 1e-6 BEFORE the cross-word
+    mean, so the pair reduction is an exact integer sum
+    (quantize-then-sum — a raw double sum over words would be
+    order-dependent). Grid size: sources x {v}, model-level.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    vocab = corpus.orderBy(F.desc("cf"), F.asc("w")).limit(_DELTA_VOCAB).select("w")
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sw = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "(COALESCE(c, 0) * 1000000000000) div n"
+            ).alias("ffp"),
+        )
+    )
+    mv = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ffp").cast("long").alias("sf"),
+        F.sum(F.col("ffp").cast("decimal(38,0)") * F.col("ffp")).alias("sff"),
+    )
+    z = grid.join(F.broadcast(mv), "w").select(
+        "source",
+        "w",
+        (
+            (
+                F.col("ffp").cast("double")
+                - F.col("sf").cast("double") / F.col("k")
+            )
+            / F.sqrt(
+                (
+                    F.col("k") * F.col("sff")
+                    - F.col("sf").cast("decimal(38,0)") * F.col("sf")
+                ).cast("double")
+            )
+            * F.col("k")
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    pairz = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(F.abs(F.col("za") - F.col("zb")) * F.lit(_DELTA_FP))
+            .cast("long")
+            .alias("dz_fp"),
+        )
+    )
+    return pairz.groupBy("source_a", "source_b").agg(
+        (
+            F.sum("dz_fp").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(_DELTA_FP)
+        ).alias("delta")
+    )
