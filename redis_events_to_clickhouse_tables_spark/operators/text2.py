@@ -577,3 +577,75 @@ def text_burrows_delta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(_DELTA_FP)
         ).alias("delta")
     )
+
+
+@query(
+    "text_casing_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT source, w
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    cls AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(CASE WHEN regexp_matches(w, '^[a-z]+$')
+                        THEN 1 END) AS BIGINT) AS n_lower,
+             CAST(COUNT(CASE WHEN regexp_matches(w, '^[A-Z]+$')
+                        THEN 1 END) AS BIGINT) AS n_upper,
+             CAST(COUNT(CASE WHEN regexp_matches(w, '^[A-Z][a-z]+$')
+                        THEN 1 END) AS BIGINT) AS n_title,
+             CAST(COUNT(CASE WHEN regexp_matches(w, '^[0-9]+$')
+                        THEN 1 END) AS BIGINT) AS n_digit
+      FROM toks GROUP BY 1)
+    SELECT source, n_tokens,
+           CAST(n_lower AS DOUBLE) / n_tokens AS lower_share,
+           CAST(n_upper AS DOUBLE) / n_tokens AS upper_share,
+           CAST(n_title AS DOUBLE) / n_tokens AS title_share,
+           CAST(n_digit AS DOUBLE) / n_tokens AS digit_share
+    FROM cls
+    """,
+)
+def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token casing profile per source: lower/UPPER/Title/digit token
+    shares — the cheap formatting fingerprint (shouting boilerplate,
+    code-ish dumps, OCR noise) that complements the Gopher/C4 rule
+    batteries. Explicit ASCII regex classes, exact counts, one
+    division per share; shuffle keyed by source.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cls = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("w").rlike("^[a-z]+$"), 1))
+        .cast("long")
+        .alias("n_lower"),
+        F.count(F.when(F.col("w").rlike("^[A-Z]+$"), 1))
+        .cast("long")
+        .alias("n_upper"),
+        F.count(F.when(F.col("w").rlike("^[A-Z][a-z]+$"), 1))
+        .cast("long")
+        .alias("n_title"),
+        F.count(F.when(F.col("w").rlike("^[0-9]+$"), 1))
+        .cast("long")
+        .alias("n_digit"),
+    )
+    return cls.select(
+        "source",
+        "n_tokens",
+        (F.col("n_lower").cast("double") / F.col("n_tokens")).alias(
+            "lower_share"
+        ),
+        (F.col("n_upper").cast("double") / F.col("n_tokens")).alias(
+            "upper_share"
+        ),
+        (F.col("n_title").cast("double") / F.col("n_tokens")).alias(
+            "title_share"
+        ),
+        (F.col("n_digit").cast("double") / F.col("n_tokens")).alias(
+            "digit_share"
+        ),
+    )

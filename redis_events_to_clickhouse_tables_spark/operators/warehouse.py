@@ -405,3 +405,236 @@ def relational_division_all_regions(
         .filter(F.col("n_served") == F.col("n_regions"))
         .select("l_suppkey", "n_served", "n_lineitems")
     )
+
+
+_AGING_SNAPSHOT = "1999-01-01"
+_AGING_BUCKETS = "CASE WHEN age_d < 30 THEN '0-29' WHEN age_d < 90 THEN '30-89' WHEN age_d < 365 THEN '90-364' ELSE '365+' END"
+
+
+@query(
+    "orders_aging_snapshot",
+    oracle=f"""
+    WITH closes AS (
+      SELECT l_orderkey AS okey, MAX(l_shipdate) AS close_d
+      FROM lineitem GROUP BY 1),
+    open_o AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             date_diff('day', o.o_orderdate, DATE '{_AGING_SNAPSHOT}')
+               AS age_d
+      FROM orders o JOIN closes c ON c.okey = o.o_orderkey
+      WHERE o.o_orderdate <= DATE '{_AGING_SNAPSHOT}'
+        AND c.close_d > DATE '{_AGING_SNAPSHOT}')
+    SELECT o_orderpriority, {_AGING_BUCKETS} AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM open_o GROUP BY 1, 2
+    """,
+)
+def orders_aging_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report at a fixed snapshot date: orders placed
+    but not yet fully shipped, bucketed by age and priority with the
+    exposed value — the backlog triage view
+    (orders_open_backlog_daily's point-in-time, bucketed sibling).
+
+    One grouped MAX over lineitem for close dates, one keyed join,
+    exact day arithmetic for the buckets.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    snap = F.lit(_AGING_SNAPSHOT).cast("date")
+    closes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    open_o = (
+        o.join(closes, o["o_orderkey"] == F.col("okey"))
+        .filter((F.col("o_orderdate") <= snap) & (F.col("close_d") > snap))
+        .select(
+            "o_orderpriority",
+            (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+            F.datediff(snap, F.col("o_orderdate")).alias("age_d"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") < 30, "0-29")
+        .when(F.col("age_d") < 90, "30-89")
+        .when(F.col("age_d") < 365, "90-364")
+        .otherwise("365+")
+    )
+    return open_o.groupBy("o_orderpriority", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_open"),
+        F.sum("cents").cast("long").alias("open_cents"),
+    )
+
+
+@query(
+    "events_transition_lift",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events WHERE user_id IS NOT NULL),
+    tr AS (
+      SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    fr AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM tr GROUP BY 1),
+    toc AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM tr GROUP BY 1),
+    n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_tr FROM tr)
+    SELECT tr.a AS from_type, tr.b AS to_type, tr.c_ab AS n_transitions,
+           CAST(tr.c_ab AS DOUBLE) / fr.c_a AS p_cond,
+           CAST(n.n_tr AS DOUBLE) * tr.c_ab
+             / (CAST(fr.c_a AS DOUBLE) * toc.c_b) AS lift
+    FROM tr
+    JOIN fr ON fr.a = tr.a
+    JOIN toc ON toc.b = tr.b
+    CROSS JOIN n
+    """,
+)
+def events_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition lift matrix: for each consecutive event-type pair,
+    P(b|a) relative to the unconditional P(b) — which behaviors
+    actually CAUSE the next step vs just being common
+    (events_markov_transitions gives raw probabilities; lift > 1 is
+    the dependence signal).
+
+    Consecutive pairs ride the user-partitioned lead window; counts
+    are exact; p_cond and lift are single IEEE expressions over exact
+    counts. Matrix bounded by the type-vocabulary square.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    fr = tr.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    toc = tr.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c_b"))
+    n = tr.agg(F.sum("c_ab").cast("long").alias("n_tr"))
+    return (
+        tr.join(F.broadcast(fr), "a")
+        .join(F.broadcast(toc), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("to_type"),
+            F.col("c_ab").alias("n_transitions"),
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias("p_cond"),
+            (
+                F.col("n_tr").cast("double")
+                * F.col("c_ab")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# Second-digit Benford probabilities, fixed-point 1e9 (precomputed in
+# Python: p(d) = sum_{a=1..9} log10(1 + 1/(10a+d)); embedded as
+# identical literals in both engines)
+_BENFORD2_FP = {
+    0: 119679269, 1: 113890103, 2: 108821499, 3: 104329560,
+    4: 100308202, 5: 96677236, 6: 93374736, 7: 90351989,
+    8: 87570054, 9: 84997352,
+}
+_B2_FP = 10**9
+_B2_QFP = 10**6
+
+_B2_CASE = " ".join(
+    f"WHEN {d} THEN CAST({p} AS BIGINT)" for d, p in _BENFORD2_FP.items()
+)
+
+
+@query(
+    "dq_benford_second_digit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) >= 10),
+    d2 AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 2, 1) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM v GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM d2),
+    scored AS (
+      SELECT d, obs, n,
+             CASE d {_B2_CASE} END AS p_fp,
+             CAST(FLOOR(
+               CAST(CAST(obs * {_B2_FP} - n * (CASE d {_B2_CASE} END)
+                         AS HUGEINT)
+                    * (obs * {_B2_FP} - n * (CASE d {_B2_CASE} END))
+                    AS DOUBLE)
+               / (CAST({_B2_FP} AS DOUBLE) * n * (CASE d {_B2_CASE} END))
+               * {_B2_QFP}) AS BIGINT) AS contrib_fp
+      FROM d2 CROSS JOIN n),
+    tot AS (SELECT CAST(SUM(contrib_fp) AS BIGINT) AS chi_fp FROM scored)
+    SELECT scored.d AS second_digit, scored.obs AS n_observed,
+           CAST(scored.p_fp AS DOUBLE) / {_B2_FP} AS p_expected,
+           CAST(scored.obs AS DOUBLE) / scored.n AS p_observed,
+           CAST(scored.contrib_fp AS DOUBLE) / {_B2_QFP} AS cell_chi2,
+           CAST(tot.chi_fp AS DOUBLE) / {_B2_QFP} AS chi2_total
+    FROM scored CROSS JOIN tot
+    """,
+)
+def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-digit Benford conformance of order totals: the
+    fraud/fabrication screen that survives unit changes better than
+    the first digit (dq_benford_first_digit is the sibling). Expected
+    probabilities are fixed-point constants precomputed once and
+    embedded identically in both engines; each chi-square cell is an
+    exact rational over integer counts, floor-quantized to 1e-6 so
+    the 10-cell total is an exact integer sum.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 14) * 100).cast("long")
+    v = o.select(cents.alias("cents")).filter(F.col("cents") >= 10)
+    d2 = v.groupBy(
+        F.substring(F.col("cents").cast("string"), 2, 1)
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    n = d2.agg(F.sum("obs").cast("long").alias("n"))
+    p_fp = F.coalesce(
+        *[
+            F.when(F.col("d") == d, F.lit(p).cast("long"))
+            for d, p in _BENFORD2_FP.items()
+        ]
+    )
+    dev = F.col("obs") * F.lit(_B2_FP) - F.col("n") * p_fp
+    scored = d2.crossJoin(F.broadcast(n)).select(
+        "d",
+        "obs",
+        "n",
+        p_fp.alias("p_fp"),
+        F.floor(
+            (dev.cast("decimal(38,0)") * dev).cast("double")
+            / (F.lit(float(_B2_FP)) * F.col("n") * p_fp)
+            * F.lit(_B2_QFP)
+        )
+        .cast("long")
+        .alias("contrib_fp"),
+    )
+    tot = scored.agg(F.sum("contrib_fp").cast("long").alias("chi_fp"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("second_digit"),
+        F.col("obs").alias("n_observed"),
+        (F.col("p_fp").cast("double") / F.lit(_B2_FP)).alias("p_expected"),
+        (F.col("obs").cast("double") / F.col("n")).alias("p_observed"),
+        (F.col("contrib_fp").cast("double") / F.lit(_B2_QFP)).alias(
+            "cell_chi2"
+        ),
+        (F.col("chi_fp").cast("double") / F.lit(_B2_QFP)).alias("chi2_total"),
+    )
