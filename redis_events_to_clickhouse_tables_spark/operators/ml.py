@@ -352,7 +352,8 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_dot_product), ranking ties break on candidate id,
     and the vote tiebreak is (count desc, label asc) via a min-struct
     — every step deterministic, so accuracy hash-matches exactly.
-    The probe side broadcasts; ranking windows partition per probe.
+    Ranking windows partition per probe; the probe-candidate join is
+    sized by AQE (the probe sample scales with the corpus).
     """
     tune(spark)
     from pyspark.sql import Window
@@ -391,9 +392,11 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # probes are corpus/40 — a frame that grows WITH the corpus, so
+    # no forced broadcast (AQE demotes to shuffle when it outgrows the
+    # threshold; the entity.py lesson from VERDICT r6)
     scored = (
-        F.broadcast(probe)
-        .join(cand, F.col("cand_id") != F.col("probe_id"))
+        probe.join(cand, F.col("cand_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "true_label",

@@ -405,11 +405,13 @@ _TRIPLET_ANCHOR_MOD = 10
       SELECT a.vec_id, MIN(b.vec_id) AS pos_id
       FROM anch a JOIN embeddings b
         ON b.label = a.label AND b.vec_id > a.vec_id
+       AND b.vec_id <= a.vec_id + 1000
       GROUP BY 1),
     neg AS (
       SELECT a.vec_id, MIN(b.vec_id) AS neg_id
       FROM anch a JOIN embeddings b
         ON b.label <> a.label AND b.vec_id > a.vec_id
+       AND b.vec_id <= a.vec_id + 1000
       GROUP BY 1),
     trip AS (
       SELECT a.vec_id, a.label, a.embedding AS ea,
@@ -467,11 +469,16 @@ def embedding_triplet_violations(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
     )
+    # candidate search bounded to a 1000-id window: an unbounded
+    # "next id" MIN-reduction joins every anchor against the whole
+    # corpus (quadratic at 100x); with dense ids the window always
+    # contains a positive and a negative, and the join stays linear
     pos = (
         anch.join(
             b,
             (F.col("b_label") == F.col("label"))
-            & (F.col("b_id") > F.col("vec_id")),
+            & (F.col("b_id") > F.col("vec_id"))
+            & (F.col("b_id") <= F.col("vec_id") + 1000),
         )
         .groupBy("vec_id")
         .agg(F.min("b_id").alias("pos_id"))
@@ -480,7 +487,8 @@ def embedding_triplet_violations(
         anch.join(
             b,
             (F.col("b_label") != F.col("label"))
-            & (F.col("b_id") > F.col("vec_id")),
+            & (F.col("b_id") > F.col("vec_id"))
+            & (F.col("b_id") <= F.col("vec_id") + 1000),
         )
         .groupBy("vec_id")
         .agg(F.min("b_id").alias("neg_id"))
