@@ -297,6 +297,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_PROBE_MOD = 40
+_KNN_PROBE_CAP = 8000  # probe ids below this => <=200 probes at ANY corpus size
 _KNN_K = 5
 
 
@@ -305,7 +306,7 @@ _KNN_K = 5
     oracle=f"""
     WITH probe AS (
       SELECT vec_id, embedding, label FROM embeddings
-      WHERE vec_id % {_KNN_PROBE_MOD} = 0),
+      WHERE vec_id % {_KNN_PROBE_MOD} = 0 AND vec_id < {_KNN_PROBE_CAP}),
     scored AS (
       SELECT p.vec_id AS probe_id, p.label AS true_label,
              c.vec_id AS cand_id, c.label AS cand_label,
@@ -352,14 +353,19 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_dot_product), ranking ties break on candidate id,
     and the vote tiebreak is (count desc, label asc) via a min-struct
     — every step deterministic, so accuracy hash-matches exactly.
-    Ranking windows partition per probe; the probe-candidate join is
-    sized by AQE (the probe sample scales with the corpus).
+    Ranking windows partition per probe. The probe set is CAPPED at
+    a fixed id budget (<=200 probes at any corpus size), so the
+    brute-force scoring stays LINEAR in the corpus — an uncapped
+    hash-mod sample would make the eval quadratic at 100x.
     """
     tune(spark)
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+    probe = emb.filter(
+        (F.col("vec_id") % _KNN_PROBE_MOD == 0)
+        & (F.col("vec_id") < _KNN_PROBE_CAP)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
         F.col("label").alias("true_label"),
