@@ -652,3 +652,115 @@ def events_gap_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ln2
         ).alias("sigma2_ln"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events WHERE user_id IS NOT NULL),
+    first_d AS (
+      SELECT user_id, MIN(d) AS d0 FROM act GROUP BY 1),
+    today AS (
+      SELECT act.user_id, act.d, f.d0,
+             CASE WHEN act.d = f.d0 THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN y.user_id IS NOT NULL THEN 1 ELSE 0 END
+               AS was_active_yday
+      FROM act
+      JOIN first_d f ON f.user_id = act.user_id
+      LEFT JOIN act y ON y.user_id = act.user_id AND y.d = act.d - 1),
+    churn AS (
+      SELECT a.d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM act a
+      LEFT JOIN act t ON t.user_id = a.user_id AND t.d = a.d + 1
+      WHERE t.user_id IS NULL
+      GROUP BY 1),
+    daily AS (
+      SELECT d,
+             CAST(COUNT(*) AS BIGINT) AS dau,
+             CAST(SUM(is_new) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN is_new = 0 AND was_active_yday = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN is_new = 0 AND was_active_yday = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM today GROUP BY 1)
+    SELECT daily.d AS day_idx, daily.dau, daily.n_new, daily.n_retained,
+           daily.n_resurrected,
+           CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
+    FROM daily LEFT JOIN churn ON churn.d = daily.d
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU decomposed into new (first day),
+    retained (also active yesterday), resurrected (returning after a
+    gap), plus yesterday's actives who churned out today — the
+    identity DAU(t) = new + retained + resurrected and
+    DAU(t-1) = retained + churned that growth teams reconcile every
+    metric against (the decomposition the plain DAU/WAU counters
+    can't explain).
+
+    All four classes come from keyed self-joins of the distinct
+    (user, day) activity frame on (user, day-1) and a per-user
+    first-day join — co-partitioned on user_id, exact counts, no
+    window at all.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = e.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d"),
+    ).distinct()
+    first_d = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    y = act.select(F.col("user_id").alias("yu"), F.col("d").alias("yd"))
+    today = (
+        act.join(first_d, "user_id")
+        .join(
+            y,
+            (F.col("yu") == F.col("user_id")) & (F.col("yd") == F.col("d") - 1),
+            "left",
+        )
+        .select(
+            "d",
+            F.when(F.col("d") == F.col("d0"), 1).otherwise(0).alias("is_new"),
+            F.when(F.col("yu").isNotNull(), 1).otherwise(0).alias("was_y"),
+        )
+    )
+    t = act.select(F.col("user_id").alias("tu"), F.col("d").alias("td"))
+    churn = (
+        act.join(
+            t,
+            (F.col("tu") == F.col("user_id")) & (F.col("td") == F.col("d") + 1),
+            "left",
+        )
+        .filter(F.col("tu").isNull())
+        .groupBy((F.col("d") + 1).alias("cd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    daily = today.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum(
+            F.when((F.col("is_new") == 0) & (F.col("was_y") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when((F.col("is_new") == 0) & (F.col("was_y") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    return daily.join(churn, daily["d"] == churn["cd"], "left").select(
+        F.col("d").cast("long").alias("day_idx"),
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )

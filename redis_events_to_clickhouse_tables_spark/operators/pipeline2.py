@@ -604,3 +604,90 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sample_importance_reweight",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+      FROM documents GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+      FROM s),
+    w AS (
+      SELECT source, n_s, n, k,
+             CAST(n AS DOUBLE) / (CAST(k AS DOUBLE) * n_s) AS weight
+      FROM s CROSS JOIN tot),
+    ess AS (
+      -- ESS = N^2 / sum_s n_s * w_s^2; with w_s = N/(K n_s) this is
+      -- N^2 / (N^2/K^2 * sum_s 1/n_s) = K^2 / sum(1/n_s) — kept as
+      -- the exact-integer form N^2 * K^2... via rationals below
+      -- '//' per term: DuckDB's '/' would produce doubles and sum
+      -- them order-dependently; the floor-per-source integer sum
+      -- mirrors Spark's div exactly
+      SELECT CAST(SUM(CAST(n AS HUGEINT) * n // n_s) AS BIGINT) AS denom_fp
+      FROM w)
+    SELECT w.source, w.n_s AS n_docs, w.weight,
+           CAST(w.n_s AS DOUBLE) * w.weight * w.weight AS weighted_mass,
+           CAST(CAST(w.n AS HUGEINT) * w.n * w.k * w.k AS DOUBLE)
+             / (CAST(ess.denom_fp AS DOUBLE) * w.k * w.k) AS ess
+    FROM w CROSS JOIN ess
+    """,
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for rebalancing the corpus to a UNIFORM
+    source mixture: w_s = (1/K) / (n_s/N) per document, with the
+    effective sample size ESS = N^2 / sum(n_s w_s^2) that tells you
+    how much statistical power the reweighting costs (ESS << N means
+    the target mixture is too far from the data and you should sample
+    instead of weight).
+
+    Weights are single divisions of exact counts; the ESS denominator
+    is an exact integer floor sum (n^2/n_s per source, HUGEINT /
+    DECIMAL(38,0)) so the one ESS number is deterministic.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = s.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        "n",
+        "k",
+        (
+            F.col("n").cast("double") / (F.col("k").cast("double") * F.col("n_s"))
+        ).alias("weight"),
+    )
+    ess = w.agg(
+        F.sum(
+            F.expr("CAST(n AS DECIMAL(38,0)) * n div n_s")
+        )
+        .cast("long")
+        .alias("denom_fp")
+    )
+    return w.crossJoin(F.broadcast(ess)).select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "weight",
+        (
+            F.col("n_s").cast("double") * F.col("weight") * F.col("weight")
+        ).alias("weighted_mass"),
+        (
+            (
+                F.col("n").cast("decimal(38,0)")
+                * F.col("n")
+                * F.col("k")
+                * F.col("k")
+            ).cast("double")
+            / (
+                F.col("denom_fp").cast("double")
+                * F.col("k")
+                * F.col("k")
+            )
+        ).alias("ess"),
+    )
