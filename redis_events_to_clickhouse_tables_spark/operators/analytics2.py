@@ -664,3 +664,73 @@ def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conviction"),
         )
     )
+
+
+@query(
+    "graph_copurchase_brand_conductance",
+    oracle=_SQL_CP_EDGES
+    + """
+    , lab AS (
+      SELECT e.s, e.d, ps.p_brand AS bs, pd.p_brand AS bd
+      FROM edges e
+      JOIN part ps ON ps.p_partkey = e.s
+      JOIN part pd ON pd.p_partkey = e.d),
+    per AS (
+      SELECT bs AS p_brand,
+             CAST(COUNT(*) AS BIGINT) AS vol,
+             CAST(COUNT(CASE WHEN bs <> bd THEN 1 END) AS BIGINT) AS cut
+      FROM lab GROUP BY 1)
+    SELECT p_brand, vol AS degree_volume, cut AS boundary_edges,
+           CAST(cut AS DOUBLE) / vol AS conductance
+    FROM per
+    """,
+)
+def graph_copurchase_brand_conductance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conductance of each brand's community in the co-purchase graph:
+    the fraction of a brand's edge volume that crosses to other brands
+    — low conductance means the brand is bought as a self-contained
+    bundle, high means it mixes freely (the per-community
+    cut-quality view next to graph_source_modularity's global score).
+
+    Edge endpoints are labeled by two keyed part joins (AQE sizes
+    them); volume and cut are exact integer counts over the
+    symmetrized support-thresholded edge list; conductance is one
+    division.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    e0 = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _CP_SUPPORT)
+    )
+    edges = e0.select(
+        F.col("pa").alias("s"), F.col("pb").alias("d")
+    ).unionAll(e0.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ps = p.select(F.col("p_partkey").alias("s"), F.col("p_brand").alias("bs"))
+    pd_ = p.select(
+        F.col("p_partkey").alias("d"), F.col("p_brand").alias("bd")
+    )
+    lab = edges.join(ps, "s").join(pd_, "d")
+    per = lab.groupBy(F.col("bs").alias("p_brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.count(F.when(F.col("bs") != F.col("bd"), 1))
+        .cast("long")
+        .alias("cut"),
+    )
+    return per.select(
+        "p_brand",
+        F.col("vol").alias("degree_volume"),
+        F.col("cut").alias("boundary_edges"),
+        (F.col("cut").cast("double") / F.col("vol")).alias("conductance"),
+    )

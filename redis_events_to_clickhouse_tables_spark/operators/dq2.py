@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -202,4 +203,89 @@ def dq_id_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_islands",
         "longest_island",
+    )
+
+
+_RECON_TOL_CENTS = 100  # $1 reconciliation tolerance
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             -- FLOOR before the BIGINT cast: DuckDB rounds
+             -- decimal->BIGINT, Spark truncates; floor pins both
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2))))) AS BIGINT)
+               AS derived_cents
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS stated_cents,
+             li.derived_cents
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+    cls AS (
+      SELECT CASE WHEN ABS(stated_cents - derived_cents)
+                       <= {_RECON_TOL_CENTS} THEN 'reconciled'
+                  WHEN stated_cents > derived_cents THEN 'stated_higher'
+                  ELSE 'derived_higher' END AS status,
+             ABS(stated_cents - derived_cents) AS adiff
+      FROM j)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(adiff) AS BIGINT) AS max_abs_diff_cents,
+           CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
+    FROM cls GROUP BY 1
+    """,
+)
+def dq_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table financial reconciliation: each order's stated
+    total vs the total DERIVED from its lineitems
+    (sum of extendedprice * (1-discount) * (1+tax)), classified as
+    reconciled / stated-higher / derived-higher within a $1 tolerance
+    — the books-balance check that catches partial loads, double
+    loads, and rounding-policy drift between pipelines.
+
+    The derived total is one exact DECIMAL product-sum per order
+    (shuffle on orderkey, co-partitioned with the orders join); the
+    comparison is integer cents against an integer tolerance.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    derived = li.groupBy("l_orderkey").agg(
+        F.floor(
+            F.sum(
+                dec("l_extendedprice", 14)
+                * 100
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                * (1 + F.col("l_tax").cast("decimal(4,2)"))
+            )
+        )
+        .cast("long")
+        .alias("derived_cents")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (dec("o_totalprice", 14) * 100).cast("long").alias("stated_cents"),
+    )
+    j = o.join(derived, o["o_orderkey"] == derived["l_orderkey"])
+    adiff = F.abs(F.col("stated_cents") - F.col("derived_cents"))
+    status = (
+        F.when(adiff <= _RECON_TOL_CENTS, "reconciled")
+        .when(F.col("stated_cents") > F.col("derived_cents"), "stated_higher")
+        .otherwise("derived_higher")
+    )
+    return (
+        j.select(status.alias("status"), adiff.alias("adiff"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("adiff").cast("long").alias("max_abs_diff_cents"),
+            F.sum("adiff").cast("long").alias("total_abs_diff_cents"),
+        )
     )

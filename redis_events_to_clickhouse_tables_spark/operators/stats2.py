@@ -1158,3 +1158,92 @@ def stats_iqr_fences_by_priority(
             .alias("n_high_outliers"),
         )
     )
+
+
+@query(
+    "stats_cochran_armitage_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT d, n, k,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    s AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk,
+             CAST(SUM(k * t) AS BIGINT) AS skt,
+             CAST(SUM(n * t) AS BIGINT) AS snt,
+             SUM(CAST(n AS HUGEINT) * t * t) AS sntt
+      FROM idx)
+    SELECT nn AS n_events, kk AS n_conversions,
+           CAST(nn * skt - CAST(kk AS HUGEINT) * snt AS DOUBLE)
+           * CAST(nn * skt - CAST(kk AS HUGEINT) * snt AS DOUBLE)
+           * nn
+           / (CAST(kk AS DOUBLE) * (nn - kk)
+              * CAST(nn * sntt - CAST(snt AS HUGEINT) * snt AS DOUBLE))
+             AS ca_chi2
+    FROM s
+    """,
+)
+def stats_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: is the daily purchase-conversion
+    RATE trending monotonically over the day index? The ordered-dose
+    chi-square (1 dof) that catches a drift an unordered homogeneity
+    test dilutes away — the metrics-platform sibling of the SPRT
+    trace.
+
+    chi2 = N (N*Skt - K*Snt)^2 / (K (N-K) (N*Sntt - Snt^2)) — every
+    sum exact int64/DECIMAL(38,0)/HUGEINT; the day index comes from
+    the bucketed prefix count, and the statistic is one shared IEEE
+    expression.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("k"),
+    )
+    ones = daily.withColumn("one", F.lit(1).cast("long"))
+    idx = bucketed_prefix_sums(ones, "d", ["one"]).select(
+        "d", "n", "k", F.col("cum_one").alias("t")
+    )
+    s = idx.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.sum(F.col("k") * F.col("t")).cast("long").alias("skt"),
+        F.sum(F.col("n") * F.col("t")).cast("long").alias("snt"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("t") * F.col("t")
+        ).alias("sntt"),
+    )
+    num = (
+        F.col("nn") * F.col("skt")
+        - F.col("kk").cast("decimal(38,0)") * F.col("snt")
+    ).cast("double")
+    return s.select(
+        F.col("nn").alias("n_events"),
+        F.col("kk").alias("n_conversions"),
+        (
+            num
+            * num
+            * F.col("nn")
+            / (
+                F.col("kk").cast("double")
+                * (F.col("nn") - F.col("kk"))
+                * (
+                    F.col("nn") * F.col("sntt")
+                    - F.col("snt").cast("decimal(38,0)") * F.col("snt")
+                ).cast("double")
+            )
+        ).alias("ca_chi2"),
+    )

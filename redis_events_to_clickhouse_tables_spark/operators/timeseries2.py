@@ -573,3 +573,58 @@ def timeseries_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (1 - F.col("r1") * F.col("r1"))
         ).alias("pacf_lag2"),
     )
+
+
+@query(
+    "timeseries_max_drawdown",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, SUM({_CENTS}) AS x FROM events GROUP BY 1),
+    cum AS (
+      SELECT d,
+             SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS c
+      FROM daily),
+    dd AS (
+      SELECT d, CAST(c AS BIGINT) AS c,
+             CAST(MAX(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS peak
+      FROM cum)
+    SELECT d AS day_idx, c AS cum_cents, peak AS peak_cents,
+           peak - c AS drawdown_cents,
+           peak - c = (SELECT MAX(peak - c) FROM dd) AS is_max_drawdown
+    FROM dd
+    """,
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running drawdown of cumulative daily revenue: peak-to-date
+    minus current cumulative, with the max-drawdown day flagged — the
+    risk/health lens on a KPI's trajectory (deepest slump below the
+    best run so far).
+
+    The cumulative sum and the running peak are both bucketed prefix
+    scans (the peak is prefix-MIN of the negated series through the
+    shared primitive — no global window); every value exact cents,
+    and the flag is an exact integer comparison against a 1-row
+    scalar.
+    """
+    tune(spark)
+    daily = _daily_cents(spark, sf_dir)
+    cum = bucketed_prefix_sums(daily, "d", ["x"]).select(
+        "d", F.col("cum_x").alias("c")
+    )
+    from ..functions.ranks import bucketed_prefix_min
+
+    neg = cum.withColumn("negc", -F.col("c"))
+    dd = bucketed_prefix_min(neg, "d", "negc", out_col="negpeak").select(
+        "d", "c", (-F.col("negpeak")).alias("peak")
+    )
+    mx = dd.agg(F.max(F.col("peak") - F.col("c")).alias("mdd"))
+    return dd.crossJoin(F.broadcast(mx)).select(
+        F.col("d").cast("long").alias("day_idx"),
+        F.col("c").cast("long").alias("cum_cents"),
+        F.col("peak").cast("long").alias("peak_cents"),
+        (F.col("peak") - F.col("c")).cast("long").alias("drawdown_cents"),
+        ((F.col("peak") - F.col("c")) == F.col("mdd")).alias(
+            "is_max_drawdown"
+        ),
+    )
