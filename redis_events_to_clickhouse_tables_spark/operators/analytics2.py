@@ -734,3 +734,157 @@ def graph_copurchase_brand_conductance(
         F.col("cut").alias("boundary_edges"),
         (F.col("cut").cast("double") / F.col("vol")).alias("conductance"),
     )
+
+
+_KMV_K = 64
+_KMV_DOMAIN = float(1 << 60)  # md5_long range [0, 2^60)
+
+
+@query(
+    "sketch_kmv_audience_overlap",
+    oracle=f"""
+    WITH tu AS (
+      SELECT DISTINCT event_type,
+             {DUCKDB_MD5_LONG("CAST(user_id AS VARCHAR)", salt="kmv")} AS h
+      FROM events WHERE user_id IS NOT NULL),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC)
+                 AS rk
+        FROM tu)
+      WHERE rk <= {_KMV_K}),
+    uni AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, u.h,
+             ROW_NUMBER() OVER (PARTITION BY a.event_type, b.event_type
+                                ORDER BY u.h ASC) AS rk
+      FROM (SELECT DISTINCT event_type FROM sk) a
+      JOIN (SELECT DISTINCT event_type FROM sk) b
+        ON a.event_type < b.event_type
+      JOIN LATERAL (
+        SELECT DISTINCT h FROM sk
+        WHERE sk.event_type IN (a.event_type, b.event_type)) u ON TRUE),
+    tau AS (
+      SELECT type_a, type_b, CAST(MAX(h) AS BIGINT) AS tau_h
+      FROM uni WHERE rk <= {_KMV_K} GROUP BY 1, 2),
+    common AS (
+      SELECT uni.type_a, uni.type_b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM uni
+      JOIN tau ON tau.type_a = uni.type_a AND tau.type_b = uni.type_b
+      JOIN sk sa ON sa.event_type = uni.type_a AND sa.h = uni.h
+      JOIN sk sb ON sb.event_type = uni.type_b AND sb.h = uni.h
+      WHERE uni.rk <= {_KMV_K}
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM tu a JOIN tu b
+        ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT tau.type_a, tau.type_b,
+           COALESCE(common.c, 0) AS k_common,
+           exact.n_exact AS exact_common_users,
+           ({_KMV_K} - 1) * {_KMV_DOMAIN} / tau.tau_h AS union_estimate,
+           CAST(COALESCE(common.c, 0) AS DOUBLE) / {_KMV_K}
+             * (({_KMV_K} - 1) * {_KMV_DOMAIN} / tau.tau_h)
+             AS intersection_estimate
+    FROM tau
+    LEFT JOIN common ON common.type_a = tau.type_a
+                    AND common.type_b = tau.type_b
+    JOIN exact ON exact.type_a = tau.type_a AND exact.type_b = tau.type_b
+    """,
+)
+def sketch_kmv_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch set operations: per event type,
+    the bottom-{k} user hashes form a mergeable distinct-count
+    sketch; for every type pair the merged sketch estimates the UNION
+    cardinality ((k-1)*D/h_k) and the fraction of the merged sketch
+    present in both sides estimates the INTERSECTION — the
+    theta-sketch workflow behind audience-overlap dashboards, with
+    the exact overlap (events_type_audience_jaccard's quantity)
+    alongside for the error readout.
+
+    All sketch contents are exact md5-hash integers (per-type bottom-k
+    via the pruned bottomk_per_group primitive — no full sort);
+    pairwise merging runs over a (types x k) model frame, and the two
+    estimates are single IEEE expressions — the probe hash-matches
+    bit-for-bit like the HLL/CountMin/Bloom/AMS family.
+    """
+    tune(spark)
+    from ..functions.ranks import bottomk_per_group
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tu = e.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string"), salt="kmv").alias("h"),
+    ).distinct()
+    sk = bottomk_per_group(
+        tu, ["event_type"], "h", ["h"], k=_KMV_K
+    ).select("event_type", "h")
+    ta = sk.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha"))
+    tb = sk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    # merged candidate pool per pair: distinct hashes from either sketch
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pool = (
+        pairs.join(
+            sk.select(F.col("event_type").alias("te"), "h"),
+            (F.col("te") == F.col("type_a")) | (F.col("te") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy(F.asc("h"))
+    uni = pool.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    tau = uni.groupBy("type_a", "type_b").agg(
+        F.max("h").cast("long").alias("tau_h")
+    )
+    common = (
+        uni.join(
+            ta, (F.col("ha") == F.col("h")) & (ta["type_a"] == uni["type_a"])
+        )
+        .join(
+            tb, (F.col("hb") == F.col("h")) & (tb["type_b"] == uni["type_b"])
+        )
+        .groupBy(uni["type_a"], uni["type_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ea = tu.select(F.col("event_type").alias("type_a"), "h")
+    eb = tu.select(F.col("event_type").alias("type_b"), F.col("h").alias("h2"))
+    exact = (
+        ea.join(eb, (F.col("h2") == F.col("h")))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    union_est = (
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOMAIN) / F.col("tau_h")
+    )
+    return (
+        tau.join(common, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("c", F.lit(0)).cast("long").alias("k_common"),
+            F.col("n_exact").alias("exact_common_users"),
+            union_est.alias("union_estimate"),
+            (
+                F.coalesce("c", F.lit(0)).cast("double")
+                / F.lit(_KMV_K)
+                * union_est
+            ).alias("intersection_estimate"),
+        )
+    )

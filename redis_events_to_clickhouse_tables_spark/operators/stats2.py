@@ -1247,3 +1247,142 @@ def stats_cochran_armitage_trend(
             )
         ).alias("ca_chi2"),
     )
+
+
+@query(
+    "stats_fisher_exact_logp",
+    oracle="""
+    WITH flags AS (
+      SELECT c.c_mktsegment = 'AUTOMOBILE' AS grp,
+             COALESCE(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                               THEN 1 END), 0) AS hit
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, 1),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN grp AND hit = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN grp AND hit = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT grp AND hit = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT grp AND hit = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM flags),
+    lf AS (
+      SELECT cells.a, cells.b, cells.c, cells.d,
+             cells.a + cells.b + cells.c + cells.d AS n,
+             SUM(CASE WHEN i <= cells.a THEN il ELSE 0 END) AS la,
+             SUM(CASE WHEN i <= cells.b THEN il ELSE 0 END) AS lb,
+             SUM(CASE WHEN i <= cells.c THEN il ELSE 0 END) AS lc,
+             SUM(CASE WHEN i <= cells.d THEN il ELSE 0 END) AS ld,
+             SUM(CASE WHEN i <= cells.a + cells.b THEN il ELSE 0 END) AS lab,
+             SUM(CASE WHEN i <= cells.c + cells.d THEN il ELSE 0 END) AS lcd,
+             SUM(CASE WHEN i <= cells.a + cells.c THEN il ELSE 0 END) AS lac,
+             SUM(CASE WHEN i <= cells.b + cells.d THEN il ELSE 0 END) AS lbd,
+             SUM(il) AS ln_
+      FROM cells, (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               CAST(FLOOR(log2(CAST(t.i AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS il
+        FROM cells, UNNEST(range(2, a + b + c + d + 1)) AS t(i)) r
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT a, b, c, d,
+           CAST(lab + lcd + lac + lbd - ln_ - la - lb - lc - ld AS BIGINT)
+             AS logp_fp,
+           CAST(lab + lcd + lac + lbd - ln_ - la - lb - lc - ld AS DOUBLE)
+             / 1000000 * 0.6931471805599453 AS log_p
+    FROM lf
+    """,
+)
+def stats_fisher_exact_logp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact hypergeometric log-probability of the observed
+    2x2 table (AUTOMOBILE segment x had-an-URGENT-order): ln P =
+    sum(lfact(margins)) - lfact(n) - sum(lfact(cells)) — the exact
+    small-sample companion to the chi-square/odds-ratio views, with
+    every log-factorial an EXACT integer sum of quantized log2 terms
+    (lfact(x) = sum_{{i<=x}} floor(log2(i)*1e6)), so the fixed-point
+    column hash-matches bit-for-bit and only the display column
+    multiplies through ln 2.
+
+    The nine lfacts come from ONE conditional aggregate over a single
+    integer range scan (linear, fully parallel; a production variant
+    would switch to Stirling above a size threshold — kept exact here
+    because the oracle contract demands it). Cell counts arrive as
+    four 1-row driver scalars (the repo's O(1)-scalar budget).
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(
+            "c_custkey", (F.col("c_mktsegment") == "AUTOMOBILE").alias("grp")
+        )
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1)),
+                F.lit(0),
+            ).alias("hit")
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.when(F.col("grp") & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("grp") & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("grp") & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("grp") & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    ).collect()[0]
+    a, b, cc, dd = cells["a"], cells["b"], cells["c"], cells["d"]
+    n = a + b + cc + dd
+    r = (
+        spark.range(2, n + 1)
+        .select(
+            F.col("id").alias("i"),
+            F.floor(F.log2(F.col("id").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("il"),
+        )
+    )
+
+    def lf(x: int):
+        return F.sum(F.when(F.col("i") <= x, F.col("il")).otherwise(0))
+
+    s = r.agg(
+        lf(a).alias("la"),
+        lf(b).alias("lb"),
+        lf(cc).alias("lc"),
+        lf(dd).alias("ld"),
+        lf(a + b).alias("lab"),
+        lf(cc + dd).alias("lcd"),
+        lf(a + cc).alias("lac"),
+        lf(b + dd).alias("lbd"),
+        F.sum("il").alias("ln_"),
+    )
+    fp = (
+        F.col("lab")
+        + F.col("lcd")
+        + F.col("lac")
+        + F.col("lbd")
+        - F.col("ln_")
+        - F.col("la")
+        - F.col("lb")
+        - F.col("lc")
+        - F.col("ld")
+    )
+    return s.select(
+        F.lit(a).cast("long").alias("a"),
+        F.lit(b).cast("long").alias("b"),
+        F.lit(cc).cast("long").alias("c"),
+        F.lit(dd).cast("long").alias("d"),
+        fp.cast("long").alias("logp_fp"),
+        (
+            fp.cast("double") / F.lit(1_000_000) * F.lit(0.6931471805599453)
+        ).alias("log_p"),
+    )
