@@ -638,3 +638,142 @@ def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("chi_fp").cast("double") / F.lit(_B2_QFP)).alias("chi2_total"),
     )
+
+
+@query(
+    "orders_return_rate_by_brand",
+    oracle="""
+    WITH r AS (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+             CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                  AS BIGINT) AS n_returned
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1),
+    g AS (
+      SELECT CAST(SUM(n_lineitems) AS BIGINT) AS n,
+             CAST(SUM(n_returned) AS BIGINT) AS k
+      FROM r)
+    SELECT r.p_brand, r.n_lineitems, r.n_returned,
+           CAST(r.n_returned AS DOUBLE) / r.n_lineitems AS return_rate,
+           (CAST(r.n_returned AS DOUBLE) / r.n_lineitems
+              - CAST(g.k AS DOUBLE) / g.n)
+           / sqrt(CAST(g.k AS DOUBLE) / g.n * (1 - CAST(g.k AS DOUBLE) / g.n)
+                  / r.n_lineitems) AS z_vs_global
+    FROM r CROSS JOIN g
+    """,
+)
+def orders_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate screen per brand with the z-score against the
+    global return rate — the quality-escalation shortlist ("which
+    brands return abnormally often, adjusted for volume"). Exact
+    counts; rate and z are shared IEEE expressions over one broadcast
+    global aggregate.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    g = r.agg(
+        F.sum("n_lineitems").cast("long").alias("n"),
+        F.sum("n_returned").cast("long").alias("k"),
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_lineitems")
+    p0 = F.col("k").cast("double") / F.col("n")
+    return r.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n_lineitems",
+        "n_returned",
+        rate.alias("return_rate"),
+        ((rate - p0) / F.sqrt(p0 * (1 - p0) / F.col("n_lineitems"))).alias(
+            "z_vs_global"
+        ),
+    )
+
+
+_WILSON_Z = 1.959963984540054
+
+
+@query(
+    "events_error_rate_wilson",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(k) AS BIGINT) AS gk
+          FROM daily),
+    w AS (
+      SELECT d, n, k, gn, gk,
+             CAST(k AS DOUBLE) / n AS p,
+             (CAST(k AS DOUBLE) / n + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE) / (2 * n))
+               / (1 + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE) / n) AS center,
+             CAST({_WILSON_Z} AS DOUBLE)
+               * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                      + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE) / (4.0 * n * n))
+               / (1 + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE) / n) AS half
+      FROM daily CROSS JOIN g)
+    SELECT d AS day_idx, n AS n_events, k AS n_errors, p AS error_rate,
+           center - half AS wilson_low,
+           center + half AS wilson_high,
+           CAST(gk AS DOUBLE) / gn < center - half
+             OR CAST(gk AS DOUBLE) / gn > center + half AS out_of_band
+    FROM w
+    """,
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate monitoring with Wilson score intervals: each
+    day's error share gets the interval that stays honest at small n
+    (unlike the Wald interval), flagged when the GLOBAL error rate
+    falls outside it — the per-day SLO breach detector.
+
+    Counts exact; the Wilson center/half-width are one shared IEEE
+    expression per row with the z quantile as a fixed literal (the
+    squared z written as an explicit product, no pow()).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("k"),
+    )
+    g = daily.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("k").cast("long").alias("gk"),
+    )
+    z = F.lit(_WILSON_Z)
+    p = F.col("k").cast("double") / F.col("n")
+    center = (p + z * z / (2 * F.col("n"))) / (1 + z * z / F.col("n"))
+    half = (
+        z
+        * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+        )
+        / (1 + z * z / F.col("n"))
+    )
+    gp = F.col("gk").cast("double") / F.col("gn")
+    return daily.crossJoin(F.broadcast(g)).select(
+        F.col("d").cast("long").alias("day_idx"),
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_errors"),
+        p.alias("error_rate"),
+        (center - half).alias("wilson_low"),
+        (center + half).alias("wilson_high"),
+        ((gp < center - half) | (gp > center + half)).alias("out_of_band"),
+    )
