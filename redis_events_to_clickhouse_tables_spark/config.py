@@ -57,6 +57,12 @@ class IngestConfig:
     # rows are aligned to the current table schema; schema evolution
     # still happens through append-mode tables.
     upsert_keys: tuple[str, ...] = ()
+    # S2: salvage legacy failed jobs from an old producer
+    # (reference: RE_ENQUEUE_OLD_BULL_EVENTS[_JOBNAME],
+    # src/main.ts:422-461; consumed by
+    # sources.redis_bull.RedisBullSource.salvage_old_queue)
+    re_enqueue_old_bull_events: bool = False
+    re_enqueue_old_bull_events_jobname: str = "main"
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "IngestConfig":
@@ -69,6 +75,7 @@ class IngestConfig:
         - SPLIT_ARRAY_ITEMS_AS_COLUMNS    (.env.sample:76)
         - CLICKHOUSE_ALTERED_COLUMN_NULLABLE (.env.sample:48)
         - NON_CRITICAL_EVENT_TYPES        (comma-separated, .env.sample:85)
+        - RE_ENQUEUE_OLD_BULL_EVENTS[_JOBNAME] (.env.sample:54-56, S2)
 
         DELIBERATE DEVIATION — CLICKHOUSE_ALTERED_COLUMN_NULLABLE
         defaults to True here when unset, whereas the reference treats
@@ -110,4 +117,9 @@ class IngestConfig:
             altered_column_nullable=flag("CLICKHOUSE_ALTERED_COLUMN_NULLABLE", True),
             non_critical_event_types=non_critical,
             upsert_keys=upsert_keys,
+            re_enqueue_old_bull_events=flag("RE_ENQUEUE_OLD_BULL_EVENTS", False),
+            re_enqueue_old_bull_events_jobname=e.get(
+                "RE_ENQUEUE_OLD_BULL_EVENTS_JOBNAME",
+                cls.re_enqueue_old_bull_events_jobname,
+            ),
         )

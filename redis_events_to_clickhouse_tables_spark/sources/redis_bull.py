@@ -1,13 +1,51 @@
 """Redis Bull queue source adapter (reference parity: S1/S2).
 
 The reference consumes JSON event jobs from a Bull queue
-(src/main.ts:220-223, :520-543) with an old-queue salvage path
-(:422-461). This environment has no Redis server or client library,
-so the adapter is a documented interface with a gated import: a
-deployment with Redis drops this in as a micro-batch poller feeding
-``IngestEngine.process_raw_batch`` — the engine is source-agnostic
-(anything that yields batches of JSON strings works; the file source
-in streaming/stream.py is the tested stand-in).
+(src/main.ts:220-223, :520-543) and never loses an event: jobs are
+only removed from Redis after they are handed to a bulker, failed
+bulk inserts are re-enqueued (src/main.ts:463-514), and a graceful
+shutdown re-injects everything still waiting (src/main.ts:678-735).
+This adapter reproduces that at-least-once contract on the Redis
+"reliable queue" list pattern:
+
+- ``poll()`` atomically ``LMOVE``\\ s up to ``max_batch`` jobs from the
+  wait list to a per-consumer *processing* list and returns them as a
+  one-column DataFrame of raw JSON strings (column ``value``) — the
+  exact input contract of ``IngestEngine.process_raw_batch``.
+- ``ack()`` removes the polled jobs from the processing list via
+  ``LREM`` — callers invoke it only AFTER the batch commits
+  (``run_once`` wires this up). A crash anywhere between poll and
+  commit leaves the jobs in the processing list.
+- ``salvage()`` (call on startup) moves processing-list leftovers
+  from a crashed run back to the head of the wait list, so the next
+  poll redelivers them. Double delivery is tolerated downstream: the
+  store's idempotent batch-id commit log absorbs replays of a
+  committed batch, and the DLQ attempt columns bound retries of a
+  poisoned one (streaming/ingest.py E1-E6).
+
+S2 — old-queue salvage (src/main.ts:422-461): the reference watches
+the queue's *failed* jobs for legacy events from an older producer —
+recognizable by a job timestamp in SECONDS (string length <= 10,
+where ms timestamps are >= 13, main.ts:428) under a configured job
+name — stamps ``__received_at`` on first sight, re-enqueues the
+payload tagged ``__is_from_old_queue: true`` (a reserved key the
+normalizer drops, config.py:42, after lineage extraction), and
+removes the legacy job. ``salvage_old_queue()`` is that loop over
+the failed list.
+
+Wire-format note (documented deviation): real Bull stores jobs as
+Redis hashes keyed by id, with the lists holding ids. This adapter
+keeps the PAYLOAD ITSELF in the lists — the wait/processing lists
+hold raw event JSON, the failed list holds ``{"name", "timestamp",
+"data"}`` envelopes (the fields main.ts:426-428 reads). Parity is at
+the semantic level (at-least-once hand-off, salvage triggers, tags),
+not the byte layout; a deployment against real Bull swaps the three
+list helpers for BullMQ's job API.
+
+The ``redis`` client library is not available in this container, so
+``client`` is injectable (tests use a fake implementing the five
+list commands used: LMOVE, LREM, LRANGE, LPUSH, RPUSH); the
+``from_url`` path is gated on the import.
 
 Scale note: a single poller thread feeding Spark is the reference's
 own topology (one worker, READ_MAX_CONCURRENCY handlers). For true
@@ -16,6 +54,8 @@ scale the queue would be fronted by Kafka and read with
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,36 +69,195 @@ except ImportError:
 
 # Bull's list key layout for a queue named Q is "bull:Q:wait" etc.
 WAIT_SUFFIX = "wait"
+PROCESSING_SUFFIX = "processing"
+FAILED_SUFFIX = "failed"
+
+# Reference: jobs from the old producer carry second-granularity
+# timestamps; ms timestamps are >= 13 digits (src/main.ts:428).
+_OLD_QUEUE_TS_MAX_DIGITS = 10
+
+
+def _as_text(v) -> str:
+    return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else str(v)
 
 
 class RedisBullSource:
-    """Micro-batch poller over a Bull queue.
+    """Micro-batch poller over a Bull queue with at-least-once hand-off.
 
-    Each ``poll()`` drains up to ``max_batch`` jobs and returns them as
-    a one-column DataFrame of raw JSON strings (column ``value``) —
-    the exact input contract of ``IngestEngine.process_raw_batch``.
-    At-least-once: jobs move to a processing list and are acked after
-    the batch commits; a crash leaves them to be salvaged (the
-    reference's S2 old-queue salvage plays the same role,
-    src/main.ts:422-461).
+    Lifecycle per micro-batch (what ``run_once`` does)::
+
+        source.salvage()                       # once, on startup
+        df = source.poll()                     # wait -> processing
+        engine.process_raw_batch(df, batch_id) # commit
+        source.ack()                           # processing -> gone
+
+    A crash before ``ack()`` leaves the batch in the processing list;
+    the next ``salvage()`` re-delivers it (at-least-once, replays
+    absorbed downstream by the idempotent batch-id log / DLQ attempt
+    columns).
     """
 
-    def __init__(self, spark: SparkSession, url: str, queue: str, max_batch: int = 1000):
-        if not HAVE_REDIS:
-            raise NotImplementedError(
-                "redis client library not available in this environment; "
-                "use streaming.stream.start_file_ingest (file source) instead"
-            )
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str | None = None,
+        queue: str = "events",
+        max_batch: int = 1000,
+        client=None,
+        consumer: str = "worker-1",
+    ):
+        if client is None:
+            if not HAVE_REDIS:
+                raise NotImplementedError(
+                    "redis client library not available in this environment; "
+                    "inject a client, or use streaming.stream.start_file_ingest"
+                )
+            client = redis.Redis.from_url(url)
         self.spark = spark
-        self.client = redis.Redis.from_url(url)
+        self.client = client
         self.queue = queue
         self.max_batch = max_batch
+        self.consumer = consumer
+        # payloads polled but not yet acked (mirror of the Redis
+        # processing list for this consumer; authoritative copy is in
+        # Redis — this is only the LREM shopping list for ack())
+        self._inflight: list[str] = []
+
+    # -- key layout -------------------------------------------------
+    def _key(self, suffix: str) -> str:
+        return f"bull:{self.queue}:{suffix}"
+
+    @property
+    def wait_key(self) -> str:
+        return self._key(WAIT_SUFFIX)
+
+    @property
+    def processing_key(self) -> str:
+        # per-consumer processing list: a restarted consumer salvages
+        # its OWN leftovers without racing siblings
+        return f"{self._key(PROCESSING_SUFFIX)}:{self.consumer}"
+
+    @property
+    def failed_key(self) -> str:
+        return self._key(FAILED_SUFFIX)
+
+    # -- at-least-once poll/ack --------------------------------------
+    def salvage(self) -> int:
+        """Re-deliver jobs a crashed run left in the processing list.
+
+        Moves them back to the HEAD of the wait list (preserving their
+        original relative order) so the very next ``poll()`` picks them
+        up before newer traffic — the reference's restart behavior
+        (un-acked Bull jobs return to wait). Returns the count.
+        """
+        n = 0
+        # LMOVE processing(RIGHT) -> wait(LEFT) reverses twice: taking
+        # from the tail of processing and pushing to the head of wait
+        # restores original order at the front of the queue.
+        while self.client.lmove(self.processing_key, self.wait_key, "RIGHT", "LEFT"):
+            n += 1
+        self._inflight.clear()
+        return n
 
     def poll(self) -> DataFrame:
-        key = f"bull:{self.queue}:{WAIT_SUFFIX}"
-        pipe = self.client.pipeline()
-        pipe.lrange(key, 0, self.max_batch - 1)
-        pipe.ltrim(key, self.max_batch, -1)
-        jobs, _ = pipe.execute()
-        payloads = [(j.decode("utf-8"),) for j in jobs]
-        return self.spark.createDataFrame(payloads or [], "value string")
+        """Drain up to ``max_batch`` jobs into the processing list and
+        return them as a DataFrame (column ``value``).
+
+        Each job moves atomically (``LMOVE`` wait->processing), so a
+        crash mid-poll strands jobs in exactly one of the two lists —
+        never loses one, never duplicates one.
+        """
+        payloads: list[str] = []
+        for _ in range(self.max_batch):
+            job = self.client.lmove(self.wait_key, self.processing_key, "LEFT", "RIGHT")
+            if job is None:
+                break
+            payloads.append(_as_text(job))
+        self._inflight.extend(payloads)
+        rows = [(p,) for p in payloads]
+        return self.spark.createDataFrame(rows or [], "value string")
+
+    def ack(self) -> int:
+        """Acknowledge the polled batch: remove each in-flight payload
+        from the processing list. Call only after the batch committed.
+        Returns the number of jobs acked."""
+        n = 0
+        for payload in self._inflight:
+            n += int(self.client.lrem(self.processing_key, 1, payload))
+        self._inflight.clear()
+        return n
+
+    def run_once(self, engine, batch_id: int | None = None):
+        """One poll -> process -> ack cycle against an ``IngestEngine``.
+
+        The ack happens ONLY if ``process_raw_batch`` returns (commit);
+        on any exception the jobs stay in the processing list for
+        ``salvage()`` to re-deliver — the at-least-once contract.
+        """
+        df = self.poll()
+        if not self._inflight:
+            return None
+        report = engine.process_raw_batch(df, batch_id=batch_id)
+        self.ack()
+        return report
+
+    # -- S2: old-queue salvage ----------------------------------------
+    def maybe_salvage_old_queue(self, config) -> int:
+        """Env-gated S2 (reference: RE_ENQUEUE_OLD_BULL_EVENTS === "1",
+        src/main.ts:425): runs the salvage loop only when the
+        ``IngestConfig`` flag is set, with the configured job name."""
+        if not getattr(config, "re_enqueue_old_bull_events", False):
+            return 0
+        return self.salvage_old_queue(
+            jobname=config.re_enqueue_old_bull_events_jobname
+        )
+
+    def salvage_old_queue(
+        self,
+        jobname: str = "__default__",
+        now_iso: str | None = None,
+    ) -> int:
+        """Re-enqueue legacy failed jobs (reference src/main.ts:422-461).
+
+        Scans the failed list for ``{"name", "timestamp", "data"}``
+        envelopes whose name matches ``jobname`` and whose timestamp is
+        seconds-granularity (<= 10 digits — the reference's legacy-
+        producer signature, main.ts:428). Each match is re-enqueued to
+        the wait list as ``{**data, "__is_from_old_queue": true}`` with
+        ``__received_at`` stamped on first sight (so lineage survives,
+        E6), and the legacy job is removed. Non-matching failed jobs
+        are left untouched. Returns the number re-enqueued.
+
+        ``now_iso`` is the ``__received_at`` stamp for data that lacks
+        one (injectable for deterministic tests; defaults to current
+        UTC time in ISO-8601, the reference's ``dayjs().toDate()``).
+        """
+        if now_iso is None:
+            from datetime import datetime, timezone
+
+            now_iso = datetime.now(timezone.utc).isoformat()
+        requeued = 0
+        for raw in list(self.client.lrange(self.failed_key, 0, -1)):
+            text = _as_text(raw)
+            try:
+                envelope = json.loads(text)
+            except ValueError:
+                continue
+            if not isinstance(envelope, dict) or envelope.get("name") != jobname:
+                continue
+            ts = envelope.get("timestamp")
+            if ts is None or len(str(ts)) > _OLD_QUEUE_TS_MAX_DIGITS:
+                continue  # ms-granularity: a current-producer failure, keep
+            data = envelope.get("data")
+            if not isinstance(data, dict):
+                continue
+            if not data.get("__received_at"):
+                # first time through: flag its arrival date (main.ts:433-436)
+                data["__received_at"] = now_iso
+            self.client.rpush(
+                self.wait_key,
+                json.dumps({**data, "__is_from_old_queue": True}),
+            )
+            self.client.lrem(self.failed_key, 1, text)
+            requeued += 1
+        return requeued

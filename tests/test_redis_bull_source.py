@@ -1,0 +1,255 @@
+"""S1/S2: crash-safe Redis Bull source — at-least-once poll/ack and
+old-queue salvage (reference src/main.ts:422-461, :463-514, :678-735),
+driven through a fake Redis client (the real library is not in this
+container; the fake implements the five list commands the source uses
+with redis-py semantics: bytes out, LMOVE atomic per element)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from redis_events_to_clickhouse_tables_spark.config import IngestConfig
+from redis_events_to_clickhouse_tables_spark.sources.redis_bull import RedisBullSource
+from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+    IngestEngine,
+    StoreUnavailableError,
+)
+from redis_events_to_clickhouse_tables_spark.streaming.store import TableStore
+
+
+class FakeRedis:
+    """In-memory stand-in for redis-py: list commands only."""
+
+    def __init__(self):
+        self.lists: dict[str, list[bytes]] = {}
+
+    def _l(self, key) -> list[bytes]:
+        return self.lists.setdefault(key, [])
+
+    @staticmethod
+    def _b(v) -> bytes:
+        return v if isinstance(v, bytes) else str(v).encode("utf-8")
+
+    def rpush(self, key, *vals):
+        self._l(key).extend(self._b(v) for v in vals)
+        return len(self._l(key))
+
+    def lpush(self, key, *vals):
+        for v in vals:
+            self._l(key).insert(0, self._b(v))
+        return len(self._l(key))
+
+    def lmove(self, src, dst, wherefrom="LEFT", whereto="RIGHT"):
+        s = self._l(src)
+        if not s:
+            return None
+        v = s.pop(0 if wherefrom == "LEFT" else -1)
+        if whereto == "LEFT":
+            self._l(dst).insert(0, v)
+        else:
+            self._l(dst).append(v)
+        return v
+
+    def lrem(self, key, count, value):
+        val, removed, out = self._b(value), 0, []
+        for item in self._l(key):
+            if item == val and (count == 0 or removed < abs(count)):
+                removed += 1
+                continue
+            out.append(item)
+        self.lists[key] = out
+        return removed
+
+    def lrange(self, key, start, stop):
+        items = self._l(key)
+        stop = len(items) if stop == -1 else stop + 1
+        return items[start:stop]
+
+    def llen(self, key):
+        return len(self._l(key))
+
+
+def _event(i, etype="event_session", **extra):
+    return json.dumps({"event_type": etype, "n": i, **extra})
+
+
+def _source(spark, fake, **kw):
+    return RedisBullSource(spark, queue="q", client=fake, **kw)
+
+
+def _engine(spark, tmp_path, **cfg):
+    store = TableStore(spark, tmp_path / "warehouse")
+    return IngestEngine(spark, store, IngestConfig(**cfg)), store
+
+
+def test_poll_moves_wait_to_processing_and_ack_clears(spark):
+    fake = FakeRedis()
+    fake.rpush("bull:q:wait", *[_event(i) for i in range(5)])
+    src = _source(spark, fake, max_batch=3)
+
+    df = src.poll()
+    assert df.count() == 3
+    assert fake.llen("bull:q:wait") == 2
+    assert fake.llen("bull:q:processing:worker-1") == 3
+
+    assert src.ack() == 3
+    assert fake.llen("bull:q:processing:worker-1") == 0
+    # FIFO: the first three pushed were the three polled
+    vals = sorted(json.loads(r["value"])["n"] for r in df.collect())
+    assert vals == [0, 1, 2]
+
+
+def test_crash_between_poll_and_commit_replays(spark):
+    """At-least-once: a consumer that polls then dies (no ack) leaves
+    the batch in its processing list; a restarted consumer's salvage()
+    re-delivers every job, ahead of newer traffic, in order."""
+    fake = FakeRedis()
+    fake.rpush("bull:q:wait", *[_event(i) for i in range(3)])
+    crashed = _source(spark, fake, max_batch=10)
+    crashed.poll()  # ... and the process dies here: no ack()
+    assert fake.llen("bull:q:wait") == 0
+    fake.rpush("bull:q:wait", _event(99))  # newer traffic arrives
+
+    restarted = _source(spark, fake, max_batch=10)
+    assert restarted.salvage() == 3
+    df = restarted.poll()
+    assert [json.loads(r["value"])["n"] for r in df.collect()] == [0, 1, 2, 99]
+    restarted.ack()
+    assert fake.llen("bull:q:processing:worker-1") == 0
+
+
+def test_run_once_acks_only_after_commit(spark, tmp_path, monkeypatch):
+    """A store outage mid-batch must NOT ack: the jobs stay in the
+    processing list, and the retry after recovery ingests them."""
+    fake = FakeRedis()
+    fake.rpush("bull:q:wait", *[_event(i) for i in range(4)])
+    src = _source(spark, fake, max_batch=10)
+    engine, store = _engine(spark, tmp_path)
+
+    monkeypatch.setattr(store, "ping", lambda: False)  # B4 outage
+    with pytest.raises(StoreUnavailableError):
+        src.run_once(engine, batch_id=1)
+    assert fake.llen("bull:q:processing:worker-1") == 4  # un-acked
+
+    monkeypatch.undo()
+    src.salvage()
+    report = src.run_once(engine, batch_id=1)
+    assert report.tables == {"event_session": 4}
+    assert fake.llen("bull:q:processing:worker-1") == 0
+    assert store.read("event_session").count() == 4
+
+
+def test_double_delivery_of_committed_batch_is_idempotent(spark, tmp_path):
+    """Crash AFTER commit but BEFORE ack: the replay re-processes the
+    same batch id, and the store's commit log absorbs it — no double
+    insert (the downstream half of the at-least-once contract)."""
+    fake = FakeRedis()
+    fake.rpush("bull:q:wait", *[_event(i) for i in range(3)])
+    engine, store = _engine(spark, tmp_path)
+
+    first = _source(spark, fake, max_batch=10)
+    engine.process_raw_batch(first.poll(), batch_id=7)  # committed...
+    # ...crash before first.ack()
+
+    second = _source(spark, fake, max_batch=10)
+    assert second.salvage() == 3
+    report = second.run_once(engine, batch_id=7)  # same batch id replays
+    assert report is not None
+    assert store.read("event_session").count() == 3  # not 6
+
+
+def test_empty_queue_returns_empty_dataframe(spark):
+    src = _source(spark, FakeRedis())
+    df = src.poll()
+    assert df.count() == 0
+    assert df.columns == ["value"]
+    assert src.ack() == 0
+
+
+def test_old_queue_salvage_requeues_legacy_jobs_only(spark):
+    """S2: only failed jobs under the configured name AND with a
+    seconds-granularity timestamp are re-enqueued (main.ts:426-428);
+    the re-enqueued payload carries __is_from_old_queue and a stamped
+    __received_at; the legacy job is removed from failed."""
+    fake = FakeRedis()
+    legacy = {"name": "__default__", "timestamp": 1714000000,  # 10 digits
+              "data": {"event_type": "event_session", "n": 1}}
+    modern = {"name": "__default__", "timestamp": 1714000000123,  # 13: ms
+              "data": {"event_type": "event_session", "n": 2}}
+    other = {"name": "other_job", "timestamp": 1714000000,
+             "data": {"event_type": "event_session", "n": 3}}
+    fake.rpush("bull:q:failed", *[json.dumps(j) for j in (legacy, modern, other)])
+
+    src = _source(spark, fake)
+    assert src.salvage_old_queue(now_iso="2024-05-01T00:00:00+00:00") == 1
+
+    assert fake.llen("bull:q:failed") == 2  # modern + other kept
+    [requeued] = [json.loads(v.decode()) for v in fake.lrange("bull:q:wait", 0, -1)]
+    assert requeued["__is_from_old_queue"] is True
+    assert requeued["__received_at"] == "2024-05-01T00:00:00+00:00"
+    assert requeued["n"] == 1
+
+
+def test_old_queue_salvage_preserves_existing_received_at(spark):
+    """Second trip through salvage must keep the FIRST __received_at
+    (lineage, E6 — main.ts:433-436 only stamps when absent)."""
+    fake = FakeRedis()
+    job = {"name": "__default__", "timestamp": 1714000000,
+           "data": {"event_type": "event_session", "n": 1,
+                    "__received_at": "2024-01-01T00:00:00+00:00"}}
+    fake.rpush("bull:q:failed", json.dumps(job))
+    src = _source(spark, fake)
+    src.salvage_old_queue(now_iso="2024-05-01T00:00:00+00:00")
+    [requeued] = [json.loads(v.decode()) for v in fake.lrange("bull:q:wait", 0, -1)]
+    assert requeued["__received_at"] == "2024-01-01T00:00:00+00:00"
+
+
+def test_old_queue_salvage_flows_through_ingest(spark, tmp_path):
+    """End-to-end S2: salvaged legacy event -> poll -> normalize ->
+    table. The __is_from_old_queue tag is dropped (P1 reserved key)
+    and received_at preserves the salvage stamp (E6)."""
+    fake = FakeRedis()
+    job = {"name": "__default__", "timestamp": 1714000000,
+           "data": {"event_type": "event_session", "zozo": "yolo"}}
+    fake.rpush("bull:q:failed", json.dumps(job))
+    src = _source(spark, fake, max_batch=10)
+    engine, store = _engine(spark, tmp_path)
+
+    assert src.salvage_old_queue(now_iso="2024-05-01T00:00:00+00:00") == 1
+    report = src.run_once(engine, batch_id=1)
+    assert report.tables == {"event_session": 1}
+
+    out = store.read("event_session")
+    assert "__is_from_old_queue" not in out.columns
+    assert "is_from_old_queue" not in out.columns
+    row = out.collect()[0]
+    assert row["zozo"] == "yolo"
+    assert row["received_at"] is not None
+    assert row["received_at"].strftime("%Y-%m-%d") == "2024-05-01"
+
+
+def test_old_queue_salvage_env_gate(spark):
+    """S2 runs only under RE_ENQUEUE_OLD_BULL_EVENTS=1, with the
+    configured job name (main.ts:425-426, .env.sample:54-56)."""
+    fake = FakeRedis()
+    job = {"name": "main", "timestamp": 1714000000,
+           "data": {"event_type": "event_session", "n": 1}}
+    fake.rpush("bull:q:failed", json.dumps(job))
+    src = _source(spark, fake)
+
+    off = IngestConfig.from_env({})
+    assert not off.re_enqueue_old_bull_events
+    assert src.maybe_salvage_old_queue(off) == 0
+    assert fake.llen("bull:q:failed") == 1  # untouched when gated off
+
+    on = IngestConfig.from_env(
+        {"RE_ENQUEUE_OLD_BULL_EVENTS": "1",
+         "RE_ENQUEUE_OLD_BULL_EVENTS_JOBNAME": "main"}
+    )
+    assert on.re_enqueue_old_bull_events
+    assert on.re_enqueue_old_bull_events_jobname == "main"
+    assert src.maybe_salvage_old_queue(on) == 1
+    assert fake.llen("bull:q:failed") == 0
+    assert fake.llen("bull:q:wait") == 1
