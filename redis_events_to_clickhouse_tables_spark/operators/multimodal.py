@@ -106,12 +106,29 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_decode", oracle=None)  # rows-only: python decode stub
+@query(
+    "multimodal_fake_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) % 2 = 0
+                THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+)
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-to-metadata pipeline with the stubbed decoder.
 
-    No oracle SQL: the decode is a Python mapInPandas stage (the driver
-    records a rows-only check). Deterministic output regardless.
+    Oracle-backed (r8, closing the registry's last rows-only gap): the
+    Spark side runs the REAL plumbing — Arrow-batched ``mapInPandas``
+    over the binary column — while the oracle recomputes the stub's
+    documented arithmetic (n_bytes/format/width/height are pure
+    functions of the payload byte length) SQL-side, the same
+    invariant-column pattern as ``multimodal_audio_features``. A real
+    decoder swaps ``fake_decode_batches`` for codec calls and keeps
+    the identical batch shape; only the oracle is stub-specific.
     """
     tune(spark)
     # fanout: the decode is CPU-bound Python; spread the single
@@ -150,10 +167,33 @@ def fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-@query("multimodal_resize", oracle=None)  # rows-only: python resize stub
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             GREATEST(1, octet_length(encode(text)) % 640) AS w,
+             GREATEST(1, (octet_length(encode(text)) * 7) % 480) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(64 AS INTEGER) AS thumb_w,
+           CAST(GREATEST(1, CAST(FLOOR(64.0 * h / w) AS INTEGER))
+                AS INTEGER) AS thumb_h,
+           CAST(64 * 3 * GREATEST(1, CAST(FLOOR(64.0 * h / w) AS INTEGER))
+                AS INTEGER) AS thumb_bytes
+    FROM b
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail-resize pipeline over the binary payload column —
-    Arrow-batched mapInPandas, one row out per image in."""
+    Arrow-batched mapInPandas, one row out per image in.
+
+    Oracle-backed (r8): the stub's aspect-ratio arithmetic
+    (w,h from byte length; th = trunc(64*h/w), all positive) is
+    recomputed SQL-side. ``64.0 * h / w`` is the same IEEE-double
+    expression in pandas and DuckDB, and FLOOR-of-positive == the
+    stub's ``astype(int32)`` truncation, so the comparison is exact,
+    not fixture-lucky."""
     tune(spark)
     d = with_binary_payload(fanout(table(spark, sf_dir, "documents")))
     return d.select("doc_id", "payload").mapInPandas(
