@@ -53,10 +53,22 @@ def connected_components(
         budget = LOCAL_FINISH_MAX_EDGES
     node_col = nodes.columns[0]
     src_col, dst_col = edges.columns[0], edges.columns[1]
-    nodes = nodes.select(F.col(node_col).alias("node")).distinct().persist()
     edges = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    # Edge endpoints are unioned into the vertex set so BOTH phases
+    # share one contract (ADVICE r7: the local union-find admitted
+    # unknown endpoints via setdefault while the distributed joins
+    # would have dropped or mislabeled them — a caller crossing the
+    # budget would silently change results). Endpoint rows are tiny
+    # (two longs) and the union is absorbed by the distinct.
+    nodes = (
+        nodes.select(F.col(node_col).alias("node"))
+        .unionAll(edges.select(F.col("src").alias("node")))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
         .persist()
     )
     n_nodes, n_edges = nodes.count(), edges.count()
@@ -106,6 +118,7 @@ def connected_components(
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(_MAX_ROUNDS):
         nmin = (
             und.join(labels, und.src == labels.doc_id)
@@ -132,11 +145,23 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     und.unpersist()
     nodes.unpersist()
     edges.unpersist()
+    if not converged:
+        # Pointer jumping needs log2(diameter) rounds, so 25 rounds
+        # cover any graph of diameter < 2^25; reaching here means the
+        # input is pathological (or the kernel regressed). A silent
+        # possibly-wrong labeling is the one unacceptable outcome
+        # (ADVICE r7) — fail loudly instead.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {_MAX_ROUNDS} "
+            f"rounds (n_nodes={n_nodes}, n_edges={n_edges})"
+        )
     return labels.select(
         F.col("doc_id").alias("node"), F.col("label").alias("component_id")
     )

@@ -246,14 +246,14 @@ def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
       SELECT tf.doc_id, tf.tok, tf.tf,
-             CAST(FLOOR(log2(CAST(n.n_docs AS DOUBLE)) * 1000000) AS BIGINT)
-             - CAST(FLOOR(log2(CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT)
+             CAST(FLOOR(log2(CAST(n.n_docs AS DOUBLE)) * 10000) AS BIGINT)
+             - CAST(FLOOR(log2(CAST(df.df AS DOUBLE)) * 10000) AS BIGINT)
                AS idf_fp
       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
     )
     SELECT doc_id, tok,
            tf * idf_fp AS tf_idf_fp,
-           CAST(tf * idf_fp AS DOUBLE) / 1000000.0
+           CAST(tf * idf_fp AS DOUBLE) / 10000.0
              * 0.6931471805599453 AS tf_idf
     FROM w
     """,
@@ -262,16 +262,26 @@ def text_tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scores under the quantize-the-model doctrine: raw
     ``tf*ln(N/df)`` needs a per-row ``ln`` whose last ulp differs
     across engines, so instead the IDF weight is fixed-point —
-    ``idf_fp = floor(log2(N)*1e6) - floor(log2(df)*1e6)`` (log2 of
-    integers only; an irrational except at powers of two, so the
-    floor is boundary-safe) — making ``tf * idf_fp`` exact int64 and
-    the double score one shared IEEE expression
-    (``fp/1e6 * ln(2)``) both engines evaluate identically. Same
-    pattern as textstats' entropy/MI family.
+    ``idf_fp = floor(log2(N)*1e4) - floor(log2(df)*1e4)`` — making
+    ``tf * idf_fp`` exact int64 and the double score one shared IEEE
+    expression (``fp/1e4 * ln(2)``) both engines evaluate
+    identically. Same pattern as textstats' entropy/MI family.
+
+    Why 1e4, not 1e6 (ADVICE r7): floor-quantization is only engine-
+    independent when every ``log2(x)*scale`` sits farther from an
+    integer than the two engines' possible log2 disagreement. At 1e6
+    the margin floor across x<=2^24 is 3.7e-9 — INSIDE the ~5e-9
+    few-ulp error band, so a libm difference could flip a floor. At
+    1e4 the exhaustive minimum margin over all 2<=x<=2^24 (excluding
+    exact powers of two, where floor is exact) is 2.1e-7 — 493x an
+    8-ulp error budget — so the floor provably cannot flip for any
+    df/corpus size up to 16.7M docs (tests/test_rows_only_invariants
+    re-audits the margin). Quantization cost: |tf_idf - tf*ln(N/df)|
+    <= tf * ln2 * 2e-4 — noise for a ranking weight.
     """
     tune(spark)
     tfd = _tf_df(spark, sf_dir)
-    ilog = lambda c: F.floor(F.log2(c.cast("double")) * F.lit(1e6)).cast("long")
+    ilog = lambda c: F.floor(F.log2(c.cast("double")) * F.lit(1e4)).cast("long")
     w = tfd.select(
         "doc_id",
         "tok",
@@ -284,7 +294,7 @@ def text_tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tf") * F.col("idf_fp")).alias("tf_idf_fp"),
         (
             (F.col("tf") * F.col("idf_fp")).cast("double")
-            / F.lit(1e6)
+            / F.lit(1e4)
             * F.lit(0.6931471805599453)
         ).alias("tf_idf"),
     )
@@ -1609,9 +1619,10 @@ _SQL_KEYWORDS = f"""
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
     scored AS (
       SELECT td.doc_id, td.tok,
-             td.tf * CAST(FLOOR(log2(CAST(n_docs AS DOUBLE)
-                                     / CAST(df AS DOUBLE)) * 1000000)
-                          AS BIGINT) AS s6
+             td.tf * (CAST(FLOOR(log2(CAST(n_docs AS DOUBLE)) * 10000)
+                           AS BIGINT)
+                      - CAST(FLOOR(log2(CAST(df AS DOUBLE)) * 10000)
+                             AS BIGINT)) AS s6
       FROM td JOIN dfreq USING (tok) CROSS JOIN n),
     ranked AS (
       SELECT doc_id, tok, s6,
@@ -1619,7 +1630,7 @@ _SQL_KEYWORDS = f"""
                                 ORDER BY s6 DESC, tok) AS rk
       FROM scored)
     SELECT doc_id, rk, tok,
-           CAST(s6 AS DOUBLE) / 1000000 AS tfidf_bits
+           CAST(s6 AS DOUBLE) / 10000 AS tfidf_bits
     FROM ranked WHERE rk <= {_KW_K}
 """
 
@@ -1629,12 +1640,15 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 keywords per document by TF-IDF — the snippet/tagging
     primitive a retrieval pipeline derives from the same counts as
     ``text_tf_idf``. Ranking is fully deterministic: the score is
-    tf * floor(log2(N/df)*1e6) — EXACT integer arithmetic with the
-    idf log quantized once per distinct document frequency
+    tf * (floor(log2(N)*1e4) - floor(log2(df)*1e4)) — EXACT integer
+    arithmetic with each log quantized on an INTEGER argument
     (model-level, quantize-the-model doctrine) — with token text as
     the tiebreak, so cross-engine order ties can't flap the way raw
-    float tf*ln(N/df) ordering would (text_tf_idf_scores adopted the
-    same fixed-point IDF in r7 for exactly that reason).
+    float tf*ln(N/df) ordering would. r8 (ADVICE r7): the old
+    floor(log2(N/df)*1e6) quantized a RATIONAL at a scale where a
+    few-ulp libm disagreement can flip the floor; integer-only args
+    at 1e4 are exhaustively margin-audited safe for all x <= 2^24
+    (see text_tf_idf_scores).
 
     Scale: per-doc windows partition on doc_id with partitions
     bounded by a document's vocabulary — never a corpus-wide or
@@ -1658,13 +1672,10 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             (
                 F.col("tf")
-                * F.floor(
-                    F.log2(
-                        F.col("n_docs").cast("double")
-                        / F.col("df").cast("double")
-                    )
-                    * 1e6
-                ).cast("long")
+                * (
+                    F.floor(F.log2(F.col("n_docs").cast("double")) * 1e4).cast("long")
+                    - F.floor(F.log2(F.col("df").cast("double")) * 1e4).cast("long")
+                )
             ).alias("s6"),
         )
     )
@@ -1678,7 +1689,7 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "rk",
             "tok",
-            (F.col("s6").cast("double") / F.lit(1e6)).alias("tfidf_bits"),
+            (F.col("s6").cast("double") / F.lit(1e4)).alias("tfidf_bits"),
         )
     )
 

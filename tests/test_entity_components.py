@@ -40,3 +40,17 @@ def test_er_plans_have_no_forced_broadcast(spark):
             q.__name__,
             logical[:500],
         )
+
+
+def test_kernel_handles_edge_endpoints_outside_node_set(spark):
+    """ADVICE r7: edge endpoints absent from ``nodes`` must get the
+    SAME treatment in both phases — unioned into the vertex set and
+    labeled. Edges (1-2, 2-5) with nodes={1,2,3}: 5 appears only as an
+    endpoint; 3 is isolated."""
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 5)], "a long, b long")
+    expected = [(1, 1), (2, 1), (3, 3), (5, 1)]
+    local = components.connected_components(spark, nodes, edges)
+    assert sorted(tuple(r) for r in local.collect()) == expected
+    dist = components.connected_components(spark, nodes, edges, budget=0)
+    assert sorted(tuple(r) for r in dist.collect()) == expected
