@@ -146,8 +146,12 @@ def build_scaled_corpus(spark, sf_dir: str, factor: float) -> str:
     r = 0
     remaining = factor
     while remaining > 1e-9:
+        # fractional replica: keep remaining*100% of rows (ADVICE r7:
+        # the old `% round(1/remaining)` collapsed to a FULL replica
+        # for remaining in (0.5, 1]; this is proportional in 1% steps
+        # for any factor)
         rep = docs if remaining >= 1 else docs.filter(
-            (F.col("doc_id") % round(1 / remaining)) == 0
+            (F.col("doc_id") % 100) < round(remaining * 100)
         )
         if r > 0:
             tag = f"x{r}"
@@ -174,16 +178,22 @@ def build_scaled_corpus(spark, sf_dir: str, factor: float) -> str:
 def build_scaled_part(spark, sf_dir: str, factor: float) -> str:
     """Materialize a ``factor``-times-larger part catalog for the ER
     scaling probe (VERDICT r6 item 7): full replicas with fresh
-    partkeys and every name token suffixed with a replica tag.
+    partkeys and, per replica, an alphabet-rotation cipher over
+    ``p_name``.
 
-    Same honesty argument as build_scaled_corpus: the tag keeps the ER
-    block keys (first name token, type) DISJOINT across replicas, so
-    each replica reproduces the base catalog's internal match
-    structure and nothing collides across replicas — blocked signature
-    matching should scale linearly in replicas, and the recorded pair
-    counts separate data growth from engine cost. Other tables are
-    symlinked unchanged.
+    The cipher (r8, VERDICT r7 item 6) is the honest mutation: a
+    bijective character substitution preserves every string's LENGTH
+    and every pair's LEVENSHTEIN DISTANCE exactly, so each replica
+    reproduces the base catalog's match structure bit-for-bit (pair
+    counts scale exactly linearly) at identical per-pair comparison
+    cost — wall clock now isolates pair growth, not quadratic-
+    levenshtein-on-longer-tokens noise, which the old suffix-tag
+    fixture conflated. Block keys (first name token, type) stay
+    disjoint across replicas because distinct rotations map the color
+    vocabulary to disjoint token sets. Supports factor <= 26 (one
+    rotation per replica). Other tables are symlinked unchanged.
     """
+    import string
     import tempfile
 
     from pyspark.sql import functions as F
@@ -194,23 +204,17 @@ def build_scaled_part(spark, sf_dir: str, factor: float) -> str:
             os.symlink(os.path.join(sf_dir, t), os.path.join(out, t))
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     base = part.agg({"p_partkey": "max"}).collect()[0][0] + 1
+    alpha = string.ascii_lowercase
     replicas = [part]
     r = 1
     remaining = factor - 1
     while remaining > 1e-9:
+        # proportional fractional replica (see build_scaled_corpus)
         rep = part if remaining >= 1 else part.filter(
-            (F.col("p_partkey") % round(1 / remaining)) == 0
+            (F.col("p_partkey") % 100) < round(remaining * 100)
         )
-        tag = f"x{r}"
         rep = rep.withColumn(
-            "p_name",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("p_name"), " "),
-                    lambda w: F.concat(w, F.lit(tag)),
-                ),
-                " ",
-            ),
+            "p_name", F.translate(F.col("p_name"), alpha, alpha[r:] + alpha[:r])
         ).withColumn("p_partkey", F.col("p_partkey") + F.lit(r * base))
         replicas.append(rep)
         remaining -= 1
@@ -297,13 +301,11 @@ def bench_scaling_sweep(spark, registry, sf_dir: str) -> dict:
     # ER probe (VERDICT r6 item 7): blocked signature matching over a
     # scaled PART catalog — same x1/x2.5/x5 shape with pair counts, so
     # the ER pair stage gets the same data-vs-engine separation the
-    # dedup pairs have. Reading the record: pair counts grow EXACTLY
-    # linearly (disjoint block keys per replica); wall grows slightly
-    # faster (~5.7x at x5, idle min-of-3) because the fixture's
-    # replica tag lengthens every name token by 2 chars and
-    # levenshtein is quadratic in string length (~1.8x per-pair cost
-    # on 6-char tokens) — a scaled-data artifact, not engine
-    # superlinearity.
+    # dedup pairs have. Reading the record: the r8 cipher fixture
+    # preserves string lengths and pairwise levenshtein distances
+    # exactly, so pair counts grow EXACTLY linearly at constant
+    # per-pair cost — wall should track the pair ratio (within the
+    # fixed per-run overhead), with no quadratic-levenshtein caveat.
     er: dict[str, dict] = {}
     spec = registry.get("er_part_match_pairs")
     if spec is not None:

@@ -347,3 +347,38 @@ def test_ansi_mode_pinned(spark):
     of silent wraps) are audited under ANSI-on, so the pin has to be
     structural, not inherited from the build's default."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+# VERDICT r7 item 7: PLANS.md *shows* scans == pushed-filter scans for
+# these headliners; this gate makes a pushdown regression FAIL CI
+# instead of only dimming the generated report. Listed: every headline
+# query whose scans all carry parquet-level predicates by design.
+_FULL_PUSHDOWN = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "sim_bruteforce_topk",
+    "sample_topk_longest_per_source",
+    "contamination_ngram_overlap",
+    "salted_join_user_totals",
+    "sim_radius_count",
+    "er_part_golden_record",
+    "asof_nearest_click_tolerance",
+]
+
+
+@pytest.mark.parametrize("name", _FULL_PUSHDOWN)
+def test_every_scan_has_pushed_filters(spark, name):
+    """Every parquet scan in these plans must carry PushedFilters: a
+    scan reading unfiltered rows for a filtered query re-reads the
+    lake at 100 TB."""
+    import re
+
+    df = REGISTRY[name].build(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+    pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+    assert scans > 0, name
+    assert pushed == scans, (name, f"{pushed}/{scans} scans pushed")

@@ -311,3 +311,73 @@ def test_worker_maintenance_replays_dlq(spark, tmp_path):
     th.join(timeout=90)
     assert not th.is_alive()
     assert ok, "DLQ event never replayed into its table"
+
+
+def test_stall_mid_batch_replays_partial_commit_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """E5+B5 composite (VERDICT r7 item 8): batch N routes to TWO
+    tables; table A commits, then the sink hangs before table B. The
+    watchdog detects the stall, the supervisor rebuilds from the
+    checkpoint, batch N replays — and the TableStore ends with exactly
+    one row in EACH table: A's replay is absorbed by the per-table
+    batch-id commit log, B's lands on the retry. Pins that a partial
+    commit is neither lost (B) nor doubled (A)."""
+    import threading as _threading
+    import time as _time
+
+    from redis_events_to_clickhouse_tables_spark.__main__ import run_worker
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        StoreUnavailableError,
+    )
+
+    inbox = tmp_path / "inbox"
+    _write_jsonl(
+        inbox / "b1.jsonl",
+        [{"event_type": "wpa", "x": 1}, {"event_type": "wpb", "x": 2}],
+    )
+    hang = {"armed": True}
+    orig = IngestEngine.process_raw_batch
+
+    def partial_then_hang(self, raw, batch_id=None):
+        if hang["armed"]:
+            hang["armed"] = False
+            # table A genuinely commits under batch N's id...
+            only_a = raw.filter(F.col("value").contains('"wpa"'))
+            orig(self, only_a, batch_id)
+            # ...then the sink hangs before table B, far past the
+            # watchdog window, and dies (B4 path): offsets for batch N
+            # never commit, so the rebuilt query replays the WHOLE batch
+            _time.sleep(30)
+            raise StoreUnavailableError("sink hung after partial commit")
+        return orig(self, raw, batch_id)
+
+    monkeypatch.setattr(IngestEngine, "process_raw_batch", partial_then_hang)
+    env = {
+        "INGEST_INPUT_PATH": str(inbox),
+        "INGEST_WAREHOUSE": str(tmp_path / "wh"),
+        "BULK_REPEAT_INTERVAL_SEC": "1",
+        "WATCH_DOG_MAX_INACTIVITY_SEC": "15",
+    }
+    shutdown = _threading.Event()
+    result: dict[str, int] = {}
+
+    def run():
+        result["restarts"] = run_worker(spark, env, shutdown)
+
+    th = _threading.Thread(target=run, daemon=True)
+    th.start()
+    store = TableStore(spark, tmp_path / "wh")
+    deadline = _time.time() + 150
+    while _time.time() < deadline:
+        if store.table_exists("wpb") and store.read("wpb").count() >= 1:
+            break
+        _time.sleep(1)
+    shutdown.set()
+    th.join(timeout=90)
+    assert not th.is_alive()
+    assert result.get("restarts", 0) >= 1  # the stall was detected
+    assert store.read("wpa").count() == 1  # replay absorbed, not doubled
+    assert store.read("wpb").count() == 1  # partial batch completed
+    assert [r["x"] for r in store.read("wpa").collect()] == [1]
+    assert [r["x"] for r in store.read("wpb").collect()] == [2]
