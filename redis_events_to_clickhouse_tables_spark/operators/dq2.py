@@ -289,3 +289,108 @@ def dq_order_total_reconciliation(
             F.sum("adiff").cast("long").alias("total_abs_diff_cents"),
         )
     )
+
+
+@query(
+    "dq_t_closeness",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket
+      FROM customer),
+    gl AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_g FROM b GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(COUNT(DISTINCT bucket) AS BIGINT) AS k_buckets
+            FROM b),
+    cls AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_class
+            FROM b GROUP BY 1, 2),
+    cb AS (SELECT c_nationkey, c_mktsegment, bucket,
+                  CAST(COUNT(*) AS BIGINT) AS cnt_cb
+           FROM b GROUP BY 1, 2, 3),
+    dense AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_class,
+             gl.bucket, gl.cnt_g, COALESCE(cb.cnt_cb, 0) AS cnt_cb
+      FROM cls CROSS JOIN gl
+      LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+                  AND cb.c_mktsegment = cls.c_mktsegment
+                  AND cb.bucket = gl.bucket),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n_class,
+             SUM(cnt_cb * (SELECT n_total FROM tot)
+                 - cnt_g * n_class)
+               OVER (PARTITION BY c_nationkey, c_mktsegment
+                     ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM dense)
+    SELECT c_nationkey, c_mktsegment, n_class,
+           CAST(SUM(ABS(c)) AS BIGINT) AS emd_fp,
+           CAST(SUM(ABS(c)) AS DOUBLE)
+             / ((SELECT n_total FROM tot) * n_class
+                * ((SELECT k_buckets FROM tot) - 1)) AS t_closeness
+    FROM cum
+    GROUP BY 1, 2, 3
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (privacy, completing k-anonymity/l-diversity):
+    for each quasi-identifier class (nation x segment), the Earth
+    Mover's Distance between the class's distribution of the ordered
+    sensitive attribute (acctbal thousands-bucket) and the global one.
+    For ordered buckets EMD = sum|cumsum(p_class - p_global)|/(k-1);
+    with proportions scaled by n_total*n_class the cumsum is EXACT
+    int64 (emd_fp) and t is one shared IEEE division.
+
+    Scale: three count aggregates + a dense class x bucket grid
+    (bounded: |QI classes| x |buckets|, both model-level) with a
+    window whose partitions hold k_buckets (~11) rows — never a
+    global window; acctbal/1000 floor is boundary-exact (k*1000.0
+    divides exactly in binary64).
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    b = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bucket"),
+    )
+    glob = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt_g"))
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count_distinct("bucket").cast("long").alias("k_buckets"),
+    )
+    cls = b.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    cb = b.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_cb")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cb, ["c_nationkey", "c_mktsegment", "bucket"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cnt_cb", F.coalesce("cnt_cb", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn(
+        "c",
+        F.sum(
+            F.col("cnt_cb") * F.col("n_total") - F.col("cnt_g") * F.col("n_class")
+        ).over(w),
+    )
+    return cum.groupBy("c_nationkey", "c_mktsegment", "n_class").agg(
+        F.sum(F.abs("c")).cast("long").alias("emd_fp"),
+        (
+            F.sum(F.abs("c")).cast("double")
+            / (
+                F.first("n_total")
+                * F.col("n_class")
+                * (F.first("k_buckets") - F.lit(1))
+            ).cast("double")
+        ).alias("t_closeness"),
+    )

@@ -764,3 +764,55 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resurrected",
         F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
     )
+
+
+@query(
+    "events_sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, seq,
+           CAST(LENGTH(seq) AS BIGINT) AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS funnel_vcp,
+           CAST(LENGTH(seq) - LENGTH(REPLACE(seq, 'p', '')) AS BIGINT)
+             AS n_purchases
+    FROM seqs
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` analog: per user, compress the
+    event history to a letter string (the five event types have
+    distinct initials) in (ts, event_id) order and pattern-match the
+    view -> click -> purchase funnel as a regex — the arbitrary-gap
+    sequence predicate windowed funnels can't express.
+
+    Determinism: the struct sort is total (event_id breaks ts ties).
+    Scale: one groupBy with per-user partitions bounded by a user's
+    history; the regex runs on the compressed letter string (bytes
+    per user, not rows), all JVM-side."""
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("s"),
+    )
+    seqs = s.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["c"]), ""
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("long").alias("n_events"),
+        F.col("seq").rlike("v.*c.*p").alias("funnel_vcp"),
+        (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("p"), F.lit(""))))
+        .cast("long")
+        .alias("n_purchases"),
+    )

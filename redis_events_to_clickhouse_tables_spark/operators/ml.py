@@ -443,3 +443,69 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+      FROM lineitem),
+    base AS (SELECT CAST(SUM(returned) AS BIGINT) AS pos_all,
+                    CAST(COUNT(*) AS BIGINT) AS n_all
+             FROM scored)
+    SELECT discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(returned) AS BIGINT) AS n_returned,
+           CAST(SUM(returned) AS DOUBLE) / COUNT(*) AS return_rate,
+           CAST((SELECT pos_all FROM base) AS DOUBLE)
+             / (SELECT n_all FROM base) AS base_rate,
+           (CAST(SUM(returned) AS DOUBLE) / COUNT(*))
+             / (CAST((SELECT pos_all FROM base) AS DOUBLE)
+                / (SELECT n_all FROM base)) AS lift
+    FROM scored
+    GROUP BY discount_pct
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability bins for a score->outcome pair (discount
+    level as the score, return flag as the outcome): per-bin count,
+    positives, observed rate, and lift against the base rate — the
+    reliability-diagram table every classifier eval starts from.
+
+    Exactness: bins come from ROUND(l_discount*100) — the product
+    lands within ~1e-13 of an integer, far from any .5 boundary, so
+    both engines round identically; rates and lift are integer counts
+    with shared IEEE divisions. Scale: one map-side-combinable
+    groupBy + a broadcast 1-row base aggregate."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("returned"),
+    )
+    base = li.agg(
+        F.sum("returned").cast("long").alias("pos_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    rate = F.sum("returned").cast("double") / F.count(F.lit(1))
+    return (
+        li.groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("returned").cast("long").alias("n_returned"),
+            rate.alias("return_rate"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "discount_pct",
+            "n",
+            "n_returned",
+            "return_rate",
+            (F.col("pos_all").cast("double") / F.col("n_all")).alias("base_rate"),
+            (
+                F.col("return_rate")
+                / (F.col("pos_all").cast("double") / F.col("n_all"))
+            ).alias("lift"),
+        )
+    )

@@ -1386,3 +1386,54 @@ def stats_fisher_exact_logp(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.cast("double") / F.lit(1_000_000) * F.lit(0.6931471805599453)
         ).alias("log_p"),
     )
+
+
+@query(
+    "stats_hodges_lehmann_shift",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    cy AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    diffs AS (SELECT px.x - cy.y AS diff FROM px CROSS JOIN cy)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM px) AS n_days_x,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cy) AS n_days_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MEDIAN(diff) AS hl_shift
+    FROM diffs
+    """,
+)
+def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between daily purchase and click
+    volumes: the median of ALL cross-pair differences — the robust
+    location-shift companion to Mann-Whitney (breaks down only past
+    29% contamination, unlike the difference of means).
+
+    Exactness: diffs are int64; both engines midpoint-interpolate the
+    even-count median ((a+b)/2 of two ints — exact in binary64).
+    Scale: the pair explosion is over DAILY AGGREGATES (bounded by the
+    calendar, ~n_days^2 rows — model-level), never over raw events;
+    the broadcast cross join is the same shape as the corr-matrix
+    family."""
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = lambda t, col: (
+        e.filter(F.col("event_type") == t)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias(col))
+    )
+    px, cy = daily("purchase", "x"), daily("click", "y")
+    diffs = px.crossJoin(F.broadcast(cy)).select((F.col("x") - F.col("y")).alias("diff"))
+    nx = px.agg(F.count(F.lit(1)).cast("long").alias("n_days_x"))
+    ny = cy.agg(F.count(F.lit(1)).cast("long").alias("n_days_y"))
+    return (
+        diffs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.median("diff").alias("hl_shift"),
+        )
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .select("n_days_x", "n_days_y", "n_pairs", "hl_shift")
+    )

@@ -352,6 +352,7 @@ def load_all() -> dict[str, QuerySpec]:
         entity,
         events,
         events2,
+        geo,
         graphplus,
         grouped,
         ml,
