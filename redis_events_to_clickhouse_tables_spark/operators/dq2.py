@@ -394,3 +394,74 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("t_closeness"),
     )
+
+
+@query(
+    "dq_functional_dependencies",
+    oracle="""
+    WITH stats AS (
+      SELECT 'p_brand' AS lhs, 'p_type' AS rhs,
+             CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_lhs,
+             CAST(COUNT(DISTINCT (p_brand, p_type)) AS BIGINT) AS n_pairs
+      FROM part
+      UNION ALL
+      SELECT 'p_type', 'p_brand',
+             CAST(COUNT(DISTINCT p_type) AS BIGINT),
+             CAST(COUNT(DISTINCT (p_type, p_brand)) AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT 'p_brand', 'p_size',
+             CAST(COUNT(DISTINCT p_brand) AS BIGINT),
+             CAST(COUNT(DISTINCT (p_brand, p_size)) AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT 'p_size', 'p_type',
+             CAST(COUNT(DISTINCT p_size) AS BIGINT),
+             CAST(COUNT(DISTINCT (p_size, p_type)) AS BIGINT)
+      FROM part)
+    SELECT lhs, rhs, n_lhs, n_pairs,
+           n_pairs - n_lhs AS violating_groups,
+           n_pairs = n_lhs AS holds
+    FROM stats
+    """,
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile: for candidate column pairs
+    A -> B, the FD holds iff COUNT(DISTINCT A) == COUNT(DISTINCT
+    (A,B)); the difference counts LHS groups with more than one RHS
+    value — the schema-discovery / normalization-audit primitive data
+    profilers (Metanome-style) run first.
+
+    Scale: one pass per candidate pair of two distinct-counts (Spark
+    evaluates the four pairs as one job over a single scan via
+    unioned aggregates); no joins, no windows. Candidate pairs are a
+    fixed model-level list, like the profiler's hypothesis set.
+    """
+    tune(spark)
+    p = table(spark, sf_dir, "part")
+
+    def stat(lhs: str, rhs: str) -> DataFrame:
+        return p.agg(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count_distinct(F.col(lhs)).cast("long").alias("n_lhs"),
+            F.count_distinct(F.col(lhs), F.col(rhs)).cast("long").alias("n_pairs"),
+        )
+
+    pairs = [
+        ("p_brand", "p_type"),
+        ("p_type", "p_brand"),
+        ("p_brand", "p_size"),
+        ("p_size", "p_type"),
+    ]
+    out = stat(*pairs[0])
+    for lhs, rhs in pairs[1:]:
+        out = out.unionByName(stat(lhs, rhs))
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_pairs",
+        (F.col("n_pairs") - F.col("n_lhs")).alias("violating_groups"),
+        (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+    )

@@ -649,3 +649,82 @@ def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit_share"
         ),
     )
+
+
+@query(
+    "text_unigram_logloss",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_c FROM toks),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * (
+               CAST(FLOOR(log2(CAST((SELECT big_c FROM corpus) AS DOUBLE))
+                          * 10000) AS BIGINT)
+               - CAST(FLOOR(log2(CAST(cf.c AS DOUBLE)) * 10000) AS BIGINT)
+             )) AS BIGINT) AS loss_fp
+      FROM tf JOIN cf ON cf.tok = tf.tok
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_tokens, loss_fp,
+           CAST(loss_fp AS DOUBLE) / 10000 * 0.6931471805599453 / n_tokens
+             AS bits_per_token_ln
+    FROM scored
+    """,
+)
+def text_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document log-loss under the corpus unigram LM — the
+    CCNet/Gopher-style perplexity quality filter (documents whose
+    tokens are improbable under the corpus distribution score high and
+    get reviewed/dropped). loss = -(1/n_d) * sum_t tf_dt * ln(c_t/C),
+    computed in the audited 1e4 integer-log fixed point
+    (tests/test_ilog_quantization.py): per-token weights are exact
+    int64, the per-doc sum is exact, and the final score is one shared
+    IEEE expression.
+
+    Scale: explode -> two counts -> one broadcast-scalar corpus size;
+    the tf<->cf join shuffles on token (bounded vocabulary), identical
+    shape to TF-IDF.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    corpus = toks.agg(F.count(F.lit(1)).cast("long").alias("big_c"))
+    ilog = lambda c: F.floor(F.log2(c.cast("double")) * F.lit(1e4)).cast("long")
+    scored = (
+        tf.join(cf, "tok")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * (ilog(F.col("big_c")) - ilog(F.col("c")))
+            )
+            .cast("long")
+            .alias("loss_fp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "loss_fp",
+        (
+            F.col("loss_fp").cast("double")
+            / F.lit(1e4)
+            * F.lit(0.6931471805599453)
+            / F.col("n_tokens")
+        ).alias("bits_per_token_ln"),
+    )

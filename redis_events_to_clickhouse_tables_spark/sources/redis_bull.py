@@ -201,6 +201,49 @@ class RedisBullSource:
         self.ack()
         return report
 
+    def run_polling_worker(
+        self,
+        engine,
+        shutdown,
+        interval_s: float = 1.0,
+        config=None,
+    ) -> int:
+        """Supervised polling loop: the Redis-source equivalent of the
+        file-source worker (__main__.run_worker). On startup, salvage
+        a crashed predecessor's processing list and (env-gated) the
+        old queue; then poll -> process -> ack until ``shutdown`` is
+        set, sleeping ``interval_s`` between empty polls (the
+        reference's BULKER_REPEAT_INTERVAL). Batch ids are
+        monotonically assigned so the store's commit log stays
+        idempotent across THIS worker's batches; cross-restart replay
+        safety comes from the processing-list protocol itself.
+        Returns the number of batches committed."""
+        import hashlib
+
+        self.salvage()
+        if config is not None:
+            self.maybe_salvage_old_queue(config)
+        batches = 0
+        while not shutdown.is_set():
+            df = self.poll()
+            if not self._inflight:  # empty poll: idle tick
+                shutdown.wait(interval_s)
+                continue
+            # batch id = content hash: a crash AFTER commit but BEFORE
+            # ack redelivers the identical job set, reproduces the same
+            # id, and the store's commit log absorbs the replay — no
+            # counter to persist, no reuse hazard after restart (a
+            # fresh counter would collide with a committed id and LOSE
+            # the new batch). The flip side is deliberate: a producer
+            # re-sending a byte-identical batch deduplicates.
+            digest = hashlib.sha256(
+                "\x00".join(self._inflight).encode("utf-8")
+            ).hexdigest()[:24]
+            engine.process_raw_batch(df, batch_id=f"redis-{digest}")
+            self.ack()
+            batches += 1
+        return batches
+
     # -- S2: old-queue salvage ----------------------------------------
     def maybe_salvage_old_queue(self, config) -> int:
         """Env-gated S2 (reference: RE_ENQUEUE_OLD_BULL_EVENTS === "1",

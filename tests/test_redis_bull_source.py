@@ -253,3 +253,57 @@ def test_old_queue_salvage_env_gate(spark):
     assert src.maybe_salvage_old_queue(on) == 1
     assert fake.llen("bull:q:failed") == 0
     assert fake.llen("bull:q:wait") == 1
+
+
+def test_polling_worker_drains_salvages_and_survives_restart(spark, tmp_path):
+    """The supervised polling loop: drains the queue into tables with
+    content-hash batch ids, and a restarted worker (crash after commit,
+    before ack) replays the identical batch to a no-op while NEW
+    batches after restart are never skipped."""
+    import threading
+
+    fake = FakeRedis()
+    fake.rpush("bull:q:wait", *[_event(i) for i in range(6)])
+    engine, store = _engine(spark, tmp_path)
+
+    src = _source(spark, fake, max_batch=10)
+    shutdown = threading.Event()
+
+    def stop_when_drained():
+        import time
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if fake.llen("bull:q:wait") == 0 and not src._inflight:
+                break
+            time.sleep(0.2)
+        shutdown.set()
+
+    watcher = threading.Thread(target=stop_when_drained, daemon=True)
+    watcher.start()
+    batches = src.run_polling_worker(engine, shutdown, interval_s=0.2)
+    assert batches >= 1
+    assert store.read("event_session").count() == 6
+
+    # crash-after-commit simulation: re-inject the SAME payload set
+    # (what salvage would redeliver) -> content hash matches -> no-op;
+    # then a genuinely new event must still land.
+    fake.rpush("bull:q:wait", *[_event(i) for i in range(6)])
+    fake.rpush("bull:q:wait", _event(100))
+    shutdown2 = threading.Event()
+    src2 = _source(spark, fake, max_batch=6)  # first poll == old batch
+
+    def stop2():
+        import time
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if fake.llen("bull:q:wait") == 0 and not src2._inflight:
+                break
+            time.sleep(0.2)
+        shutdown2.set()
+
+    threading.Thread(target=stop2, daemon=True).start()
+    src2.run_polling_worker(engine, shutdown2, interval_s=0.2)
+    got = sorted(
+        r["n"] for r in store.read("event_session").select("n").collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5, 100]  # replay absorbed, new landed
