@@ -300,3 +300,41 @@ def test_jdbc_write_is_gated(spark):
     df = spark.createDataFrame([(1,)], "a bigint")
     with pytest.raises(Exception, match="(?i)classnotfound|driver|clickhouse"):
         write_via_jdbc(df, "jdbc:clickhouse://localhost:8123/db", "t")
+
+
+def test_sink_receives_normalized_layer_a_batch(spark):
+    """Drop-in proof: the Layer-A normalize pipeline's output drives
+    the ClickHouse sink directly — inferred schema maps to the
+    reference's column types (system columns DateTime64(6)/String),
+    the CREATE carries them, and the INSERT renders the normalized
+    values. This is the write path a real deployment swaps in for
+    TableStore.write."""
+    import json
+
+    from redis_events_to_clickhouse_tables_spark.config import IngestConfig
+    from redis_events_to_clickhouse_tables_spark.plans.inference import parse_events
+    from redis_events_to_clickhouse_tables_spark.streaming.normalize import (
+        normalize_events,
+    )
+
+    raw = spark.createDataFrame(
+        [(json.dumps({"event_type": "event_session", "zozo": "yolo",
+                      "mais": 23, "zaza": "2024-12-01"}),)],
+        "value string",
+    )
+    rows = normalize_events(parse_events(spark, raw), IngestConfig())
+
+    client = RecordingClient()
+    sink = ClickHouseSink(execute=client.execute, query=client.query)
+    assert sink.write(rows.drop("event_type"), "event_session") == 1
+
+    [create] = [s for s in client.statements if s.startswith("CREATE TABLE")]
+    assert "zozo String" in create and "mais Int64" in create
+    assert "zaza DateTime64(6)" in create
+    assert "received_at DateTime64(6)" in create
+    assert "sent_at DateTime64(6)" in create
+    assert "message_id String" in create
+    assert create.rstrip().endswith("ORDER BY sent_at;")
+    [insert] = [s for s in client.statements if s.startswith("INSERT INTO")]
+    assert "'yolo'" in insert and "23" in insert
+    assert "'2024-12-01 00:00:00.000'" in insert  # DATE64 ms rendering
