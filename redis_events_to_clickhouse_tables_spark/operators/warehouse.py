@@ -777,3 +777,85 @@ def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (center + half).alias("wilson_high"),
         ((gp < center - half) | (gp > center + half)).alias("out_of_band"),
     )
+
+
+@query(
+    "orders_repeat_cohort_curve",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY 1),
+    per AS (
+      SELECT f.o_custkey,
+             MIN(f.first_dt) AS first_dt,
+             MAX(CASE WHEN o.o_orderdate > f.first_dt
+                       AND date_diff('day', f.first_dt, o.o_orderdate) <= 30
+                      THEN 1 ELSE 0 END) AS r30,
+             MAX(CASE WHEN o.o_orderdate > f.first_dt
+                       AND date_diff('day', f.first_dt, o.o_orderdate) <= 60
+                      THEN 1 ELSE 0 END) AS r60,
+             MAX(CASE WHEN o.o_orderdate > f.first_dt
+                       AND date_diff('day', f.first_dt, o.o_orderdate) <= 90
+                      THEN 1 ELSE 0 END) AS r90,
+             MAX(CASE WHEN o.o_orderdate > f.first_dt THEN 1 ELSE 0 END)
+               AS rever
+      FROM first f JOIN orders o ON o.o_custkey = f.o_custkey
+      GROUP BY 1)
+    SELECT strftime(first_dt, '%Y-%m') AS cohort_month,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(r30) AS BIGINT) AS n_repeat_30d,
+           CAST(SUM(r60) AS BIGINT) AS n_repeat_60d,
+           CAST(SUM(r90) AS BIGINT) AS n_repeat_90d,
+           CAST(SUM(rever) AS BIGINT) AS n_repeat_ever,
+           CAST(SUM(r30) AS DOUBLE) / COUNT(*) AS rate_30d,
+           CAST(SUM(r60) AS DOUBLE) / COUNT(*) AS rate_60d,
+           CAST(SUM(r90) AS DOUBLE) / COUNT(*) AS rate_90d
+    FROM per
+    GROUP BY 1
+    """,
+)
+def orders_repeat_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cohort curve: for each first-order month
+    cohort, the share of buyers who reorder within 30/60/90 days of
+    their FIRST order — the retention-curve table every commerce
+    dashboard leads with (repeat_purchase_latency gives the latency
+    distribution; this gives the cohort conversion).
+
+    Exactness: day arithmetic on DATEs and 0/1 flags; rates are
+    single IEEE divisions of exact counts. Scale: two shuffles on
+    o_custkey (first-order min, then the flag fold) and a final
+    groupBy on ~tens of cohort months — per-customer groups are
+    bounded by order history, never a window."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(first, "o_custkey")
+    gap = F.datediff(F.col("o_orderdate"), F.col("first_dt"))
+    is_rep = F.col("o_orderdate") > F.col("first_dt")
+
+    def flag(days):
+        return F.max(
+            F.when(is_rep & (gap <= days), 1).otherwise(0)
+        )
+
+    per = j.groupBy("o_custkey").agg(
+        F.min("first_dt").alias("first_dt"),
+        flag(30).alias("r30"),
+        flag(60).alias("r60"),
+        flag(90).alias("r90"),
+        F.max(F.when(is_rep, 1).otherwise(0)).alias("rever"),
+    )
+    g = per.groupBy(
+        F.date_format("first_dt", "yyyy-MM").alias("cohort_month")
+    )
+    cnt = F.count(F.lit(1))
+    return g.agg(
+        cnt.cast("long").alias("n_buyers"),
+        F.sum("r30").cast("long").alias("n_repeat_30d"),
+        F.sum("r60").cast("long").alias("n_repeat_60d"),
+        F.sum("r90").cast("long").alias("n_repeat_90d"),
+        F.sum("rever").cast("long").alias("n_repeat_ever"),
+        (F.sum("r30").cast("double") / cnt).alias("rate_30d"),
+        (F.sum("r60").cast("double") / cnt).alias("rate_60d"),
+        (F.sum("r90").cast("double") / cnt).alias("rate_90d"),
+    )
