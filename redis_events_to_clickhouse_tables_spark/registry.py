@@ -49,7 +49,7 @@ def query(name: str, oracle: str | None = None):
 
 
 # Queries the external correctness gate has already verified in rounds
-# 1-6 (union of its 50-query samples, which take the FIRST 50 of this
+# 1-7 (union of its 50-query samples, which take the FIRST 50 of this
 # dict in order). Listing them lets load_all put the never-yet-sampled
 # queries first, so each round's sample covers new ground instead of
 # re-verifying the same prefix. Purely an ordering hint — every query
@@ -70,19 +70,27 @@ _EXTERNALLY_VERIFIED = frozenset(
         "approx_percentile_prices",
         "asof_nearest_click_tolerance",
         "classifier_hashed_linear",
+        "conditional_customer_tiers",
         "contamination_ngram_overlap",
         "corpus_composition_stats",
+        "corpus_dedup_summary",
+        "corpus_mixture_weights",
         "curation_keep_mask",
+        "curation_token_budget",
         "customer_pareto_curve",
         "customer_rfm_segments",
         "dedup_cluster_components",
+        "dedup_cluster_representatives",
+        "dedup_containment_verify",
         "dedup_exact_documents",
+        "dedup_exact_substring",
         "dedup_incremental_snapshot",
         "dedup_jaccard_stop_shingles",
         "dedup_jaccard_verify_candidates",
         "dedup_levenshtein_verify",
         "dedup_lsh_parameter_sweep",
         "dedup_minhash_bbit_estimate",
+        "dedup_minhash_estimate_vs_exact",
         "dedup_minhash_lsh_candidates",
         "dedup_minhash_signatures",
         "dedup_ngram_jaccard",
@@ -96,6 +104,7 @@ _EXTERNALLY_VERIFIED = frozenset(
         "dq_referential_integrity",
         "dq_rule_violations",
         "embedding_drift_halves",
+        "embedding_label_centroids",
         "embedding_outlier_filter",
         "embedding_pca_top_component",
         "er_part_clusters",
@@ -129,11 +138,16 @@ _EXTERNALLY_VERIFIED = frozenset(
         "graph_linkpred_common_neighbors",
         "graph_pagerank_neardup",
         "graph_source_modularity",
+        "graph_triangle_count",
         "grouped_user_gap_stats",
         "grouping_sets_status_priority",
         "ingest_normalize_events",
+        "interval_overlap_incidents",
         "join_anti_inactive_customers",
         "join_bloom_prefilter",
+        "join_broadcast_brand_volume",
+        "join_cross_region_nation",
+        "join_full_outer_nation_presence",
         "join_left_outer_customer_spend",
         "join_semi_urgent_customers",
         "json_extract_props",
@@ -142,6 +156,7 @@ _EXTERNALLY_VERIFIED = frozenset(
         "multimodal_binary_stats",
         "multimodal_fake_decode",
         "multimodal_frame_sample",
+        "multimodal_magic_sniff",
         "multimodal_resize",
         "orders_open_backlog_daily",
         "orders_price_volume_mix",
@@ -149,31 +164,56 @@ _EXTERNALLY_VERIFIED = frozenset(
         "orders_ship_latency_percentiles",
         "pack_sequences_contiguous",
         "pipeline_token_budget_waterfill",
+        "profile_orders_columns",
         "q10_returned_items",
         "q1_pricing_summary",
         "q3_shipping_priority",
+        "q4_late_shipment_priority",
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
+        "quality_bigram_branching",
+        "quality_gopher_rules",
+        "revenue_concentration_gini",
         "rolling_distinct_users_7d",
         "rollup_daily_gapfill",
         "sample_class_balanced_downsample",
         "sample_systematic_every_k",
+        "scalar_bitwise_functions",
         "scalar_conditional_functions",
+        "scalar_date_functions",
+        "scalar_map_struct_functions",
+        "scalar_math_functions",
         "scalar_regex_functions",
+        "scalar_string_functions",
+        "scalar_try_functions",
         "scd2_as_of_tier_counts",
         "scd2_user_tier_history",
         "set_except_all_heavy_lineitems",
+        "set_except_churned_custkeys",
         "set_intersect_all_orderkeys",
+        "set_intersect_loyal_custkeys",
+        "set_union_active_custkeys",
         "shard_manifest",
+        "sim_bruteforce_topk",
+        "sim_embedding_neardup",
+        "sim_ivf_bucketed_topk",
+        "sim_ivf_kmeans_topk",
         "sim_ivf_nprobe_sweep",
+        "sim_ivf_recall",
         "sim_kmeans_label_purity",
         "sim_mmr_diversified_topk",
+        "sim_pq_adc_topk",
+        "sim_pq_recall",
         "sim_srp_lsh_topk",
         "sim_srp_recall",
+        "sim_truncated_dims_recall",
+        "sketch_countmin_user_counts",
         "sketch_histogram_percentiles",
         "sketch_hll_mergeable_rollup",
+        "skew_key_diagnostics",
         "skyline_parts_price_size",
         "snapshot_diff_orders",
+        "split_leakage_safe",
         "stats_ab_test_conversion",
         "stats_anova_f_priority",
         "stats_brown_forsythe",
@@ -197,6 +237,8 @@ _EXTERNALLY_VERIFIED = frozenset(
         "stats_winsorized_price",
         "stringagg_custkeys_by_status",
         "text_bigram_lm_bits",
+        "text_bigram_stats",
+        "text_bm25_score",
         "text_bpe_top_merges",
         "text_char_entropy",
         "text_heaps_law",
@@ -204,6 +246,7 @@ _EXTERNALLY_VERIFIED = frozenset(
         "text_js_divergence_lang_matrix",
         "text_keywords_topk",
         "text_ngram_novelty",
+        "text_pii_scan",
         "text_repetition_filter",
         "text_token_burstiness",
         "text_vocab_coverage",
@@ -218,119 +261,44 @@ _EXTERNALLY_VERIFIED = frozenset(
         "timeseries_seasonal_decompose_monthly",
         "timeseries_seasonal_profile",
         "timeseries_twap_locf",
+        "topk_expensive_items",
         "unpivot_lineitem_measures",
+        "url_canonicalize",
         "user_churn_features",
+        "user_event_type_diversity",
+        "user_ltv_deciles",
         "window_first_nth_last",
+        "window_lag_order_gap",
         "window_moving_avg_spend",
+        "window_rank_top_orders",
         "window_ranking_family",
+        "window_running_customer_spend",
         "window_time_range_frame",
     }
 )
 
 
-# Head of the ordering: the queries the external gate has NEVER
-# sampled across rounds 1-6 (rotation per VERDICT r5 item 7 / r6 item
-# 3 — sampled names move to the back so each round's 50-query sample
-# covers new ground). New round-7 queries are appended at the FRONT of
-# this tuple as they are added, so they get sampled too.
+# Head of the ordering (rotation per VERDICT r5 item 7 / r6 item 3 —
+# sampled names move to the back so each round's 50-query sample
+# covers new ground): the round-8 additions first, then the four
+# queries whose ORACLES changed in round 8 (the codec stubs gained
+# oracles; the TF-IDF pair re-quantized to 1e4) — those want external
+# re-verification even though earlier rounds sampled them.
 _SAMPLE_PRIORITY = (
-    "user_ltv_deciles",
-    "text_bm25_score",
-    "text_pii_scan",
-    "quality_gopher_rules",
-    "text_bigram_stats",
-    "quality_bigram_branching",
-    "split_leakage_safe",
-    "corpus_mixture_weights",
-    "sim_pq_adc_topk",
-    "sim_pq_recall",
-    "profile_orders_columns",
-    "skew_key_diagnostics",
-    "dedup_minhash_estimate_vs_exact",
-    "revenue_concentration_gini",
-    "interval_overlap_incidents",
-    "scalar_map_struct_functions",
-    "sketch_countmin_user_counts",
-    "scalar_bitwise_functions",
-    "scalar_try_functions",
-    "dedup_exact_substring",
-    "graph_triangle_count",
-    "dedup_containment_verify",
-    "dedup_cluster_representatives",
-    "corpus_dedup_summary",
-    "url_canonicalize",
-    "user_event_type_diversity",
-    "multimodal_magic_sniff",
-    "curation_token_budget",
-    "join_broadcast_brand_volume",
-    "q4_late_shipment_priority",
-    "window_rank_top_orders",
-    "window_running_customer_spend",
-    "window_lag_order_gap",
-    "topk_expensive_items",
-    "set_union_active_custkeys",
-    "set_intersect_loyal_custkeys",
-    "set_except_churned_custkeys",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "conditional_customer_tiers",
-    "join_full_outer_nation_presence",
-    "join_cross_region_nation",
-    "sim_bruteforce_topk",
-    "sim_ivf_bucketed_topk",
-    "sim_embedding_neardup",
-    "sim_ivf_kmeans_topk",
-    "sim_ivf_recall",
-    "embedding_label_centroids",
-    "sim_truncated_dims_recall",
-    "dedup_semdedup_prune",
-    "salted_join_user_totals",
-    "salted_agg_user_value",
-    "stats_bootstrap_mean_ci",
-    "q2_cheapest_supplier_per_part",
-    "q12_late_shipment_modes",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_revenue_supplier",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
-    "asof_purchase_last_click",
-    "range_join_error_context",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_guess",
-    "text_fingerprint",
-    "text_tf_idf",
+    "geo_grid_density",
+    "geo_radius_pairs",
+    "geo_nearest_supplier",
+    "dq_t_closeness",
+    "stats_hodges_lehmann_shift",
+    "ml_calibration_bins",
+    "events_sequence_match",
+    "text_unigram_logloss",
+    "dq_functional_dependencies",
+    "orders_repeat_cohort_curve",
+    "multimodal_fake_decode",
+    "multimodal_resize",
     "text_tf_idf_scores",
-    "text_bpe_token_counts",
-    "sample_stratified_documents",
-    "sample_train_val_test",
-    "text_chunk_sliding",
-    "sample_temperature_by_lang",
-    "text_unk_rare_tokens",
-    "scalar_array_functions",
-    "index_inverted_postings",
-    "augment_token_dropout",
-    "sample_bottomk_reservoir",
-    "events_retention_rolling",
-    "timeseries_interpolate_hourly",
-    "events_value_histogram",
-    "events_anomaly_zscore",
-    "events_cohort_matrix",
-    "events_mad_outliers",
-    "events_dau_wau_mau",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "basket_brand_pairs_lift",
-    "supplier_otif_rate",
+    "text_keywords_topk",
 )
 
 
