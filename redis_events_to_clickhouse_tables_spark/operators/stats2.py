@@ -1437,3 +1437,119 @@ def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ny))
         .select("n_days_x", "n_days_y", "n_pairs", "hl_shift")
     )
+
+
+@query(
+    "stats_logrank_test",
+    oracle="""
+    WITH fe AS (
+      SELECT user_id,
+             CASE WHEN FIRST(event_type ORDER BY ts, event_id) = 'signup'
+                  THEN 1 ELSE 0 END AS g1,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS t
+      FROM events GROUP BY user_id),
+    by_t AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d,
+                    CAST(SUM(g1) AS BIGINT) AS d1
+             FROM fe GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(g1) AS BIGINT) AS n1_total
+            FROM fe),
+    cum AS (SELECT t, d, d1,
+                   SUM(d) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+                   SUM(d1) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd1
+            FROM by_t),
+    terms AS (SELECT d, d1,
+                     (SELECT n_total FROM tot) - (cd - d) AS n,
+                     (SELECT n1_total FROM tot) - (cd1 - d1) AS n1
+              FROM cum),
+    fp AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                  CAST(SUM((d * n1 * 1000000) // n) AS BIGINT) AS e1_fp,
+                  CAST(SUM(CASE WHEN n > 1 THEN
+                         ((d * (n - d) * 1000) // (n - 1))
+                         * ((n1 * (n - n1) * 1000) // (n * n))
+                       ELSE 0 END) AS BIGINT) AS v_fp
+           FROM terms)
+    SELECT (SELECT n_total FROM tot) AS n_users,
+           (SELECT n1_total FROM tot) AS n_group1,
+           o1 AS observed_g1, e1_fp AS expected_g1_fp, v_fp AS variance_fp,
+           CAST(o1 * 1000000 - e1_fp AS DOUBLE)
+             * CAST(o1 * 1000000 - e1_fp AS DOUBLE)
+             / (CAST(v_fp AS DOUBLE) * 1000000) AS logrank_chi2
+    FROM fp
+    """,
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on user lifetimes (signup-first users vs
+    the rest; lifetime = days from first to last event, every lifetime
+    observed): O1 = sum d1_t, E1 = sum d_t*n1_t/n_t over event times,
+    V = sum hypergeometric variances, chi2 = (O1-E1)^2/V — THE
+    survival-curve comparison (Kaplan-Meier's companion test).
+
+    Exactness (extends the oracle doctrine to per-time rationals):
+    every rational term is floored by POSITIVE INTEGER DIVISION —
+    Spark ``div`` == DuckDB ``//`` exactly, no floating log/floor
+    boundary at all — at 1e6 (E1 terms) and 1e3 x 1e3 (the variance's
+    two factors, floored separately so int64 never overflows:
+    d*(n-d)*1e3/(n-1) times n1*(n-n1)*1e3/n^2). Quantization: each E1
+    term errs < 1e-6, each V term < ~d*1e-3 relative-ish — pinned
+    against exact Fractions in tests/test_rows_only_invariants.py.
+    The chi2 is one shared IEEE expression over the exact integers.
+
+    Scale: per-user fold (shuffle on user_id), then everything is
+    model-level — per-day event counts through the bucketed prefix
+    scan (no global window), a broadcast totals row, one final
+    reduce."""
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.when(
+            F.min(F.struct("ts", "event_id", "event_type")).getField("event_type")
+            == "signup",
+            1,
+        )
+        .otherwise(0)
+        .alias("g1"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("t"),
+    )
+    by_t = per.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("g1").cast("long").alias("d1"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("g1").cast("long").alias("n1_total"),
+    )
+    cum = bucketed_prefix_sums(by_t, "t", ["d", "d1"])
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "d1",
+        (F.col("n_total") - (F.col("cum_d") - F.col("d"))).alias("n"),
+        (F.col("n1_total") - (F.col("cum_d1") - F.col("d1"))).alias("n1"),
+    )
+    fp = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.expr("(d * n1 * 1000000) div n")).cast("long").alias("e1_fp"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.expr("(d * (n - d) * 1000) div (n - 1)")
+                * F.expr("(n1 * (n - n1) * 1000) div (n * n)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("v_fp"),
+    )
+    diff = (F.col("o1") * 1000000 - F.col("e1_fp")).cast("double")
+    return fp.crossJoin(F.broadcast(tot)).select(
+        F.col("n_total").alias("n_users"),
+        F.col("n1_total").alias("n_group1"),
+        F.col("o1").alias("observed_g1"),
+        F.col("e1_fp").alias("expected_g1_fp"),
+        F.col("v_fp").alias("variance_fp"),
+        (diff * diff / (F.col("v_fp").cast("double") * F.lit(1000000.0))).alias(
+            "logrank_chi2"
+        ),
+    )

@@ -134,3 +134,52 @@ def test_hll_mergeable_rollup_within_error_and_merge_consistent(spark):
         assert r["est_le_sum_daily"], r
         assert 1 <= r["n_days"] <= 7, r
         assert r["exact_week_users"] <= r["sum_daily_exact"], r
+
+
+def test_logrank_fixed_point_tracks_exact_rationals(spark, ddb):
+    """stats_logrank_test quantizes per-time rationals by positive
+    integer division; re-derive O1/E1/V with exact Fractions from the
+    same per-time table and bound the fixed-point error: E1 within
+    #times * 1e-6, V within #times * (max f1/1e3 + max f2/1e3 cross
+    terms) — conservatively sum of per-term bounds; chi2 must equal
+    the shared-IEEE expression over the integers exactly."""
+    from fractions import Fraction
+
+    [r] = _build(spark, "stats_logrank_test").collect()
+    rows = ddb.sql(
+        """
+        WITH fe AS (
+          SELECT user_id,
+                 CASE WHEN FIRST(event_type ORDER BY ts, event_id) = 'signup'
+                      THEN 1 ELSE 0 END AS g1,
+                 date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t
+          FROM events GROUP BY user_id)
+        SELECT t, COUNT(*) AS d, SUM(g1) AS d1 FROM fe GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    n = sum(d for _, d, _ in rows)
+    n1 = sum(d1 for _, _, d1 in rows)
+    assert (r.n_users, r.n_group1) == (n, n1)
+    o1 = e1 = v = Fraction(0)
+    at, at1 = n, n1
+    for _, d, d1 in rows:
+        o1 += d1
+        e1 += Fraction(d * at1, at)
+        if at > 1:
+            v += Fraction(d * at1 * (at - at1) * (at - d), at * at * (at - 1))
+        at -= d
+        at1 -= d1
+    assert r.observed_g1 == o1
+    # E1: each term floors at 1e6
+    assert 0 <= float(e1) - r.expected_g1_fp / 1e6 <= len(rows) * 1e-6
+    # V: per term, f1*f2 underestimates by < (f1_err*f2 + f2_err*f1 + err^2);
+    # bound crudely: each factor errs < 1e-3 of its scale -> per-term
+    # absolute error < (d + 0.25) * 1e-3 * 2 in V units
+    v_err_bound = sum((d + 1) * 2e-3 for _, d, _ in rows)
+    assert 0 <= float(v) - r.variance_fp / 1e6 <= v_err_bound
+    # chi2 is exactly the shared expression over the integers
+    diff = float(r.observed_g1 * 1_000_000 - r.expected_g1_fp)
+    assert r.logrank_chi2 == diff * diff / (float(r.variance_fp) * 1e6)
+    # and lands near the true statistic
+    true_chi2 = float((o1 - e1) ** 2 / v)
+    assert abs(r.logrank_chi2 - true_chi2) / max(true_chi2, 1e-9) < 0.05
