@@ -295,6 +295,7 @@ _SAMPLE_PRIORITY = (
     "text_unigram_logloss",
     "dq_functional_dependencies",
     "orders_repeat_cohort_curve",
+    "stats_logrank_test",
     "multimodal_fake_decode",
     "multimodal_resize",
     "text_tf_idf_scores",

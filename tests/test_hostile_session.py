@@ -23,6 +23,13 @@ TIMESTAMP_QUERIES = [
     "range_join_error_context",
     "rollup_daily_gapfill",
     "window_time_range_frame",
+    # round-8 date-sensitive additions: per-user letter sequences
+    # ordered by ts, lifetimes via to_date, cohort months via
+    # date_format — all must re-pin UTC through tune()
+    "events_sequence_match",
+    "stats_logrank_test",
+    "orders_repeat_cohort_curve",
+    "stats_hodges_lehmann_shift",
 ]
 
 
