@@ -816,3 +816,161 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchases"),
     )
+
+
+_VEL_1H = 3  # trailing-1h event-count alert threshold
+_VEL_24H = 10  # trailing-24h threshold
+
+
+@query(
+    "events_velocity_flags",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                  AND CURRENT ROW) AS c1,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                                  AND CURRENT ROW) AS c24
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(c1) AS BIGINT) AS burst_1h,
+           CAST(MAX(c24) AS BIGINT) AS burst_24h,
+           MAX(c1) >= {_VEL_1H} OR MAX(c24) >= {_VEL_24H} AS velocity_flag
+    FROM b GROUP BY 1
+    """,
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rules: each user's peak trailing-1h and trailing-24h
+    event counts, flagged against fixed rate thresholds — the
+    fraud/abuse screen (card-testing bursts, scraper loops) every
+    event pipeline runs before modeling, and the rule-based sibling of
+    ``events_burst_rate_violations`` (which tests statistical
+    over-rate, not absolute velocity).
+
+    Both windows are RANGE frames PARTITIONED BY user (ordered on
+    epoch microseconds — frame membership identical to the oracle's
+    INTERVAL frame, peers included), so the plan scales with users and
+    never funnels through a global window; the rollup is one
+    map-side-combinable groupBy.
+    """
+    tune(spark)
+    from ..functions.temporal import epoch_us
+
+    e = table(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"))
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    b = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w1).alias("c1"),
+        F.count(F.lit(1)).over(w24).alias("c24"),
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("c1").cast("long").alias("burst_1h"),
+        F.max("c24").cast("long").alias("burst_24h"),
+        (
+            (F.max("c1") >= _VEL_1H) | (F.max("c24") >= _VEL_24H)
+        ).alias("velocity_flag"),
+    )
+
+
+@query(
+    "graph_reciprocity_density",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL AND dst <> src
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS v
+      FROM trans),
+    kept AS (
+      SELECT src, dst FROM trans, stats
+      WHERE n * v * (v - 1) > total),
+    recip AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r
+      FROM kept a JOIN kept b ON b.src = a.dst AND b.dst = a.src)
+    SELECT v AS n_nodes, v * (v - 1) AS n_possible,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_edges,
+           CAST((SELECT COUNT(*) FROM kept) AS DOUBLE) / (v * (v - 1))
+             AS density,
+           (SELECT r FROM recip) AS n_reciprocal,
+           CAST((SELECT r FROM recip) AS DOUBLE)
+             / (SELECT COUNT(*) FROM kept) AS reciprocity
+    FROM stats
+    """,
+)
+def graph_reciprocity_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph shape metrics over the event-type transition
+    graph: keep only ABOVE-UNIFORM-SHARE edges (count * V(V-1) >
+    total — a scale-invariant integer test, so the edge set is the
+    same at every SF) and report density and reciprocity (share of
+    kept edges whose reverse is also kept) — the two numbers that say
+    whether the journey graph is a broadcast tree (low reciprocity)
+    or a ping-pong loop structure (high).
+
+    The transition scan is the ``events_markov_transitions`` shape
+    (per-user LEAD window, then a map-side-combinable groupBy onto the
+    tiny type x type frame); everything after operates on <= V^2 rows
+    via broadcast joins — no global window, no cartesian.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    trans = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = trans.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count_distinct("src").cast("long").alias("v"),
+    )
+    kept = (
+        trans.crossJoin(F.broadcast(stats))
+        .filter(F.col("n") * F.col("v") * (F.col("v") - 1) > F.col("total"))
+        .select("src", "dst")
+    )
+    ne = kept.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    ka = kept.select(F.col("src").alias("sa"), F.col("dst").alias("da"))
+    kb = kept.select(F.col("src").alias("sb"), F.col("dst").alias("db"))
+    recip = ka.join(
+        F.broadcast(kb), (F.col("sb") == F.col("da")) & (F.col("db") == F.col("sa"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    return (
+        stats.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(recip))
+        .select(
+            F.col("v").alias("n_nodes"),
+            (F.col("v") * (F.col("v") - 1)).alias("n_possible"),
+            "n_edges",
+            (
+                F.col("n_edges").cast("double") / (F.col("v") * (F.col("v") - 1))
+            ).alias("density"),
+            "n_reciprocal",
+            (F.col("n_reciprocal").cast("double") / F.col("n_edges")).alias(
+                "reciprocity"
+            ),
+        )
+    )

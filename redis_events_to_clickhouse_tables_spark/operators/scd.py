@@ -163,3 +163,134 @@ def scd2_as_of_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("total_value", 18)).cast("double").alias("interval_value"),
         )
     )
+
+
+def _hist_cte(suffix: str, where: str) -> str:
+    """The _SQL_HISTORY pipeline, suffixed so two variants coexist."""
+    return f"""
+    monthly{suffix} AS (
+      SELECT user_id, date_trunc('month', ts) AS month,
+             SUM(CAST(value AS DECIMAL(14,2))) AS mv
+      FROM events{where} GROUP BY 1, 2
+    ),
+    tiers{suffix} AS (
+      SELECT user_id, month,
+             CASE WHEN mv >= 3300 THEN 'HIGH' ELSE 'LOW' END AS tier, mv
+      FROM monthly{suffix}
+    ),
+    flagged{suffix} AS (
+      SELECT *, CASE WHEN tier IS DISTINCT FROM
+                       LAG(tier) OVER (PARTITION BY user_id ORDER BY month)
+                     THEN 1 ELSE 0 END AS chg
+      FROM tiers{suffix}
+    ),
+    grouped{suffix} AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY month
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged{suffix}
+    ),
+    hist{suffix} AS (
+      SELECT user_id, tier, grp,
+             CAST(MIN(month) AS TIMESTAMP) AS valid_from,
+             COUNT(*) AS n_months,
+             CAST(SUM(mv) AS DOUBLE) AS total_value
+      FROM grouped{suffix} GROUP BY 1, 2, 3
+    ),
+    history{suffix} AS (
+      SELECT user_id, tier, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to,
+             n_months, total_value
+      FROM hist{suffix}
+    )"""
+
+
+@query(
+    "scd2_late_data_blast_radius",
+    oracle="WITH cut AS (SELECT MAX(ts) - INTERVAL 3 DAY AS c FROM events),"
+    + _hist_cte("_f", "")
+    + ","
+    + _hist_cte("_t", ", cut WHERE ts < c")
+    + """
+    , j AS (
+      SELECT COALESCE(f.user_id, t.user_id) AS user_id,
+             CASE WHEN t.user_id IS NULL THEN 'added'
+                  WHEN f.user_id IS NULL THEN 'removed'
+                  WHEN f.tier = t.tier AND f.n_months = t.n_months
+                       AND f.total_value = t.total_value
+                       AND f.valid_to IS NOT DISTINCT FROM t.valid_to
+                    THEN 'unchanged'
+                  ELSE 'modified' END AS change_type
+      FROM history_f f FULL JOIN history_t t
+        ON t.user_id = f.user_id AND t.valid_from = f.valid_from)
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1
+    """,
+)
+def scd2_late_data_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-data blast radius on the type-2 dimension: build
+    the tier history twice — once from everything, once as it looked
+    before the final 3 days of events landed — full-outer-join the
+    interval sets on (user, valid_from) and classify each interval as
+    added / removed / modified / unchanged. The summary says how much
+    of the dimension a late batch actually rewrites — the number that
+    sizes incremental-SCD merge windows and watermark delays
+    (``streaming/scd2.py`` maintains this dimension incrementally;
+    this is its blast-radius audit).
+
+    Both histories share ``history_from_monthly`` (per-user windows
+    only); the diff is a key-partitioned full outer join on
+    (user_id, valid_from) and one small groupBy. Equality on
+    total_value is safe: both engines derive it from the same exact
+    decimal sum.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.max("ts").alias("m")).select(
+        (F.col("m") - F.expr("INTERVAL 3 DAY")).alias("c")
+    )
+    full = _tier_history(spark, sf_dir)
+    trunc = history_from_monthly(
+        monthly_spend(
+            ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") < F.col("c"))
+        )
+    )
+    f = full.select(
+        F.col("user_id").alias("fu"), F.col("tier").alias("ft"),
+        F.col("valid_from").alias("fv"), F.col("valid_to").alias("fe"),
+        F.col("n_months").alias("fm"), F.col("total_value").alias("fw"),
+    )
+    t = trunc.select(
+        F.col("user_id").alias("tu"), F.col("tier").alias("tt"),
+        F.col("valid_from").alias("tv"), F.col("valid_to").alias("te"),
+        F.col("n_months").alias("tm"), F.col("total_value").alias("tw"),
+    )
+    j = f.join(
+        t, (F.col("tu") == F.col("fu")) & (F.col("tv") == F.col("fv")),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("tu").isNull(), F.lit("added"))
+        .when(F.col("fu").isNull(), F.lit("removed"))
+        .when(
+            (F.col("ft") == F.col("tt"))
+            & (F.col("fm") == F.col("tm"))
+            & (F.col("fw") == F.col("tw"))
+            & F.col("fe").eqNullSafe(F.col("te")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("fu"), F.col("tu")).alias("user_id"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -728,3 +728,102 @@ def text_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens")
         ).alias("bits_per_token_ln"),
     )
+
+
+_CHI2_MIN_DF = 5  # minimum document frequency for a scored token
+_CHI2_TOPK = 50
+
+
+@query(
+    "text_chi2_keywords",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS e
+      FROM documents),
+    tok AS (
+      SELECT token,
+             CAST(SUM(is_en) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(is_en) AS BIGINT) AS b
+      FROM pres GROUP BY 1
+      HAVING COUNT(*) >= {_CHI2_MIN_DF}),
+    scored AS (
+      SELECT token, a, b, a + b AS n_docs,
+             a * (nn - e - b) - b * (e - a) AS dd,
+             e - a AS c, nn - e - b AS d, nn
+      FROM tok, tot)
+    SELECT token, n_docs, a AS en_docs,
+           CAST(nn AS DOUBLE) * dd / (a + b) * dd / (c + d)
+             / (a + c) / (b + d) AS chi2,
+           a * (b + d) > b * (a + c) AS enriched_in_en
+    FROM scored
+    WHERE (a + c) > 0 AND (b + d) > 0
+    ORDER BY chi2 DESC, token
+    LIMIT {_CHI2_TOPK}
+    """,
+)
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square keyword selection: the {k} tokens whose document
+    presence is most dependent on the class (lang = 'en' vs rest) by
+    the 2x2 chi-square — the classic feature-selection / corpus-
+    contrast ranking (what "distinctive vocabulary" reports and fast
+    text classifiers select features with). ``enriched_in_en`` gives
+    the direction via an exact integer cross-ratio comparison.
+
+    Presence is one distinct over (doc, token) then a map-side-
+    combinable groupBy per token — no self-join, no window; the
+    2x2 cells stay exact int64 (min-df 5 prunes the long tail before
+    scoring) and the statistic is the identical left-associative
+    double chain in both engines. Top-k is a total order
+    (chi2 DESC, token).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_en"
+        ),
+    ).distinct()
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+    tok = (
+        pres.groupBy("token")
+        .agg(
+            F.sum("is_en").cast("long").alias("a"),
+            (F.count(F.lit(1)) - F.sum("is_en")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= _CHI2_MIN_DF)
+    )
+    s = tok.crossJoin(F.broadcast(tot))
+    a, b = F.col("a"), F.col("b")
+    c = F.col("e") - a
+    dcol = F.col("nn") - F.col("e") - b
+    dd = a * dcol - b * c
+    chi2 = (
+        F.col("nn").cast("double") * dd / (a + b) * dd / (c + dcol)
+        / (a + c)
+        / (b + dcol)
+    )
+    return (
+        s.filter(((a + c) > 0) & ((b + dcol) > 0))
+        .select(
+            "token",
+            (a + b).alias("n_docs"),
+            a.alias("en_docs"),
+            chi2.alias("chi2"),
+            (a * (b + dcol) > b * (a + c)).alias("enriched_in_en"),
+        )
+        .orderBy(F.desc("chi2"), F.asc("token"))
+        .limit(_CHI2_TOPK)
+    )

@@ -325,6 +325,7 @@ def load_all() -> dict[str, QuerySpec]:
         graphplus,
         grouped,
         ml,
+        mlops,
         multimodal,
         pipeline,
         pipeline2,
@@ -337,6 +338,7 @@ def load_all() -> dict[str, QuerySpec]:
         stats,
         stats2,
         subqueries,
+        supply,
         temporal,
         text,
         text2,

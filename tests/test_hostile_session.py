@@ -30,6 +30,12 @@ TIMESTAMP_QUERIES = [
     "stats_logrank_test",
     "orders_repeat_cohort_curve",
     "stats_hodges_lehmann_shift",
+    # round-8 second wave: month-truncated SCD2 diff, to_date demand
+    # days, datediff lead times, epoch-us velocity RANGE frames
+    "scd2_late_data_blast_radius",
+    "part_reorder_point",
+    "supplier_leadtime_cv",
+    "events_velocity_flags",
 ]
 
 
