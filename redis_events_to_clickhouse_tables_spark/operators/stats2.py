@@ -1553,3 +1553,88 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "logrank_chi2"
         ),
     )
+
+
+_LN2 = 0.6931471805599453  # the one double constant in the G statistic
+
+
+@query(
+    "stats_g_test_nation_segment",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg, COUNT(*) AS c
+      FROM customer GROUP BY 1, 2),
+    rl AS (SELECT nk, CAST(SUM(c) AS BIGINT) AS cr FROM cells GROUP BY nk),
+    cl AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY seg),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT nk) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT seg) AS BIGINT) AS nc
+            FROM cells),
+    terms AS (
+      SELECT c,
+             CAST(FLOOR(log2(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(cr AS DOUBLE) * CAST(cc AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lp6,
+             n, nr, nc
+      FROM cells JOIN rl USING (nk) JOIN cl USING (seg) CROSS JOIN tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MIN(n) AS n_customers,
+           (MIN(nr) - 1) * (MIN(nc) - 1) AS dof,
+           2 * {_LN2} * CAST(SUM(c * lp6) AS DOUBLE) / 1000000 AS g_stat
+    FROM terms
+    """,
+)
+def stats_g_test_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio chi-square) of independence for
+    customer nation x market segment — the additive alternative to
+    Pearson's ``stats_chi2_nation_segment`` (G decomposes exactly
+    across nested partitions, which is why corpus studies prefer it).
+    ``G = 2 * sum c * ln(c*N / (rowsum*colsum))``.
+
+    Same fixed-point construction as
+    ``stats_mutual_information_lang_source`` (G = 2*ln2*N*MI): each
+    cell's log2 ratio is floor-quantized at 1e6 into an int64 the
+    exact integer reduction sums — one groupBy for the cells, two
+    tiny broadcast marginals, one final double scaling.
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rl = cells.groupBy("nk").agg(F.sum("c").cast("long").alias("cr"))
+    cl = cells.groupBy("seg").agg(F.sum("c").cast("long").alias("cc"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count_distinct("nk").cast("long").alias("nr"),
+        F.count_distinct("seg").cast("long").alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(rl), "nk")
+        .join(F.broadcast(cl), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            F.floor(
+                F.log2(
+                    F.col("c").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("cr").cast("double") * F.col("cc").cast("double"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp6"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("n").alias("n_customers"),
+        ((F.min("nr") - 1) * (F.min("nc") - 1)).alias("dof"),
+        (
+            2 * F.lit(_LN2) * F.sum(F.col("c") * F.col("lp6")).cast("double") / 1e6
+        ).alias("g_stat"),
+    )

@@ -628,3 +628,131 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_max_drawdown"
         ),
     )
+
+
+_BT_HOLDOUT = 28  # holdout horizon (days)
+_BT_SEASON = 7  # seasonal-naive lag
+
+
+@query(
+    "timeseries_holdout_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1),
+    mx AS (SELECT MAX(day) AS m FROM daily),
+    hold AS (SELECT day, c FROM daily, mx WHERE day > m - {_BT_HOLDOUT}),
+    train AS (SELECT day, c FROM daily, mx WHERE day <= m - {_BT_HOLDOUT}),
+    tstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                      CAST(SUM(c) AS BIGINT) AS ts FROM train),
+    tlast AS (SELECT c AS lastc FROM train
+              WHERE day = (SELECT MAX(day) FROM train)),
+    sn AS (
+      SELECT 'seasonal_naive{_BT_SEASON}' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(h.c - d7.c)) AS DOUBLE) / COUNT(*) / 100 AS mae
+      FROM hold h JOIN daily d7 ON d7.day = h.day - {_BT_SEASON}),
+    nl AS (
+      SELECT 'naive_last' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(h.c - lastc)) AS DOUBLE) / COUNT(*) / 100 AS mae
+      FROM hold h, tlast),
+    tm AS (
+      SELECT 'train_mean' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(CAST(h.c AS DECIMAL(28,0)) * tn - ts)) AS DOUBLE)
+               / tn / COUNT(*) / 100 AS mae
+      FROM hold h, tstats GROUP BY tn, ts)
+    SELECT * FROM sn UNION ALL SELECT * FROM nl UNION ALL SELECT * FROM tm
+    """,
+)
+def timeseries_holdout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-method backtest: hold out the final {h} days of daily
+    order revenue and score three reference forecasters — one-step
+    seasonal-naive (actual from {s} days earlier), naive-last (last
+    training-day value), and train-mean — by MAE. The method-
+    comparison table every forecasting effort starts from
+    (``timeseries_mase_naive7`` scores ONE method's scaled error;
+    this ranks alternatives on a true holdout).
+
+    Exactness at scale: daily revenue is exact int64 cents, so the
+    naive methods' MAE sums integers; the mean method avoids the
+    order-dependent float of ``avg |a - S/n|`` by scoring
+    ``|a*n - S| / n`` in exact decimal before the single double
+    conversion. All scalars (cutoff, train stats, last value) ride
+    broadcast one-row frames — the scan is two groupBys and one
+    7-day-lag self-join on the tiny daily frame.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("c")
+    )
+    mx = daily.agg(F.max("day").alias("m"))
+    dd = daily.crossJoin(F.broadcast(mx))
+    hold = dd.filter(
+        F.col("day") > F.date_sub(F.col("m"), _BT_HOLDOUT)
+    ).select("day", "c")
+    train = dd.filter(
+        F.col("day") <= F.date_sub(F.col("m"), _BT_HOLDOUT)
+    ).select("day", "c")
+    tstats = train.agg(
+        F.count(F.lit(1)).cast("long").alias("tn"),
+        F.sum("c").cast("long").alias("ts"),
+    )
+    tlast = (
+        train.crossJoin(F.broadcast(train.agg(F.max("day").alias("lm"))))
+        .filter(F.col("day") == F.col("lm"))
+        .select(F.col("c").alias("lastc"))
+    )
+    d7 = daily.select(F.col("day").alias("pday"), F.col("c").alias("pc"))
+    sn = (
+        hold.join(d7, F.col("pday") == F.date_sub(F.col("day"), _BT_SEASON))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum(F.abs(F.col("c") - F.col("pc"))).cast("double")
+                / F.count(F.lit(1))
+                / 100
+            ).alias("mae"),
+        )
+        .select(
+            F.lit(f"seasonal_naive{_BT_SEASON}").alias("method"),
+            "n_days",
+            "mae",
+        )
+    )
+    nl = (
+        hold.crossJoin(F.broadcast(tlast))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum(F.abs(F.col("c") - F.col("lastc"))).cast("double")
+                / F.count(F.lit(1))
+                / 100
+            ).alias("mae"),
+        )
+        .select(F.lit("naive_last").alias("method"), "n_days", "mae")
+    )
+    tm = (
+        hold.crossJoin(F.broadcast(tstats))
+        .groupBy("tn", "ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum(
+                    F.abs(
+                        F.col("c").cast("decimal(28,0)") * F.col("tn")
+                        - F.col("ts")
+                    )
+                ).cast("double")
+                / F.col("tn")
+                / F.count(F.lit(1))
+                / 100
+            ).alias("mae"),
+        )
+        .select(F.lit("train_mean").alias("method"), "n_days", "mae")
+    )
+    return sn.unionAll(nl).unionAll(tm)

@@ -859,3 +859,48 @@ def orders_repeat_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("r60").cast("double") / cnt).alias("rate_60d"),
         (F.sum("r90").cast("double") / cnt).alias("rate_90d"),
     )
+
+
+@query(
+    "orders_split_order_screen",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS DOUBLE)
+             / 100 AS day_total,
+           MIN(o_orderkey) AS first_orderkey,
+           MAX(o_orderkey) AS last_orderkey
+    FROM orders
+    GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
+)
+def orders_split_order_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-order screen: customers who placed MORE than one order on
+    the same day, with the day's combined value and the orderkey
+    range — the audit behind approval-threshold evasion checks
+    (splitting one purchase into several below-limit orders) and
+    order-consolidation savings estimates.
+
+    One map-side-combinable groupBy on (customer, day) with a HAVING
+    filter — no join, no window; at any scale the reduction is
+    pre-aggregated per partition before the shuffle, and the output
+    is only the violating pairs. Value sums are exact int64 cents.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("o_orderdate").cast("timestamp").alias("order_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(dec("o_totalprice", 14) * 100).cast("double") / 100).alias(
+                "day_total"
+            ),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .filter(F.col("n_orders") > 1)
+    )

@@ -36,6 +36,8 @@ TIMESTAMP_QUERIES = [
     "part_reorder_point",
     "supplier_leadtime_cv",
     "events_velocity_flags",
+    "timeseries_holdout_backtest",
+    "orders_split_order_screen",
 ]
 
 
