@@ -251,10 +251,27 @@ def scd2_late_data_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(F.max("ts").alias("m")).select(
         (F.col("m") - F.expr("INTERVAL 3 DAY")).alias("c")
     )
-    full = _tier_history(spark, sf_dir)
+    # ONE events scan feeds BOTH histories: the full and the
+    # truncated monthly ledgers are conditional aggregates of the
+    # same groupBy (months with no pre-cutoff events are dropped from
+    # the truncated ledger, matching the filtered-scan semantics).
+    pre = F.col("ts") < F.col("c")
+    monthly2 = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", F.date_trunc("month", "ts").alias("month"))
+        .agg(
+            F.sum(dec("value", 14)).alias("mv_all"),
+            F.sum(F.when(pre, dec("value", 14))).alias("mv_trunc"),
+            F.count(F.when(pre, F.lit(1))).alias("n_trunc"),
+        )
+        .persist()
+    )
+    full = history_from_monthly(
+        monthly2.select("user_id", "month", F.col("mv_all").alias("mv"))
+    )
     trunc = history_from_monthly(
-        monthly_spend(
-            ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") < F.col("c"))
+        monthly2.filter(F.col("n_trunc") > 0).select(
+            "user_id", "month", F.col("mv_trunc").alias("mv")
         )
     )
     f = full.select(

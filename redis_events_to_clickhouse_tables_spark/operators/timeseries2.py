@@ -687,8 +687,13 @@ def timeseries_holdout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("c")
+    # persisted: the union's three method branches and the scalar
+    # frames all derive from this tiny (~one row per day) frame — at
+    # 100 TB, without the cache each branch would re-scan orders.
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("c"))
+        .persist()
     )
     mx = daily.agg(F.max("day").alias("m"))
     dd = daily.crossJoin(F.broadcast(mx))

@@ -285,6 +285,21 @@ _EXTERNALLY_VERIFIED = frozenset(
 # oracles; the TF-IDF pair re-quantized to 1e4) — those want external
 # re-verification even though earlier rounds sampled them.
 _SAMPLE_PRIORITY = (
+    # round-8 second wave (newest first: never externally sampled)
+    "ml_gains_lift_deciles",
+    "ml_pr_threshold_sweep",
+    "stats_ab_srm_check",
+    "supplier_leadtime_cv",
+    "part_reorder_point",
+    "orders_basket_size_hist",
+    "events_velocity_flags",
+    "graph_reciprocity_density",
+    "text_chi2_keywords",
+    "scd2_late_data_blast_radius",
+    "orders_split_order_screen",
+    "timeseries_holdout_backtest",
+    "stats_g_test_nation_segment",
+    # round-8 first wave
     "geo_grid_density",
     "geo_radius_pairs",
     "geo_nearest_supplier",
