@@ -974,3 +974,126 @@ def graph_reciprocity_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_session_cooccurrence_lift",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    pres AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    tot AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS s
+            FROM pres),
+    singles AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM pres GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pres a JOIN pres b
+        ON b.user_id = a.user_id AND b.sid = a.sid
+           AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_ab AS DOUBLE) * s / sa.n / sb.n AS lift
+    FROM pairs JOIN singles sa ON sa.event_type = type_a
+               JOIN singles sb ON sb.event_type = type_b
+               CROSS JOIN tot
+    """,
+)
+def events_session_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-level co-occurrence lift: for each unordered pair of
+    event types, how much more often they appear in the SAME session
+    (30-min inactivity boundary, the ``events_sessionize`` algebra)
+    than independence predicts — the association-rule view at session
+    granularity, complementing ``events_markov_transitions`` (adjacent
+    order) and ``events_type_audience_jaccard`` (user lifetime).
+
+    The pair join is keyed on the session id and each session holds at
+    most |event types| distinct rows after the presence-distinct, so
+    the fan-out is bounded per key at any scale — never a cross join;
+    counts are exact int64 and lift is one fixed double chain.
+    """
+    tune(spark)
+    from ..functions.temporal import epoch_us
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        "ts",
+        "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    pres = sess.select("user_id", "sid", "event_type").distinct()
+    tot = pres.agg(
+        F.count_distinct("user_id", "sid").cast("long").alias("s")
+    )
+    singles = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = pres.select(
+        F.col("user_id").alias("ua"), F.col("sid").alias("sa"),
+        F.col("event_type").alias("type_a"),
+    )
+    b = pres.select(
+        F.col("user_id").alias("ub"), F.col("sid").alias("sb"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ub") == F.col("ua"))
+            & (F.col("sb") == F.col("sa"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = singles.select(
+        F.col("event_type").alias("ta"), F.col("n").alias("n_a")
+    )
+    nb = singles.select(
+        F.col("event_type").alias("tb"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), F.col("ta") == F.col("type_a"))
+        .join(F.broadcast(nb), F.col("tb") == F.col("type_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") * F.col("s")
+                / F.col("n_a")
+                / F.col("n_b")
+            ).alias("lift"),
+        )
+    )

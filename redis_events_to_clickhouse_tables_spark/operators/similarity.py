@@ -2037,3 +2037,88 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     ex.unpersist()
     return out
+
+
+@query(
+    "embedding_centroid_separation",
+    oracle=f"""
+    WITH u AS (
+      SELECT label, p.pos,
+             CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * {_FP_SCALE})
+                  AS BIGINT) AS xi
+      FROM embeddings, UNNEST(range(len(embedding))) AS p(pos)),
+    c AS (
+      SELECT label, pos,
+             CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * {_FP_SCALE}.0) AS m
+      FROM u GROUP BY label, pos),
+    d AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(ROUND((a.m - b.m) * {_FP_SCALE}) AS BIGINT) AS dq
+      FROM c a JOIN c b ON b.pos = a.pos AND a.label < b.label)
+    SELECT label_a, label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           sqrt(CAST(SUM(dq * dq) AS DOUBLE)) / {_FP_SCALE} AS centroid_l2
+    FROM d GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-separation matrix: L2 distance between every pair of
+    label centroids — the separability table read before trusting a
+    labeled embedding space (tight-but-distant centroids retrieve
+    cleanly; overlapping ones predict ANN confusion, the same signal
+    ``sim_kmeans_label_purity`` measures from the cluster side).
+
+    Exactness rides the ``embedding_label_centroids`` doctrine: exact
+    fixed-point integer coordinate sums -> one IEEE division per
+    centroid coordinate, then the per-dimension DIFFERENCE is
+    re-quantized to 1e-7 so the cross-pair reduction sums exact
+    int64 squares (bounded by the coordinate range, not the row
+    count — no overflow at any scale). The pair join operates on the
+    labels x dims centroid frame, broadcastable at any corpus size.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    c = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * _FP_SCALE).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / (F.col("n") * float(_FP_SCALE))).alias(
+                "m"
+            ),
+        )
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), F.col("pos").alias("pa"),
+        F.col("m").alias("ma"),
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pb"),
+        F.col("m").alias("mb"),
+    )
+    dq = F.round((F.col("ma") - F.col("mb")) * _FP_SCALE).cast("long")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("pb") == F.col("pa"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .select("label_a", "label_b", dq.alias("dq"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            (
+                F.sqrt(F.sum(F.col("dq") * F.col("dq")).cast("double"))
+                / _FP_SCALE
+            ).alias("centroid_l2"),
+        )
+    )

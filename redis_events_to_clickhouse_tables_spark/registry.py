@@ -286,6 +286,8 @@ _EXTERNALLY_VERIFIED = frozenset(
 # re-verification even though earlier rounds sampled them.
 _SAMPLE_PRIORITY = (
     # round-8 second wave (newest first: never externally sampled)
+    "events_session_cooccurrence_lift",
+    "embedding_centroid_separation",
     "ml_gains_lift_deciles",
     "ml_pr_threshold_sweep",
     "stats_ab_srm_check",

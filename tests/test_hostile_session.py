@@ -38,6 +38,7 @@ TIMESTAMP_QUERIES = [
     "events_velocity_flags",
     "timeseries_holdout_backtest",
     "orders_split_order_screen",
+    "events_session_cooccurrence_lift",
 ]
 
 

@@ -112,3 +112,25 @@ def test_split_order_screen_only_violations(spark):
     for r in _rows(spark, "orders_split_order_screen"):
         assert r.n_orders > 1
         assert r.first_orderkey < r.last_orderkey
+
+
+def test_session_cooccurrence_lift_bounds(spark):
+    rows = _rows(spark, "events_session_cooccurrence_lift")
+    assert 0 < len(rows) <= 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_ab <= min(r.n_a, r.n_b)
+        assert r.lift >= 0
+
+
+def test_centroid_separation_matrix_shape(spark):
+    rows = _rows(spark, "embedding_centroid_separation")
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert r.centroid_l2 >= 0
+        labels.update((r.label_a, r.label_b))
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    dims = {r.n_dims for r in rows}
+    assert len(dims) == 1  # every pair spans the same dimension count
