@@ -413,3 +413,204 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     lab.unpersist()
     return out
+
+
+@query(
+    "graph_local_clustering",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + _SQL_EDGES
+    + """,
+    deg AS (SELECT s AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    tcnt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY doc_id)
+    SELECT deg.doc_id, degree,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)
+             / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE))
+             AS clustering
+    FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id
+    WHERE degree >= 2
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup candidate
+    graph: 2*triangles / (deg*(deg-1)) for nodes of degree >= 2 — the
+    per-document "how clique-like is my neighborhood" score that
+    upgrades ``graph_triangle_count``'s raw counts into the
+    [0,1] cohesion measure cluster-triage thresholds are set on
+    (high = genuine duplicate family, low = chain of coincidental
+    LSH collisions through a hub).
+
+    Scale shape: degrees are one groupBy over the symmetrized edge
+    list; triangles reuse the ordered-edge wedge join of
+    ``graph_triangle_count`` (two node-keyed shuffles, wedge count
+    bounded by the LSH-capped candidate graph, never the corpus).
+    Counts are exact integers; the coefficient is one shared IEEE
+    division chain.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            (
+                (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast(
+                    "double"
+                )
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - 1).cast("double")
+                )
+            ).alias("clustering"),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    pairs.unpersist()
+    return rows
+
+
+_RC_KS = [0, 1, 2, 3]  # rich-club degree thresholds
+
+
+@query(
+    "graph_rich_club",
+    oracle=_SQL_MINHASH
+    + _SQL_LSH_BAND
+    + _SQL_EDGES
+    + f""",
+    deg AS (SELECT s AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1),
+    gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                    CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS e
+             FROM deg),
+    ks AS (SELECT UNNEST({_RC_KS}) AS k),
+    nk AS (
+      SELECT k, CAST(COUNT(deg.doc_id) AS BIGINT) AS n_nodes
+      FROM ks LEFT JOIN deg ON degree > k GROUP BY k),
+    ek AS (
+      SELECT k, CAST(COUNT(p.dga) AS BIGINT) AS n_edges
+      FROM ks LEFT JOIN (
+        SELECT da.degree AS dga, db.degree AS dgb
+        FROM pairs
+        JOIN deg da ON da.doc_id = pairs.doc_a
+        JOIN deg db ON db.doc_id = pairs.doc_b) p
+      ON p.dga > k AND p.dgb > k
+      GROUP BY k)
+    SELECT nk.k, n_nodes, n_edges,
+           CAST(2 * n_edges AS DOUBLE)
+             / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+             AS density,
+           (CAST(2 * n_edges AS DOUBLE)
+             / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)))
+           > (CAST(2 * e AS DOUBLE)
+              / (CAST(v AS DOUBLE) * CAST(v - 1 AS DOUBLE)))
+             AS richer_than_graph
+    FROM nk JOIN ek ON ek.k = nk.k CROSS JOIN gtot
+    WHERE n_nodes >= 2
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club profile of the near-dup candidate graph: for each
+    degree threshold k, the edge density among nodes of degree > k,
+    and whether that club is denser than the graph overall — the
+    "do heavy duplicators preferentially collide with each other"
+    diagnostic that separates template-spam cores (dense club) from
+    independent hub accidents (sparse club).
+
+    Scale shape: degrees are one groupBy; club membership is a
+    4-literal threshold fan-out (map-only) over the degree frame;
+    club edges are the pair list joined to degrees on both endpoints
+    (two node-keyed broadcast-or-shuffle equi-joins on the bounded
+    candidate graph). Counts are exact integers; densities are one
+    shared IEEE chain.
+    """
+    tune(spark)
+    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    edges = pairs.select(F.col("doc_a").alias("s")).unionAll(
+        pairs.select(F.col("doc_b").alias("s"))
+    )
+    deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    deg = deg.persist()
+    gtot = deg.agg(F.count(F.lit(1)).cast("long").alias("v")).crossJoin(
+        F.broadcast(pairs.agg(F.count(F.lit(1)).cast("long").alias("e")))
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _RC_KS], "k long"
+    )
+    nk = (
+        F.broadcast(ks)
+        .join(deg, F.col("degree") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count(F.col("doc_id")).cast("long").alias("n_nodes"))
+    )
+    da = deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("dga"))
+    db = deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("dgb"))
+    pe = pairs.join(da, "doc_a").join(db, "doc_b")
+    ek = (
+        F.broadcast(ks)
+        .join(pe, (F.col("dga") > F.col("k")) & (F.col("dgb") > F.col("k")), "left")
+        .groupBy("k")
+        .agg(F.count(F.col("doc_a")).cast("long").alias("n_edges"))
+    )
+    dens = (2 * F.col("n_edges")).cast("double") / (
+        F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1).cast("double")
+    )
+    rho = (2 * F.col("e")).cast("double") / (
+        F.col("v").cast("double") * (F.col("v") - 1).cast("double")
+    )
+    out = (
+        nk.join(ek, "k")
+        .crossJoin(F.broadcast(gtot))
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            dens.alias("density"),
+            (dens > rho).alias("richer_than_graph"),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    pairs.unpersist()
+    deg.unpersist()
+    return rows

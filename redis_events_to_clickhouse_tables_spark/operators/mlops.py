@@ -267,3 +267,566 @@ def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > _SRM_CRIT).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration scalars: Brier decomposition + expected calibration error
+# (fixture: ml_calibration_bins' discount->return-flag score/outcome pair,
+# prediction p_k = discount_pct/100)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = """
+    scored AS (
+      SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS k,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem),
+    bins AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s
+      FROM scored GROUP BY k)
+"""
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH {_CAL_BINS},
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS pp,
+             CAST(SUM(n * k * k - 200 * k * s + 10000 * s) AS BIGINT)
+               AS bnum,
+             list({{'k': k, 'n': n, 's': s}} ORDER BY k) AS bs
+      FROM bins)
+    SELECT nn AS n,
+           CAST(pp AS DOUBLE) / nn AS base_rate,
+           CAST(bnum AS DOUBLE)
+             / (CAST(10000 AS DOUBLE) * CAST(nn AS DOUBLE)) AS brier,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS DOUBLE),
+               list_transform(
+                 bs,
+                 b -> CAST(CAST(b.k * b.n - 100 * b.s AS HUGEINT)
+                           * (b.k * b.n - 100 * b.s) AS DOUBLE)
+                      / (CAST(10000 AS DOUBLE) * CAST(b.n AS DOUBLE)))),
+             (a, v) -> a + v) / nn AS reliability,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS DOUBLE),
+               list_transform(
+                 bs,
+                 b -> CAST(CAST(b.s * nn - pp * b.n AS HUGEINT)
+                           * (b.s * nn - pp * b.n) AS DOUBLE)
+                      / (CAST(b.n AS DOUBLE) * CAST(nn AS DOUBLE)
+                         * CAST(nn AS DOUBLE)))),
+             (a, v) -> a + v) / nn AS resolution,
+           (CAST(pp AS DOUBLE) / nn)
+             * (CAST(1 AS DOUBLE) - CAST(pp AS DOUBLE) / nn) AS uncertainty
+    FROM tot
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the calibration
+    fixture (prediction p_k = discount_pct/100, outcome = returned):
+    BS = reliability - resolution + uncertainty — the one-row scorecard
+    that says WHY a probabilistic score is good or bad (miscalibrated
+    vs uninformative).
+
+    Exactness: with per-bin constant predictions, 10000*N*BS is the
+    INTEGER ``sum(n*k^2 - 200*k*s + 10000*s)``; reliability and
+    resolution terms have integer numerators (squared via
+    DECIMAL(38,0)/HUGEINT) over per-bin denominators, and the across-
+    bin sum of those 11 doubles runs as an ORDERED FOLD (array sorted
+    by bin; Spark ``aggregate`` == DuckDB ``list_reduce`` — the
+    ``timeseries_ses_level`` parity doctrine), so even the float
+    summation order is pinned. Scale: one map-side-combinable groupBy
+    to an 11-row bin frame, then a 1-row fold — nothing downstream of
+    the scan depends on corpus size.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("k"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    )
+    bins = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("s"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("pp"),
+        F.sum(
+            F.col("n") * F.col("k") * F.col("k")
+            - 200 * F.col("k") * F.col("s")
+            + 10000 * F.col("s")
+        )
+        .cast("long")
+        .alias("bnum"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("k").alias("k"),
+                    F.col("n").alias("n"),
+                    F.col("s").alias("s"),
+                )
+            )
+        ).alias("bs"),
+    )
+
+    def fold_sum(terms: F.Column) -> F.Column:
+        return F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
+
+    def rel_term(b: F.Column) -> F.Column:
+        d = b.getField("k") * b.getField("n") - 100 * b.getField("s")
+        return (d.cast("decimal(19,0)") * d).cast("double") / (
+            F.lit(10000.0) * b.getField("n").cast("double")
+        )
+
+    def res_term(b: F.Column) -> F.Column:
+        d = b.getField("s") * F.col("nn") - F.col("pp") * b.getField("n")
+        return (d.cast("decimal(19,0)") * d).cast("double") / (
+            b.getField("n").cast("double")
+            * F.col("nn").cast("double")
+            * F.col("nn").cast("double")
+        )
+
+    base = F.col("pp").cast("double") / F.col("nn")
+    return tot.select(
+        F.col("nn").alias("n"),
+        base.alias("base_rate"),
+        (
+            F.col("bnum").cast("double")
+            / (F.lit(10000.0) * F.col("nn").cast("double"))
+        ).alias("brier"),
+        (fold_sum(F.transform(F.col("bs"), rel_term)) / F.col("nn")).alias(
+            "reliability"
+        ),
+        (fold_sum(F.transform(F.col("bs"), res_term)) / F.col("nn")).alias(
+            "resolution"
+        ),
+        (base * (F.lit(1.0) - base)).alias("uncertainty"),
+    )
+
+
+@query(
+    "eval_expected_calibration_error",
+    oracle=f"""
+    WITH {_CAL_BINS}
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(ABS(100 * s - k * n)) AS DOUBLE)
+             / (CAST(100 AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS ece,
+           MAX(CAST(ABS(100 * s - k * n) AS DOUBLE)
+               / (CAST(100 AS DOUBLE) * CAST(n AS DOUBLE))) AS mce
+    FROM bins
+    """,
+)
+def eval_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected and maximum calibration error for the calibration
+    fixture: ECE = sum_k (n_k/N)*|obs_k - p_k|, MCE = max_k |obs_k -
+    p_k| — the two headline numbers quoted from every reliability
+    diagram.
+
+    Fully exact: ECE's numerator telescopes to the INTEGER
+    ``sum(|100*s_k - k*n_k|)`` (weighting by n_k cancels the per-bin
+    denominator), so the only float ops are one shared division per
+    output; MCE is a max over 11 identically-computed doubles.
+    Scale: one map-side-combinable groupBy to the bin frame, then a
+    1-row aggregate.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("k"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    )
+    bins = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("s"),
+    )
+    err = F.abs(100 * F.col("s") - F.col("k") * F.col("n"))
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.sum(err).cast("double")
+            / (F.lit(100.0) * F.sum("n").cast("double"))
+        ).alias("ece"),
+        F.max(
+            err.cast("double") / (F.lit(100.0) * F.col("n").cast("double"))
+        ).alias("mce"),
+    )
+
+
+_Z975 = 1.959963984540054  # two-sided 95% normal quantile
+
+
+@query(
+    "eval_auc_delong_se",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    dv AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS b
+      FROM d GROUP BY v),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS m,
+                   CAST(SUM(b) AS BIGINT) AS n FROM dv),
+    cum AS (
+      SELECT a, b,
+             SUM(a) OVER (ORDER BY v) AS ca,
+             SUM(b) OVER (ORDER BY v) AS cb
+      FROM dv),
+    pl AS (
+      SELECT a, b,
+             2 * (cb - b) + b AS p,
+             2 * (m - ca) + a AS q
+      FROM cum, tot),
+    s AS (
+      SELECT CAST(SUM(a * p) AS BIGINT) AS sp1,
+             SUM(CAST(a AS HUGEINT) * p * p) AS sp2,
+             CAST(SUM(b * q) AS BIGINT) AS sq1,
+             SUM(CAST(b AS HUGEINT) * q * q) AS sq2
+      FROM pl),
+    f AS (
+      SELECT m, n,
+             CAST(sp1 AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(m AS DOUBLE)) AS auc,
+             (CAST(m * sp2 - CAST(sp1 AS HUGEINT) * sp1 AS DOUBLE)
+              / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)))
+               / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS var_v10,
+             (CAST(n * sq2 - CAST(sq1 AS HUGEINT) * sq1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+               / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+               AS var_v01
+      FROM s, tot)
+    SELECT m AS n_pos, n AS n_neg, auc,
+           sqrt(var_v10 / m + var_v01 / n) AS se_delong,
+           auc - 1.959963984540054 * sqrt(var_v10 / m + var_v01 / n)
+             AS ci95_lo,
+           auc + 1.959963984540054 * sqrt(var_v10 / m + var_v01 / n)
+             AS ci95_hi
+    FROM f
+    """,
+)
+def eval_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with its DeLong (1988) standard error and 95% CI for the
+    shared eval fixture (score = ``n_chars``, positive = ``lang =
+    'en'``) — the number that turns ``eval_auc_doc_length_en``'s point
+    estimate into a defensible "is model A actually better than B"
+    statement.
+
+    DeLong's estimator needs per-observation placement values; the
+    trick that keeps it distributed AND exact is that every positive
+    at distinct score v shares the INTEGER placement ``p_v =
+    2*negatives_below + ties`` (and dually for negatives), so the
+    required variances are integer power sums over the distinct-value
+    frame — the ``stats_mann_whitney_u`` prefix-scan shape
+    (``bucketed_prefix_sums``, never a global window), squared in
+    DECIMAL(38,0)/HUGEINT, with one shared IEEE chain at the end.
+    """
+    tune(spark)
+    from ..functions.ranks import bucketed_prefix_sums
+
+    d = _docs(spark, sf_dir)
+    dv = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum("pos").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("b"),
+    )
+    cum = bucketed_prefix_sums(dv, "v", ["a", "b"])
+    tot = dv.agg(
+        F.sum("a").cast("long").alias("m"),
+        F.sum("b").cast("long").alias("n"),
+    )
+    pl = cum.crossJoin(F.broadcast(tot)).select(
+        "a",
+        "b",
+        "m",
+        "n",
+        (2 * (F.col("cum_b") - F.col("b")) + F.col("b")).alias("p"),
+        (2 * (F.col("m") - F.col("cum_a")) + F.col("a")).alias("q"),
+    )
+    s = pl.agg(
+        F.min("m").alias("m"),
+        F.min("n").alias("n"),
+        F.sum(F.col("a") * F.col("p")).cast("long").alias("sp1"),
+        F.sum(
+            F.col("a").cast("decimal(19,0)") * F.col("p") * F.col("p")
+        ).alias("sp2"),
+        F.sum(F.col("b") * F.col("q")).cast("long").alias("sq1"),
+        F.sum(
+            F.col("b").cast("decimal(19,0)") * F.col("q") * F.col("q")
+        ).alias("sq2"),
+    )
+    md, nd = F.col("m").cast("double"), F.col("n").cast("double")
+    auc = F.col("sp1").cast("double") / (F.lit(2.0) * nd * md)
+    var_v10 = (
+        (
+            F.col("m").cast("decimal(10,0)") * F.col("sp2")
+            - F.col("sp1").cast("decimal(19,0)") * F.col("sp1")
+        ).cast("double")
+        / (md * (F.col("m") - 1).cast("double"))
+    ) / (F.lit(4.0) * nd * nd)
+    var_v01 = (
+        (
+            F.col("n").cast("decimal(10,0)") * F.col("sq2")
+            - F.col("sq1").cast("decimal(19,0)") * F.col("sq1")
+        ).cast("double")
+        / (nd * (F.col("n") - 1).cast("double"))
+    ) / (F.lit(4.0) * md * md)
+    se = F.sqrt(var_v10 / F.col("m") + var_v01 / F.col("n"))
+    return s.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        auc.alias("auc"),
+        se.alias("se_delong"),
+        (auc - F.lit(_Z975) * se).alias("ci95_lo"),
+        (auc + F.lit(_Z975) * se).alias("ci95_hi"),
+    )
+
+
+@query(
+    "ml_gini_feature_gain",
+    oracle="""
+    WITH li AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS f_disc,
+             CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS f_qty,
+             CASE WHEN l_extendedprice >= 30000 THEN 1 ELSE 0 END AS f_price
+      FROM lineitem),
+    expl AS (
+      SELECT u.f AS feature, u.v AS flag, y FROM li,
+        UNNEST([
+          {'f': 'discount_ge_5pct', 'v': f_disc},
+          {'f': 'quantity_ge_25', 'v': f_qty},
+          {'f': 'price_ge_30k', 'v': f_price}
+        ]) AS t(u)),
+    cells AS (
+      SELECT feature, flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM expl GROUP BY 1, 2),
+    tot AS (
+      SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(s) AS BIGINT) AS st
+      FROM cells GROUP BY 1),
+    g AS (
+      SELECT cells.feature,
+             nt AS n_rows, st AS n_pos,
+             CAST(2 AS DOUBLE) * st / nt
+               * (CAST(1 AS DOUBLE) - CAST(st AS DOUBLE) / nt)
+               AS gini_parent,
+             SUM((CAST(n AS DOUBLE) / nt)
+                 * (CAST(2 AS DOUBLE) * s / n
+                    * (CAST(1 AS DOUBLE) - CAST(s AS DOUBLE) / n)))
+               AS gini_children
+      FROM cells JOIN tot ON tot.feature = cells.feature
+      GROUP BY cells.feature, nt, st)
+    SELECT feature, n_rows, n_pos, gini_parent, gini_children,
+           gini_parent - gini_children AS gini_gain
+    FROM g
+    """,
+)
+def ml_gini_feature_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity gain of three one-split candidate features
+    (discount >= 5%, quantity >= 25, price >= $30k) against the
+    return-flag outcome — the feature-importance table a decision-tree
+    trainer's first split would read; the ranking says which signal a
+    returns model should consume first.
+
+    Exactness: all cell counts are exact int64; parent and weighted
+    child impurities ``2p(1-p)`` are fixed IEEE chains over those
+    integers — the across-cell sum has exactly TWO summands per
+    feature (flag 0/1), evaluated in the same grouped-aggregate order
+    by both engines after the integer groupBy. Scale: one literal x3
+    fan-out into a 6-cell map-side-combinable groupBy — no join of
+    fact data, no window.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("f_disc"),
+        F.when(F.col("l_quantity") >= 25, 1).otherwise(0).alias("f_qty"),
+        F.when(F.col("l_extendedprice") >= 30000, 1)
+        .otherwise(0)
+        .alias("f_price"),
+    )
+    expl = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("discount_ge_5pct").alias("f"),
+                    F.col("f_disc").alias("v"),
+                ),
+                F.struct(
+                    F.lit("quantity_ge_25").alias("f"), F.col("f_qty").alias("v")
+                ),
+                F.struct(
+                    F.lit("price_ge_30k").alias("f"),
+                    F.col("f_price").alias("v"),
+                ),
+            )
+        ).alias("u"),
+        "y",
+    ).select(
+        F.col("u.f").alias("feature"), F.col("u.v").alias("flag"), "y"
+    )
+    cells = expl.groupBy("feature", "flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    tot = cells.groupBy(F.col("feature").alias("f2")).agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    j = cells.join(tot, F.col("feature") == F.col("f2"))
+    child = (F.col("n").cast("double") / F.col("nt")) * (
+        F.lit(2.0)
+        * F.col("s")
+        / F.col("n")
+        * (F.lit(1.0) - F.col("s").cast("double") / F.col("n"))
+    )
+    g = j.groupBy("feature").agg(
+        F.max("nt").alias("n_rows"),
+        F.max("st").alias("n_pos"),
+        (
+            F.lit(2.0)
+            * F.max("st")
+            / F.max("nt")
+            * (
+                F.lit(1.0)
+                - F.max("st").cast("double") / F.max("nt")
+            )
+        ).alias("gini_parent"),
+        F.sum(child).alias("gini_children"),
+    )
+    return g.select(
+        "feature",
+        "n_rows",
+        "n_pos",
+        "gini_parent",
+        "gini_children",
+        (F.col("gini_parent") - F.col("gini_children")).alias("gini_gain"),
+    )
+
+
+_UPLIFT_CUT = "1995-09-01"  # activity window start for the outcome
+
+
+@query(
+    "ml_uplift_aa_screen",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             CAST({{md5}} % 2 AS INTEGER) AS treat
+      FROM customer),
+    act AS (
+      SELECT o_custkey AS k, CAST(1 AS INTEGER) AS active
+      FROM orders
+      WHERE o_orderdate >= DATE '{_UPLIFT_CUT}'
+      GROUP BY 1),
+    j AS (
+      SELECT segment, treat, COALESCE(active, 0) AS y
+      FROM cust LEFT JOIN act ON act.k = cust.k),
+    cells AS (
+      SELECT segment,
+             CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS s_t,
+             CAST(SUM(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS s_c
+      FROM j GROUP BY 1)
+    SELECT segment, n_t, n_c,
+           CAST(s_t AS DOUBLE) / n_t AS rate_treat,
+           CAST(s_c AS DOUBLE) / n_c AS rate_control,
+           CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c AS uplift,
+           ABS(CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+             > 2 * sqrt(
+                 (CAST(s_t AS DOUBLE) / n_t)
+                   * (CAST(1 AS DOUBLE) - CAST(s_t AS DOUBLE) / n_t) / n_t
+                 + (CAST(s_c AS DOUBLE) / n_c)
+                   * (CAST(1 AS DOUBLE) - CAST(s_c AS DOUBLE) / n_c) / n_c)
+             AS aa_alarm
+    FROM cells
+    """.replace(
+        "{md5}",
+        "CAST(('0x' || substr(md5('aa:' || c_custkey), 1, 15)) AS BIGINT)",
+    ),
+)
+def ml_uplift_aa_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A uplift screen per market segment: customers are split by a
+    deterministic md5 coin into placebo "treatment"/"control", the
+    outcome is recent-activity (any order after {cut}), and the
+    uplift plus a 2-sigma alarm is reported — the null-experiment
+    harness every uplift pipeline must pass BEFORE a real treatment
+    is trusted (a firing alarm here means the assignment, join, or
+    variance math is broken, not the product).
+
+    Exactness: assignment is the cross-engine md5 mixer
+    (``functions/hashing``); counts are exact int64; rates, uplift,
+    and the pooled-variance bound are one shared IEEE chain, so the
+    alarm bit is identical in both engines. Scale: one broadcast-dim
+    hash assignment, one date-filtered activity groupBy (pushed-down
+    predicate), one left join on the customer key.
+    """
+    tune(spark)
+    from ..functions.hashing import md5_long
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        (md5_long(F.col("c_custkey").cast("string"), salt="aa") % 2)
+        .cast("int")
+        .alias("treat"),
+    )
+    o = table(spark, sf_dir, "orders")
+    act = (
+        o.filter(F.col("o_orderdate") >= F.lit(_UPLIFT_CUT))
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(F.lit(1).cast("int").alias("active"))
+    )
+    j = c.join(act, F.col("k") == F.col("k2"), "left").select(
+        "segment", "treat", F.coalesce(F.col("active"), F.lit(0)).alias("y")
+    )
+    cells = j.groupBy("segment").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("s_c"),
+    )
+    rt = F.col("s_t").cast("double") / F.col("n_t")
+    rc = F.col("s_c").cast("double") / F.col("n_c")
+    se2 = rt * (F.lit(1.0) - rt) / F.col("n_t") + rc * (
+        F.lit(1.0) - rc
+    ) / F.col("n_c")
+    return cells.select(
+        "segment",
+        "n_t",
+        "n_c",
+        rt.alias("rate_treat"),
+        rc.alias("rate_control"),
+        (rt - rc).alias("uplift"),
+        (F.abs(rt - rc) > 2 * F.sqrt(se2)).alias("aa_alarm"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import DUCKDB_MD5_LONG
 from ..functions.numeric import dec
 from ..functions.ranks import bucketed_prefix_min, bucketed_prefix_sums
 from ..registry import query
@@ -1637,4 +1638,437 @@ def stats_g_test_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             2 * F.lit(_LN2) * F.sum(F.col("c") * F.col("lp6")).cast("double") / 1e6
         ).alias("g_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample test (ECDF formulation, tie-aware, exact)
+# ---------------------------------------------------------------------------
+
+_CVM_A = "1-URGENT"
+_CVM_B = "5-LOW"
+_CVM_CRIT = 0.461  # 5% asymptotic critical value of T
+
+
+@query(
+    "stats_cramer_von_mises",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '{_CVM_A}' THEN 1 ELSE 0 END AS ia
+      FROM orders
+      WHERE o_orderpriority IN ('{_CVM_A}', '{_CVM_B}')),
+    dv AS (
+      SELECT cents,
+             CAST(SUM(ia) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS b
+      FROM rows_ GROUP BY cents),
+    cum AS (
+      SELECT a, b,
+             SUM(a) OVER (ORDER BY cents) AS ca,
+             SUM(b) OVER (ORDER BY cents) AS cb
+      FROM dv),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                   CAST(SUM(b) AS BIGINT) AS nb FROM dv),
+    s AS (
+      SELECT CAST(SUM((a + b) * CAST(ca * nb - cb * na AS HUGEINT)
+                              * (ca * nb - cb * na)) AS DOUBLE) AS num
+      FROM cum, tot)
+    SELECT na AS n_a, nb AS n_b,
+           num / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                  * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS t_stat,
+           num / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                  * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > {_CVM_CRIT}
+             AS shifted
+    FROM s, tot
+    """,
+)
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test between URGENT and LOW order
+    values: T = nm/N^2 * sum over the combined sample of
+    (F_n(z) - G_m(z))^2 — the whole-distribution companion to
+    ``stats_ks_two_sample`` (KS reads the single worst ECDF gap; CvM
+    integrates EVERY gap, so it sees broad mild differences KS
+    misses).
+
+    Tie-aware ECDF formulation on distinct values: per value v with
+    group counts (a_v, b_v) and running totals (A_v, B_v), the exact
+    integer numerator is sum((a_v+b_v) * (A_v*m - B_v*n)^2) — squared
+    in DECIMAL(38,0)/HUGEINT — and T is one shared IEEE division. The
+    running totals ride ``bucketed_prefix_sums`` (never a global
+    window); everything else is map-side-combinable.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    rows = o.filter(F.col("o_orderpriority").isin(_CVM_A, _CVM_B)).select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == _CVM_A, 1).otherwise(0).alias("ia"),
+    )
+    dv = rows.groupBy("cents").agg(
+        F.sum("ia").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("b"),
+    )
+    cum = bucketed_prefix_sums(dv, "cents", ["a", "b"])
+    tot = dv.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    d = F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("a") + F.col("b")) * d.cast("decimal(19,0)") * d)
+            .cast("double")
+            .alias("num"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    nn = (F.col("na") + F.col("nb")).cast("double")
+    t = F.col("num") / (
+        nn * nn * F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        t.alias("t_stat"),
+        (t > F.lit(_CVM_CRIT)).alias("shifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance: nation vs global balance mix
+# ---------------------------------------------------------------------------
+
+_W1_BUCKET = 10000  # $100 buckets of customer account balance (cents)
+
+
+@query(
+    "stats_wasserstein_acctbal_nation",
+    oracle=f"""
+    WITH c AS (
+      SELECT n_name AS nation,
+             CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                             AS BIGINT) / {_W1_BUCKET}.0) AS BIGINT) AS bk
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    nb AS (SELECT nation, bk, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM c GROUP BY 1, 2),
+    gb AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c),
+    nt_ AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS nn FROM c GROUP BY 1),
+    grid AS (SELECT nation, g.bk FROM (SELECT DISTINCT bk FROM gb) g
+             CROSS JOIN (SELECT DISTINCT nation FROM nb)),
+    cumn AS (
+      SELECT grid.nation, grid.bk,
+             CAST(COALESCE(SUM(nb.cnt), 0) AS BIGINT) AS ca
+      FROM grid LEFT JOIN nb
+        ON nb.nation = grid.nation AND nb.bk <= grid.bk
+      GROUP BY 1, 2),
+    cumg AS (
+      SELECT g1.bk, CAST(SUM(g2.cnt) AS BIGINT) AS cg
+      FROM gb g1 JOIN gb g2 ON g2.bk <= g1.bk GROUP BY 1)
+    SELECT cumn.nation, nn AS n_customers,
+           CAST(100 AS DOUBLE)
+             * CAST(SUM(ABS(ca * nt - CAST(cg AS HUGEINT) * nn))
+                    AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * CAST(nt AS DOUBLE)) AS w1_dollars
+    FROM cumn
+    JOIN cumg ON cumg.bk = cumn.bk
+    JOIN nt_ ON nt_.nation = cumn.nation
+    CROSS JOIN tot
+    GROUP BY cumn.nation, nn, nt
+    """,
+)
+def stats_wasserstein_acctbal_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between each nation's
+    customer account-balance distribution and the global mix, at $100
+    granularity — "which nation's balance profile deviates most, and
+    by how many dollars of probability mass moved".
+
+    W1 in 1-D is the integral of |F_nation - F_global|; on the
+    bounded bucket grid that is the exact integer sum
+    ``|CumN_b * N_tot - CumT_b * n_N|`` over buckets, scaled once by
+    ``width / (n_N * N_tot)``. The grid is VALUE-DOMAIN-bounded
+    (~110 balance buckets x 25 nations at any corpus size), so every
+    cumulative is a tiny range self-join on a model-level frame —
+    never a global window, never a per-row sort. Companion to
+    ``dq_t_closeness`` (same EMD math, there over sensitive-attribute
+    buckets) and ``stats_psi_price_drift`` (PSI reads bin RATIO
+    drift; W1 reads MASS TRANSPORT, in interpretable dollars).
+    """
+    tune(spark)
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.floor(
+            (dec("c_acctbal", 12) * 100).cast("long") / F.lit(float(_W1_BUCKET))
+        )
+        .cast("long")
+        .alias("bk"),
+    )
+    nb = c.groupBy("nation", "bk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    gb = c.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    ntn = c.groupBy("nation").agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    grid = (
+        gb.select("bk")
+        .distinct()
+        .crossJoin(F.broadcast(nb.select("nation").distinct()))
+    )
+    nb2 = nb.select(
+        F.col("nation").alias("n2"), F.col("bk").alias("b2"), "cnt"
+    )
+    cumn = (
+        grid.join(
+            nb2,
+            (F.col("n2") == F.col("nation")) & (F.col("b2") <= F.col("bk")),
+            "left",
+        )
+        .groupBy("nation", "bk")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("ca"))
+    )
+    g2 = gb.select(F.col("bk").alias("b2"), F.col("cnt").alias("c2"))
+    cumg = (
+        gb.join(F.broadcast(g2), F.col("b2") <= F.col("bk"))
+        .groupBy("bk")
+        .agg(F.sum("c2").cast("long").alias("cg"))
+    )
+    d = F.col("ca") * F.col("nt") - F.col("cg").cast("decimal(19,0)") * F.col("nn")
+    return (
+        cumn.join(cumg, "bk")
+        .join(F.broadcast(ntn), "nation")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation", "nn", "nt")
+        .agg(F.sum(F.abs(d)).alias("s"))
+        .select(
+            "nation",
+            F.col("nn").alias("n_customers"),
+            (
+                F.lit(100.0)
+                * F.col("s").cast("double")
+                / (F.col("nn").cast("double") * F.col("nt").cast("double"))
+            ).alias("w1_dollars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (permutation) test with deterministic md5 relabeling
+# ---------------------------------------------------------------------------
+
+_PERM_B = 64  # deterministic pseudo-permutations
+
+
+@query(
+    "stats_permutation_test_mean_diff",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '{_CVM_A}' THEN 1 ELSE 0 END AS ia
+      FROM orders
+      WHERE o_orderpriority IN ('{_CVM_A}', '{_CVM_B}')),
+    obs AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN ia = 1 THEN cents END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN ia = 0 THEN cents END) AS BIGINT) AS sb
+      FROM rows_),
+    perm AS (
+      SELECT b,
+             CAST(SUM(g) AS BIGINT) AS pna,
+             CAST(COUNT(*) - SUM(g) AS BIGINT) AS pnb,
+             CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS psa,
+             CAST(SUM(CASE WHEN g = 0 THEN cents END) AS BIGINT) AS psb
+      FROM (
+        SELECT cents, u.b,
+               CAST({DUCKDB_MD5_LONG("k || ':' || u.b")} % 2 AS INTEGER)
+                 AS g
+        FROM rows_, UNNEST(range(0, {_PERM_B})) AS u(b))
+      GROUP BY b),
+    pd AS (
+      SELECT b,
+             ABS(CAST(psa AS DOUBLE) / pna - CAST(psb AS DOUBLE) / pnb)
+               AS adiff
+      FROM perm WHERE pna > 0 AND pnb > 0)
+    SELECT na, nb,
+           CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb
+             AS diff_obs_cents,
+           CAST((SELECT COUNT(*) FROM pd, obs
+                 WHERE adiff >= ABS(CAST(sa AS DOUBLE) / na
+                                    - CAST(sb AS DOUBLE) / nb))
+                AS BIGINT) AS n_extreme,
+           CAST(1 + (SELECT COUNT(*) FROM pd, obs
+                     WHERE adiff >= ABS(CAST(sa AS DOUBLE) / na
+                                        - CAST(sb AS DOUBLE) / nb))
+                AS DOUBLE) / CAST(1 + {_PERM_B} AS DOUBLE) AS p_value
+    FROM obs
+    """,
+)
+def stats_permutation_test_mean_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomization test for the URGENT-vs-LOW mean order-value
+    difference: 64 DETERMINISTIC pseudo-permutations relabel each
+    order by an md5 coin (``md5(key:b) % 2``), and the p-value is the
+    add-one-smoothed share of relabelings whose |mean difference|
+    meets or beats the observed one — the distribution-free
+    significance readout that needs no normality or variance
+    assumptions, made reproducible (and oracle-checkable) by replacing
+    the RNG with the cross-engine md5 mixer (``functions/hashing``
+    doctrine: md5 as deterministic mixer, not crypto).
+
+    Exactness: every group sum is exact integer cents; each mean
+    difference is two shared IEEE divisions; the >= comparisons see
+    bit-identical doubles in both engines. Scale: a literal x64
+    explode into ONE map-side-combinable groupBy — no join, no
+    window, no shuffle growth beyond the 64-row permutation frame.
+    """
+    tune(spark)
+    from ..functions.hashing import md5_long
+
+    o = table(spark, sf_dir, "orders")
+    rows = o.filter(F.col("o_orderpriority").isin(_CVM_A, _CVM_B)).select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == _CVM_A, 1).otherwise(0).alias("ia"),
+    )
+    rows = rows.persist()
+    obs = rows.agg(
+        F.sum("ia").cast("long").alias("na"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("nb"),
+        F.sum(F.when(F.col("ia") == 1, F.col("cents"))).cast("long").alias("sa"),
+        F.sum(F.when(F.col("ia") == 0, F.col("cents"))).cast("long").alias("sb"),
+    )
+    g = (
+        md5_long(F.concat_ws(":", F.col("k"), F.col("b"))) % 2
+    ).cast("int")
+    perm = (
+        rows.select("k", "cents")
+        .select(
+            "k",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        )
+        .select("cents", "b", g.alias("g"))
+        .groupBy("b")
+        .agg(
+            F.sum("g").cast("long").alias("pna"),
+            (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("pnb"),
+            F.sum(F.when(F.col("g") == 1, F.col("cents")))
+            .cast("long")
+            .alias("psa"),
+            F.sum(F.when(F.col("g") == 0, F.col("cents")))
+            .cast("long")
+            .alias("psb"),
+        )
+    )
+    adiff = F.abs(
+        F.col("psa").cast("double") / F.col("pna")
+        - F.col("psb").cast("double") / F.col("pnb")
+    )
+    pd_ = perm.filter((F.col("pna") > 0) & (F.col("pnb") > 0)).select(
+        adiff.alias("adiff")
+    )
+    dobs = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    ext = (
+        pd_.crossJoin(F.broadcast(obs))
+        .filter(F.col("adiff") >= F.abs(dobs))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_extreme"))
+    )
+    out = obs.crossJoin(F.broadcast(ext)).select(
+        "na",
+        "nb",
+        dobs.alias("diff_obs_cents"),
+        "n_extreme",
+        (
+            (1 + F.col("n_extreme")).cast("double")
+            / F.lit(float(1 + _PERM_B))
+        ).alias("p_value"),
+    )
+    res = out.persist()
+    res.count()
+    rows.unpersist()
+    return res
+
+
+@query(
+    "stats_beta_binomial_posterior",
+    oracle=f"""
+    WITH o AS (
+      SELECT n_name AS nation,
+             CASE WHEN o_orderpriority = '{_CVM_A}' THEN 1 ELSE 0 END AS s
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    agg AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s
+      FROM o GROUP BY 1)
+    SELECT nation, n AS n_orders, s AS n_urgent,
+           CAST(s AS DOUBLE) / n AS rate_mle,
+           CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE) AS post_mean,
+           (CAST(s + 1 AS DOUBLE) * CAST(n - s + 1 AS DOUBLE))
+             / (CAST(n + 2 AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                * CAST(n + 3 AS DOUBLE)) AS post_var,
+           CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)
+             - CAST(s AS DOUBLE) / n AS shrinkage
+    FROM agg
+    """,
+)
+def stats_beta_binomial_posterior(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beta-binomial posterior (uniform Beta(1,1) prior) of each
+    nation's urgent-order rate: posterior mean (the Laplace-smoothed
+    rate), posterior variance, and the shrinkage the prior applies to
+    the raw MLE — the Bayesian small-sample guardrail that stops a
+    3-order nation from topping a rate leaderboard.
+
+    Exactness: posterior moments of a conjugate Beta are closed-form
+    rationals of integer counts — (s+1)/(n+2) and
+    (s+1)(n-s+1)/((n+2)^2(n+3)) — so every output is a fixed chain of
+    IEEE ops on exact int64. Scale: one fact-dim join (broadcast
+    nation via customer) + one map-side-combinable groupBy.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == _CVM_A, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1 = (F.col("s") + 1).cast("double")
+    n2 = (F.col("n") + 2).cast("double")
+    return agg.select(
+        "nation",
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("n_urgent"),
+        (F.col("s").cast("double") / nd).alias("rate_mle"),
+        (s1 / n2).alias("post_mean"),
+        (
+            s1
+            * (F.col("n") - F.col("s") + 1).cast("double")
+            / (n2 * n2 * (F.col("n") + 3).cast("double"))
+        ).alias("post_var"),
+        (s1 / n2 - F.col("s").cast("double") / nd).alias("shrinkage"),
     )

@@ -245,3 +245,301 @@ def orders_basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_basket_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bullwhip effect: shipment variability amplification per brand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supply_bullwhip_ratio",
+    oracle="""
+    WITH li AS (
+      SELECT p_brand AS brand,
+             date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS wo,
+             date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS ws,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS q
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey),
+    wk_o AS (SELECT brand, wo AS w, CAST(SUM(q) AS BIGINT) AS v
+             FROM li GROUP BY 1, 2),
+    wk_s AS (SELECT brand, ws AS w, CAST(SUM(q) AS BIGINT) AS v
+             FROM li GROUP BY 1, 2),
+    mo AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM wk_o GROUP BY 1),
+    ms AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM wk_s GROUP BY 1),
+    cv AS (
+      SELECT mo.brand,
+             mo.n AS n_weeks_order, ms.n AS n_weeks_ship,
+             (CAST(mo.n * mo.s2 - CAST(mo.s1 AS HUGEINT) * mo.s1 AS DOUBLE)
+              / (CAST(mo.n AS DOUBLE) * CAST(mo.n - 1 AS DOUBLE)))
+               / ((CAST(mo.s1 AS DOUBLE) / mo.n)
+                  * (CAST(mo.s1 AS DOUBLE) / mo.n)) AS cv2_order,
+             (CAST(ms.n * ms.s2 - CAST(ms.s1 AS HUGEINT) * ms.s1 AS DOUBLE)
+              / (CAST(ms.n AS DOUBLE) * CAST(ms.n - 1 AS DOUBLE)))
+               / ((CAST(ms.s1 AS DOUBLE) / ms.n)
+                  * (CAST(ms.s1 AS DOUBLE) / ms.n)) AS cv2_ship
+      FROM mo JOIN ms ON ms.brand = mo.brand
+      WHERE mo.n >= 2 AND ms.n >= 2 AND mo.s1 > 0 AND ms.s1 > 0)
+    SELECT brand, n_weeks_order, n_weeks_ship, cv2_order, cv2_ship,
+           cv2_ship / cv2_order AS bullwhip,
+           cv2_ship / cv2_order > 1.0 AS amplified
+    FROM cv
+    """,
+)
+def supply_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect ratio per brand: CV^2 of weekly SHIPPED
+    quantity over CV^2 of weekly ORDERED (demand-date) quantity — the
+    classic Lee/Padmanabhan/Whang variability-amplification measure;
+    > 1 means fulfilment swings harder than demand (batching/
+    backlog whiplash), the supply-chain smell safety stock pays for.
+
+    Exactness: weekly sums are exact integers; both variances are
+    int64/HUGEINT power sums (the ``supplier_leadtime_cv`` doctrine);
+    CV^2 and the final ratio are one shared IEEE chain. Scale: one
+    fact-fact equi-join (lineitem x orders on the order key, the
+    engine's bread-and-butter shuffle) + broadcast part dim, then
+    two map-side-combinable weekly groupBys on bounded brand x week
+    frames.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.floor(
+                F.datediff(
+                    F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("wo"),
+            F.floor(
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("ws"),
+            dec("l_quantity", 12).cast("long").alias("q"),
+        )
+    )
+
+    def weekly_moments(week_col: str, nc: str, s1c: str, s2c: str) -> DataFrame:
+        wk = base.groupBy("brand", F.col(week_col).alias("w")).agg(
+            F.sum("q").cast("long").alias("v")
+        )
+        return wk.groupBy("brand").agg(
+            F.count(F.lit(1)).cast("long").alias(nc),
+            F.sum("v").cast("long").alias(s1c),
+            F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias(s2c),
+        )
+
+    base = base.persist()
+    mo = weekly_moments("wo", "no", "so1", "so2")
+    ms = weekly_moments("ws", "ns", "ss1", "ss2")
+
+    def cv2(n: str, s1: str, s2: str) -> F.Column:
+        var = (
+            F.col(n).cast("decimal(10,0)") * F.col(s2)
+            - F.col(s1).cast("decimal(19,0)") * F.col(s1)
+        ).cast("double") / (
+            F.col(n).cast("double") * (F.col(n) - 1).cast("double")
+        )
+        mean = F.col(s1).cast("double") / F.col(n)
+        return var / (mean * mean)
+
+    out = (
+        mo.join(ms, "brand")
+        .filter(
+            (F.col("no") >= 2)
+            & (F.col("ns") >= 2)
+            & (F.col("so1") > 0)
+            & (F.col("ss1") > 0)
+        )
+        .select(
+            "brand",
+            F.col("no").alias("n_weeks_order"),
+            F.col("ns").alias("n_weeks_ship"),
+            cv2("no", "so1", "so2").alias("cv2_order"),
+            cv2("ns", "ss1", "ss2").alias("cv2_ship"),
+        )
+        .select(
+            "brand",
+            "n_weeks_order",
+            "n_weeks_ship",
+            "cv2_order",
+            "cv2_ship",
+            (F.col("cv2_ship") / F.col("cv2_order")).alias("bullwhip"),
+            (F.col("cv2_ship") / F.col("cv2_order") > F.lit(1.0)).alias(
+                "amplified"
+            ),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    base.unpersist()
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory classification matrix
+# ---------------------------------------------------------------------------
+
+_REV_PART_CENTS = (
+    "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(3,2)))) * 100) AS BIGINT)"
+)
+
+
+@query(
+    "supply_abc_xyz_matrix",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS pk, {_REV_PART_CENTS} AS rc
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS trc FROM rev),
+    ranked AS (
+      SELECT pk, rc,
+             SUM(rc) OVER (ORDER BY rc DESC, pk) AS cum
+      FROM rev),
+    abc AS (
+      SELECT pk, rc,
+             CASE WHEN cum * 5 <= trc * 4 THEN 'A'
+                  WHEN cum * 20 <= trc * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked, tot),
+    wk AS (
+      SELECT l_partkey AS pk,
+             date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS w,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS v
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM wk GROUP BY 1),
+    xyz AS (
+      SELECT pk,
+             CASE WHEN n < 2 OR s1 <= 0 THEN 'Z'
+                  WHEN 4 * n * (n * s2 - CAST(s1 AS HUGEINT) * s1)
+                       <= (n - 1) * CAST(s1 AS HUGEINT) * s1 THEN 'X'
+                  WHEN n * (n * s2 - CAST(s1 AS HUGEINT) * s1)
+                       <= (n - 1) * CAST(s1 AS HUGEINT) * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM m)
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rc) AS BIGINT) AS revenue_cents,
+           CAST(SUM(rc) AS DOUBLE) / trc AS revenue_share
+    FROM abc JOIN xyz USING (pk) CROSS JOIN tot
+    GROUP BY abc_class, xyz_class, trc
+    """,
+)
+def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix: every part classified by revenue
+    contribution (A = first 80% of cumulative revenue, B = next 15%,
+    C = tail) x demand stability (X: weekly-quantity CV <= 0.5,
+    Y: CV <= 1, Z: erratic or insufficient history), with part counts
+    and revenue share per cell — the 9-cell planning grid that decides
+    forecast-vs-buffer strategy per segment (AX: automate; CZ: make to
+    order).
+
+    Exactness: ABC boundaries are integer inequalities on exact
+    cumulative revenue (``cum*5 <= tot*4``); XYZ thresholds avoid
+    floats entirely via the equivalent integer form ``c*n*(n*S2-S^2)
+    <= (n-1)*S^2`` in HUGEINT/DECIMAL(38,0) — no CV is ever
+    materialized, so no boundary can flap. Scale: cumulative revenue
+    rides ``global_rank_desc`` + ``bucketed_prefix_sums`` (never a
+    global window); weekly moments are map-side-combinable groupBys.
+    """
+    tune(spark)
+    from ..functions.numeric import one_dec
+    from ..functions.ranks import bucketed_prefix_sums, global_rank_desc
+
+    li = table(spark, sf_dir, "lineitem")
+    rev_expr = dec("l_extendedprice", 14) * (one_dec() - dec("l_discount", 3))
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.floor(F.sum(rev_expr) * 100).cast("long").alias("rc")
+    )
+    ranked, _n = global_rank_desc(rev, "rc", "pk", rank_col="r")
+    cum = bucketed_prefix_sums(ranked, "r", ["rc"])
+    tot = rev.agg(F.sum("rc").cast("long").alias("trc"))
+    abc = cum.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        "rc",
+        "trc",
+        F.when(F.col("cum_rc") * 5 <= F.col("trc") * 4, "A")
+        .when(F.col("cum_rc") * 20 <= F.col("trc") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    wk = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.floor(
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("w"),
+    ).agg(F.sum(dec("l_quantity", 12)).cast("long").alias("v"))
+    m = wk.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+    )
+    varnum = (
+        F.col("n").cast("decimal(10,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(19,0)") * F.col("s1")
+    )
+    s1sq = F.col("s1").cast("decimal(19,0)") * F.col("s1")
+    xyz = m.select(
+        "pk",
+        F.when((F.col("n") < 2) | (F.col("s1") <= 0), "Z")
+        .when(
+            4 * F.col("n").cast("decimal(10,0)") * varnum
+            <= (F.col("n") - 1).cast("decimal(10,0)") * s1sq,
+            "X",
+        )
+        .when(
+            F.col("n").cast("decimal(10,0)") * varnum
+            <= (F.col("n") - 1).cast("decimal(10,0)") * s1sq,
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "pk")
+        .groupBy("abc_class", "xyz_class", "trc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rc").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") / F.col("trc")).alias(
+                "revenue_share"
+            ),
+        )
+    )

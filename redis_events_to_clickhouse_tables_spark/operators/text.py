@@ -2041,3 +2041,83 @@ def eval_mrr_recall_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     long.unpersist()
     return out
+
+
+_KN_D = 0.75  # absolute-discount mass (exactly representable dyadic)
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=_BIGRAM_SQL
+    + f"""
+    , c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1p
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont FROM c12 GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c12)
+    SELECT c12.w1, c12.w2, c12, c1, n1p AS n_followers,
+           cont AS n_contexts,
+           (CAST(c12 AS DOUBLE) - {_KN_D}) / c1
+             + ({_KN_D} * n1p / c1) * (CAST(cont AS DOUBLE) / nt)
+             AS p_kn
+    FROM c12
+    JOIN c1 USING (w1)
+    JOIN cont ON cont.w2 = c12.w2
+    CROSS JOIN t
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    D = 0.75): the LM-smoothing table a tokenizer/data-quality stack
+    reads to judge "is this continuation typical or novel". KN's
+    insight — back off to how many CONTEXTS a word completes, not its
+    raw frequency — is exactly the continuation-count column here.
+
+    Exactness: every count (pair, left-context total, follower types,
+    continuation types, bigram types) is an exact integer from one
+    groupBy each; D = 0.75 is dyadic, so ``(c12 - D)/c1 +
+    (D*N1+/c1)*(cont/T)`` is a fixed IEEE chain with bit-identical
+    inputs (c12 >= 1 keeps the discounted term positive — no clamp
+    needed, same expression both engines). Scale: bigram formation is
+    the map-only array transform of ``_BIGRAM_EXPR``; all joins are on
+    the bounded bigram VOCABULARY, never the corpus stream.
+    """
+    tune(spark)
+    big = _bigrams(fanout(table(spark, sf_dir, "documents")))
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c12 = c12.persist()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = c12.groupBy(F.col("w2").alias("w2c")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont")
+    )
+    t = c12.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    out = (
+        c12.join(c1, "w1")
+        .join(cont, F.col("w2") == F.col("w2c"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.col("n1p").alias("n_followers"),
+            F.col("cont").alias("n_contexts"),
+            (
+                (F.col("c12").cast("double") - F.lit(_KN_D)) / F.col("c1")
+                + (F.lit(_KN_D) * F.col("n1p") / F.col("c1"))
+                * (F.col("cont").cast("double") / F.col("nt"))
+            ).alias("p_kn"),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    c12.unpersist()
+    return rows

@@ -827,3 +827,121 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), F.asc("token"))
         .limit(_CHI2_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1 over the LSH candidate pairs (clipped unigram overlap)
+# ---------------------------------------------------------------------------
+
+
+def _register_rouge1() -> None:
+    """Registered via a function so the dedup CTE fragments import
+    lazily (text2 must not force dedup's module body at import time
+    twice — same pattern as graphplus's composed oracles)."""
+    from .dedup import _SQL_LSH_BAND, _SQL_MINHASH, _lsh_candidate_pairs
+
+    @query(
+        "text_rouge1_candidates",
+        oracle=_SQL_MINHASH
+        + _SQL_LSH_BAND
+        + """,
+    tok AS (
+      SELECT doc_id, u.w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(w)
+      GROUP BY doc_id, u.w),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tok GROUP BY 1),
+    clip AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(SUM(LEAST(ta.c, tb.c)) AS BIGINT) AS clip
+      FROM pairs p
+      JOIN tok ta ON ta.doc_id = p.doc_a
+      JOIN tok tb ON tb.doc_id = p.doc_b AND tb.w = ta.w
+      GROUP BY 1, 2)
+    SELECT clip.doc_a, clip.doc_b, clip,
+           na.n AS ref_tokens, nb.n AS cand_tokens,
+           CAST(clip AS DOUBLE) / na.n AS rouge1_recall,
+           CAST(clip AS DOUBLE) / nb.n AS rouge1_precision,
+           CAST(2 * clip AS DOUBLE) / (na.n + nb.n) AS rouge1_f1
+    FROM clip
+    JOIN tot na ON na.doc_id = clip.doc_a
+    JOIN tot nb ON nb.doc_id = clip.doc_b
+    """,
+    )
+    def text_rouge1_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ROUGE-1 (clipped unigram recall/precision/F1, treating
+        doc_a as the reference) for every LSH near-dup candidate pair —
+        the summarization-style lexical-overlap verdict that
+        complements Jaccard verification: Jaccard reads SET overlap,
+        ROUGE reads clipped MULTISET overlap, so repeated-token
+        padding moves one but not the other.
+
+        Scale shape: token counts are one map-side-combinable groupBy
+        (explode bounded by corpus tokens); the clipped intersection
+        joins the CANDIDATE pairs (LSH-bounded, never all pairs) to the
+        per-doc count frames on the token key — the
+        ``dedup_jaccard_verify_candidates`` verify topology. Counts are
+        exact integers; each ROUGE ratio is one shared IEEE division.
+        """
+        tune(spark)
+        pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+        d = table(spark, sf_dir, "documents")
+        tok = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.col("text"), " ")).alias("w"),
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        tok = tok.persist()
+        tot = tok.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+        ta = tok.select(
+            F.col("doc_id").alias("doc_a"), "w", F.col("c").alias("ca")
+        )
+        tb = tok.select(
+            F.col("doc_id").alias("db2"),
+            F.col("w").alias("wb"),
+            F.col("c").alias("cb"),
+        )
+        clip = (
+            pairs.join(ta, "doc_a")
+            .join(
+                tb,
+                (F.col("doc_b") == F.col("db2"))
+                & (F.col("w") == F.col("wb")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias("clip"))
+        )
+        na = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("ref_tokens"))
+        nb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("cand_tokens"))
+        out = (
+            clip.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "clip",
+                "ref_tokens",
+                "cand_tokens",
+                (F.col("clip").cast("double") / F.col("ref_tokens")).alias(
+                    "rouge1_recall"
+                ),
+                (F.col("clip").cast("double") / F.col("cand_tokens")).alias(
+                    "rouge1_precision"
+                ),
+                (
+                    (2 * F.col("clip")).cast("double")
+                    / (F.col("ref_tokens") + F.col("cand_tokens"))
+                ).alias("rouge1_f1"),
+            )
+        )
+        rows = out.persist()
+        rows.count()
+        pairs.unpersist()
+        tok.unpersist()
+        return rows
+
+
+_register_rouge1()

@@ -761,3 +761,510 @@ def timeseries_holdout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("train_mean").alias("method"), "n_days", "mae")
     )
     return sn.unionAll(nl).unionAll(tm)
+
+
+@query(
+    "timeseries_holt_linear",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, {_DAY} AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type,
+             list(CAST(x AS DOUBLE) ORDER BY d) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+    folded AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_prepend(
+                 [xs[2], xs[2] - xs[1]],
+                 list_transform(xs[3:len(xs)],
+                                v -> [v, CAST(0 AS DOUBLE)])),
+               (acc, e) -> [
+                 0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                 0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                 + 0.5 * acc[2]]) AS st
+      FROM arr WHERE n_days >= 3)
+    SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+           st[1] + 7.0 * st[2] AS forecast_7d
+    FROM folded
+    """,
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha = beta
+    = 1/2) of each event type's daily count series: the smoothed
+    level, the smoothed trend, and the 7-day-ahead forecast
+    ``level + 7*trend`` — the next rung above ``timeseries_ses_level``
+    on the classical forecasting ladder.
+
+    The recursion couples TWO states (level, trend), so the fold
+    state is a 2-element ARRAY: Spark ``aggregate`` and DuckDB
+    ``list_reduce`` both fold day-ordered array elements through the
+    identical IEEE expression (new observations ride in slot 1; the
+    seed is the classical l0 = x2, b0 = x2 - x1), making a genuinely
+    vector-valued recursion bit-exact across engines — the
+    ``timeseries_ses_level`` fold-parity doctrine, generalized from
+    scalar to vector state. Array (not struct) state on purpose:
+    DuckDB 1.0's ``list_reduce`` updates a STRUCT accumulator
+    field-by-field in place, so a later field's expression would see
+    the already-updated earlier field — list accumulators evaluate
+    all slots against the pre-step state (verified empirically; the
+    struct form silently yields a different recursion). The 0.5
+    coefficients are exactly representable; ``l_t`` is recomputed
+    inside the ``b`` update on both sides, so the op sequence matches
+    step for step.
+
+    Scale: arrays are bounded by the day count per type (calendar),
+    never event counts; the fold is JVM-side codegen.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("d").alias("d"), F.col("x").alias("x"))
+                )
+            ),
+            lambda s: s.getField("x").cast("double"),
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    x1 = F.element_at(F.col("xs"), 1)
+    x2 = F.element_at(F.col("xs"), 2)
+    seed = F.array(x2, x2 - x1)
+    elems = F.transform(
+        F.slice(F.col("xs"), 3, 1_000_000),
+        lambda v: F.array(v, F.lit(0.0)),
+    )
+    half = F.lit(0.5)
+
+    def step(acc, e_):
+        al = F.element_at(acc, 1)
+        ab = F.element_at(acc, 2)
+        el = F.element_at(e_, 1)
+        new_l = half * el + half * (al + ab)
+        new_b = half * ((half * el + half * (al + ab)) - al) + half * ab
+        return F.array(new_l, new_b)
+
+    folded = arr.filter(F.col("n_days") >= 3).select(
+        "event_type",
+        "n_days",
+        F.aggregate(elems, seed, step).alias("st"),
+    )
+    lvl = F.element_at(F.col("st"), 1)
+    trd = F.element_at(F.col("st"), 2)
+    return folded.select(
+        "event_type",
+        "n_days",
+        lvl.alias("level"),
+        trd.alias("trend"),
+        (lvl + F.lit(7.0) * trd).alias("forecast_7d"),
+    )
+
+
+_PW_SEGS = 4  # fixed quarter-split piecewise segments
+
+
+@query(
+    "timeseries_piecewise_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, SUM({_CENTS}) AS v FROM events GROUP BY 1),
+    ext AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+    seg AS (
+      SELECT LEAST({_PW_SEGS - 1},
+                   (d - dmin) * {_PW_SEGS} // (dmax - dmin + 1))
+               AS segment,
+             d - dmin AS x, v
+      FROM daily, ext),
+    stacked AS (
+      SELECT segment, x, v FROM seg
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS segment, x, v FROM seg),
+    s AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(v) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * v) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM stacked GROUP BY 1),
+    m AS (
+      SELECT segment, n,
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               AS slope
+      FROM s WHERE n >= 2)
+    SELECT m.segment, m.n AS n_days, slope AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(m.n AS DOUBLE) AS intercept_cents
+    FROM m JOIN s ON s.segment = m.segment
+    """,
+)
+def timeseries_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise linear trend of daily event revenue: exact OLS slope
+    and intercept per fixed quarter of the observed day range, plus a
+    ``segment = -1`` row for the whole series — the "did the trend
+    BREAK mid-history" readout that a single global slope hides
+    (compare each quarter's slope against the -1 row).
+
+    Exactness: x is the day offset from the series start (small
+    integers), so all five OLS power sums are exact int64/HUGEINT /
+    DECIMAL(38,0); slope and intercept are one shared IEEE chain.
+    Scale: one map-side-combinable daily groupBy, a broadcast 1-row
+    extent, a 2x stack of the calendar-bounded day frame, and a
+    5-group aggregate — nothing grows with the event count.
+    """
+    tune(spark)
+    daily = _daily_cents(spark, sf_dir)
+    ext = daily.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    seg = daily.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(_PW_SEGS - 1),
+            F.floor(
+                (F.col("d") - F.col("dmin"))
+                * _PW_SEGS
+                / (F.col("dmax") - F.col("dmin") + 1)
+            ),
+        )
+        .cast("long")
+        .alias("segment"),
+        (F.col("d") - F.col("dmin")).alias("xo"),
+        F.col("x").alias("v"),
+    )
+    stacked = seg.unionAll(
+        seg.select(
+            F.lit(-1).cast("long").alias("segment"), "xo", "v"
+        )
+    )
+    s = stacked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xo").cast("long").alias("sx"),
+        F.sum("v").cast("long").alias("sy"),
+        F.sum(F.col("xo").cast("decimal(19,0)") * F.col("v")).alias("sxy"),
+        F.sum(F.col("xo").cast("decimal(19,0)") * F.col("xo")).alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("decimal(10,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sy")
+    ).cast("double") / (
+        F.col("n").cast("decimal(10,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+    ).cast("double")
+    return s.filter(F.col("n") >= 2).select(
+        "segment",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    )
+
+
+_DTW_L = 28  # series length: the last 28 days of the order calendar
+
+
+@query(
+    "timeseries_dtw_nation_pairs",
+    oracle=f"""
+    WITH ext AS (
+      SELECT date_diff('day', DATE '1970-01-01', MAX(o_orderdate)) AS dmax
+      FROM orders),
+    daily AS (
+      SELECT n_name AS nation,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS v
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey, ext
+      WHERE date_diff('day', DATE '1970-01-01', o_orderdate)
+              > dmax - {_DTW_L}
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT nation, dmax - {_DTW_L} + CAST(u.i AS BIGINT) AS d
+      FROM (SELECT DISTINCT nation FROM daily),
+           ext, UNNEST(range(1, {_DTW_L} + 1)) AS u(i)),
+    ser AS (
+      SELECT grid.nation,
+             list(CAST(COALESCE(daily.v, 0) AS BIGINT) ORDER BY grid.d) AS xs
+      FROM grid LEFT JOIN daily
+        ON daily.nation = grid.nation AND daily.d = grid.d
+      GROUP BY 1),
+    pairs AS (
+      SELECT sa.nation AS nation_a, sa.xs AS a,
+             sb.nation AS nation_b, sb.xs AS b
+      FROM ser sa JOIN ser sb ON sa.nation < sb.nation),
+    dp AS (
+      SELECT nation_a, nation_b, a, b,
+        list_reduce(
+          list_prepend(
+            list_reduce(
+              list_prepend([abs(a[1] - b[1])],
+                           list_transform(range(2, {_DTW_L} + 1),
+                                          j -> [CAST(j AS BIGINT)])),
+              (r, jl) -> list_append(r, abs(a[1] - b[jl[1]]) + r[len(r)])),
+            list_transform(range(2, {_DTW_L} + 1),
+                           i -> [CAST(i AS BIGINT)])),
+          (acc, il) ->
+            list_reduce(
+              list_prepend([abs(a[il[1]] - b[1]) + acc[1]],
+                           list_transform(range(2, {_DTW_L} + 1),
+                                          j -> [CAST(j AS BIGINT)])),
+              (r, jl) -> list_append(r, abs(a[il[1]] - b[jl[1]])
+                         + LEAST(acc[jl[1]], acc[jl[1] - 1], r[len(r)])))
+        ) AS lastrow
+      FROM pairs)
+    SELECT nation_a, nation_b,
+           CAST(lastrow[{_DTW_L}] AS BIGINT) AS dtw_cents,
+           CAST(lastrow[{_DTW_L}] AS DOUBLE)
+             / CAST({_DTW_L} AS DOUBLE) / CAST(100 AS DOUBLE)
+             AS dtw_dollars_per_step
+    FROM dp
+    """,
+)
+def timeseries_dtw_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of nations'
+    daily order-revenue series over the last 28 calendar days — the
+    shape-similarity measure that Euclidean distance gets wrong when
+    two markets move identically but a day or two out of phase
+    (holidays, time zones, payment batching). The operator Spark does
+    not ship: a full O(L^2) DP per pair.
+
+    The DP recursion D[i][j] = |a_i - b_j| + min(D[i-1][j],
+    D[i][j-1], D[i-1][j-1]) runs as a NESTED FOLD: the outer fold
+    carries the previous DP row, the inner fold builds the current
+    row left-to-right — Spark nested ``aggregate`` and DuckDB nested
+    ``list_reduce`` execute the identical recurrence, and every cell
+    is an exact INTEGER (cents), so parity needs no float discipline
+    at all. List-typed fold elements on the DuckDB side (the
+    ``timeseries_holt_linear`` doctrine: list accumulators evaluate
+    against pre-step state; struct accumulators do not).
+
+    Scale shape: the series frame is nation x 28 days (bounded by the
+    calendar and the dimension, never the fact table); the 300-pair
+    cross join is a broadcast of a 25-row frame; each DP is 784
+    integer ops inside JVM codegen. At 100 TB the only part that
+    touches the fact table is the map-side-combinable daily groupBy
+    behind a pushed-down date filter.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    od = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d"),
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+    )
+    ext = od.agg(F.max("d").alias("dmax"))
+    daily = (
+        od.crossJoin(F.broadcast(ext))
+        .filter(F.col("d") > F.col("dmax") - _DTW_L)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "d")
+        .agg(F.sum("cents").alias("v"))
+    )
+    grid = (
+        daily.select("nation")
+        .distinct()
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "nation",
+            F.explode(
+                F.sequence(
+                    F.col("dmax") - _DTW_L + 1, F.col("dmax")
+                )
+            ).alias("d"),
+        )
+    )
+    d2 = daily.select(
+        F.col("nation").alias("n2"), F.col("d").alias("dd"), "v"
+    )
+    ser = (
+        grid.join(
+            d2,
+            (F.col("n2") == F.col("nation")) & (F.col("dd") == F.col("d")),
+            "left",
+        )
+        .groupBy("nation")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("d").alias("d"),
+                            F.coalesce(F.col("v"), F.lit(0).cast("long")).alias(
+                                "v"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ).alias("xs"),
+        )
+    )
+    sa = ser.select(F.col("nation").alias("nation_a"), F.col("xs").alias("a"))
+    sb = ser.select(F.col("nation").alias("nation_b"), F.col("xs").alias("b"))
+    pairs = sa.join(
+        F.broadcast(sb), F.col("nation_a") < F.col("nation_b")
+    )
+
+    a, b = F.col("a"), F.col("b")
+
+    def cost(i, j):
+        return F.abs(F.element_at(a, i) - F.element_at(b, j))
+
+    row1 = F.aggregate(
+        F.sequence(F.lit(2), F.lit(_DTW_L)),
+        F.array(cost(F.lit(1), F.lit(1))),
+        lambda r, j: F.concat(
+            r, F.array(cost(F.lit(1), j) + F.element_at(r, F.size(r)))
+        ),
+    )
+    lastrow = F.aggregate(
+        F.sequence(F.lit(2), F.lit(_DTW_L)),
+        row1,
+        lambda acc, i: F.aggregate(
+            F.sequence(F.lit(2), F.lit(_DTW_L)),
+            F.array(cost(i, F.lit(1)) + F.element_at(acc, 1)),
+            lambda r, j: F.concat(
+                r,
+                F.array(
+                    cost(i, j)
+                    + F.least(
+                        F.element_at(acc, j),
+                        F.element_at(acc, j - 1),
+                        F.element_at(r, F.size(r)),
+                    )
+                ),
+            ),
+        ),
+    )
+    dp = pairs.select(
+        "nation_a",
+        "nation_b",
+        F.element_at(lastrow, _DTW_L).alias("dtw_cents"),
+    )
+    return dp.select(
+        "nation_a",
+        "nation_b",
+        "dtw_cents",
+        (
+            F.col("dtw_cents").cast("double")
+            / F.lit(float(_DTW_L))
+            / F.lit(100.0)
+        ).alias("dtw_dollars_per_step"),
+    )
+
+
+_RQ_WIN = 28  # trailing window (days) for the rolling quantile band
+
+
+@query(
+    "timeseries_rolling_quantile_band",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DAY} AS d, SUM({_CENTS}) AS x FROM events GROUP BY 1),
+    win AS (
+      SELECT a.d AS td, b.d AS md, b.x AS mx
+      FROM daily a JOIN daily b
+        ON b.d BETWEEN a.d - {_RQ_WIN - 1} AND a.d),
+    ranked AS (
+      SELECT w1.td, w1.md, w1.mx, CAST(COUNT(*) AS BIGINT) AS r
+      FROM win w1 JOIN win w2
+        ON w2.td = w1.td
+       AND (w2.mx < w1.mx OR (w2.mx = w1.mx AND w2.md <= w1.md))
+      GROUP BY 1, 2, 3),
+    sized AS (
+      SELECT td, CAST(COUNT(*) AS BIGINT) AS n FROM win GROUP BY 1)
+    SELECT ranked.td AS day_idx, MIN(n) AS n_window,
+           CAST(MAX(CASE WHEN r = (n + 9) // 10 THEN mx END) AS BIGINT)
+             AS p10_cents,
+           CAST(MAX(CASE WHEN r = (n + 1) // 2 THEN mx END) AS BIGINT)
+             AS p50_cents,
+           CAST(MAX(CASE WHEN r = (9 * n + 9) // 10 THEN mx END) AS BIGINT)
+             AS p90_cents
+    FROM ranked JOIN sized ON sized.td = ranked.td
+    GROUP BY ranked.td
+    """,
+)
+def timeseries_rolling_quantile_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing 28-day EXACT p10/p50/p90 band of daily event revenue —
+    the robust alternative to the Bollinger mean+/-2sigma band
+    (``timeseries_bollinger_breaches``): order statistics don't move
+    when one outlier day lands in the window, so the band is the one
+    ops teams alert on for heavy-tailed revenue.
+
+    Exact order statistics without approximation or a global sort:
+    the window membership is a day-offset range join on the
+    calendar-bounded daily frame, each member's within-window rank is
+    a second bounded join (28 comparisons per member), and the k-th
+    smallest (k = ceil(q*n), integer arithmetic) is selected by rank
+    equality — all integer cents end to end, no float enters any
+    boundary. Scale: the frames are day-count-bounded model frames
+    (~28x and ~784x the day count), independent of event volume.
+    """
+    tune(spark)
+    daily = _daily_cents(spark, sf_dir)
+    b = daily.select(F.col("d").alias("md"), F.col("x").alias("mx"))
+    win = daily.join(
+        F.broadcast(b),
+        (F.col("md") >= F.col("d") - (_RQ_WIN - 1)) & (F.col("md") <= F.col("d")),
+    ).select(F.col("d").alias("td"), "md", "mx")
+    win = win.persist()
+    w2 = win.select(
+        F.col("td").alias("td2"), F.col("md").alias("md2"), F.col("mx").alias("mx2")
+    )
+    ranked = (
+        win.join(
+            w2,
+            (F.col("td2") == F.col("td"))
+            & (
+                (F.col("mx2") < F.col("mx"))
+                | ((F.col("mx2") == F.col("mx")) & (F.col("md2") <= F.col("md")))
+            ),
+        )
+        .groupBy("td", "md", "mx")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    sized = win.groupBy(F.col("td").alias("td3")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    k10 = F.floor((F.col("n") + 9) / 10).cast("long")
+    k50 = F.floor((F.col("n") + 1) / 2).cast("long")
+    k90 = F.floor((9 * F.col("n") + 9) / 10).cast("long")
+    out = (
+        ranked.join(sized, F.col("td3") == F.col("td"))
+        .groupBy(F.col("td").alias("day_idx"))
+        .agg(
+            F.min("n").alias("n_window"),
+            F.max(F.when(F.col("r") == k10, F.col("mx")))
+            .cast("long")
+            .alias("p10_cents"),
+            F.max(F.when(F.col("r") == k50, F.col("mx")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.max(F.when(F.col("r") == k90, F.col("mx")))
+            .cast("long")
+            .alias("p90_cents"),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    win.unpersist()
+    return rows

@@ -285,7 +285,30 @@ _EXTERNALLY_VERIFIED = frozenset(
 # oracles; the TF-IDF pair re-quantized to 1e4) — those want external
 # re-verification even though earlier rounds sampled them.
 _SAMPLE_PRIORITY = (
-    # round-8 second wave (newest first: never externally sampled)
+    # round-8 third..sixth wave (newest first: never sampled)
+    "timeseries_rolling_quantile_band",
+    "text_kneser_ney_bigram",
+    "ml_gini_feature_gain",
+    "ml_uplift_aa_screen",
+    "stats_beta_binomial_posterior",
+    "timeseries_dtw_nation_pairs",
+    "stats_permutation_test_mean_diff",
+    "supply_abc_xyz_matrix",
+    "eval_auc_delong_se",
+    "graph_rich_club",
+    "timeseries_piecewise_trend",
+    "text_rouge1_candidates",
+    "finance_rsi_wilder",
+    "finance_var_es_daily",
+    "finance_sharpe_sortino_brand",
+    "timeseries_holt_linear",
+    "eval_brier_decomposition",
+    "eval_expected_calibration_error",
+    "stats_cramer_von_mises",
+    "stats_wasserstein_acctbal_nation",
+    "supply_bullwhip_ratio",
+    "graph_local_clustering",
+    # round-8 second wave
     "events_session_cooccurrence_lift",
     "embedding_centroid_separation",
     "ml_gains_lift_deciles",
@@ -338,6 +361,7 @@ def load_all() -> dict[str, QuerySpec]:
         entity,
         events,
         events2,
+        finance,
         geo,
         graphplus,
         grouped,
