@@ -888,3 +888,82 @@ def sketch_kmv_audience_overlap(
             ).alias("intersection_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear counting sketch (Whang et al. 1990) for distinct users
+# ---------------------------------------------------------------------------
+
+_LC_M = 4096  # bitmap size: 2^12, so log2(m) is exactly 12
+_LC_LN2 = "0.6931471805599453"
+
+
+@query(
+    "sketch_linear_counting_users",
+    oracle=f"""
+    WITH hits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('lc:' || user_id), 1, 15)) AS BIGINT)
+               % {_LC_M} AS slot
+      FROM events),
+    occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS filled FROM hits),
+    ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events)
+    SELECT {_LC_M} AS m, filled,
+           CAST({_LC_M} - filled AS BIGINT) AS empty_slots,
+           CAST({_LC_M} AS DOUBLE) * CAST({_LC_LN2} AS DOUBLE)
+             * (CAST(12000000 AS BIGINT)
+                - CAST(FLOOR(log2(CAST({_LC_M} - filled AS DOUBLE))
+                             * 1000000) AS BIGINT))
+             / CAST(1000000 AS DOUBLE) AS lc_estimate,
+           exact_users
+    FROM occ, ex
+    """,
+)
+def sketch_linear_counting_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear counting (Whang et al. 1990) estimate of distinct users:
+    hash every user into an m = 4096-slot bitmap and estimate
+    n ~ m * ln(m / empty_slots) — the low-cardinality-accurate sketch
+    that complements HLL (``sketch_hll_mergeable_rollup``): LC beats
+    HLL below ~m distinct values, and its occupancy map is trivially
+    mergeable (OR) across partitions and days.
+
+    Exactness: slots come from the cross-engine md5 mixer; occupancy
+    is an exact distinct-count; ln(m/V) factors into
+    ``ln2 * (log2 m - log2 V)`` where log2 m is exactly 12 and
+    log2 V rides the audited 1e6 fixed-point integer-log quantization
+    (``tests/test_ilog_quantization.py`` gates Spark==DuckDB floored
+    ilogs for integer arguments) — so the estimate, like the
+    entropy family, is a DEFINED deterministic quantity, not a
+    float race. Scale: one map-side distinct on 4096 keys.
+    """
+    tune(spark)
+    from ..functions.hashing import md5_long
+
+    e = table(spark, sf_dir, "events")
+    hits = (
+        e.select(
+            (md5_long(F.col("user_id").cast("string"), salt="lc") % _LC_M).alias(
+                "slot"
+            )
+        )
+        .distinct()
+    )
+    occ = hits.agg(F.count(F.lit(1)).cast("long").alias("filled"))
+    ex = e.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    empty = (F.lit(_LC_M) - F.col("filled")).cast("long")
+    ilog_v = F.floor(F.log2(empty.cast("double")) * 1000000).cast("long")
+    return occ.crossJoin(F.broadcast(ex)).select(
+        F.lit(_LC_M).alias("m"),
+        "filled",
+        empty.alias("empty_slots"),
+        (
+            F.lit(float(_LC_M))
+            * F.lit(float(_LC_LN2))
+            * (F.lit(12000000).cast("long") - ilog_v)
+            / F.lit(1000000.0)
+        ).alias("lc_estimate"),
+        "exact_users",
+    )

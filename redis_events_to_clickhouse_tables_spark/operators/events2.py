@@ -1097,3 +1097,101 @@ def events_session_cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-order regularity (subscription-likeness) per customer
+# ---------------------------------------------------------------------------
+
+_GAP_MIN_ORDERS = 4  # >= 3 gaps so the CV has a df
+
+
+@query(
+    "customer_order_gap_regularity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    gaps AS (
+      SELECT a.ck, b.d - a.d AS g
+      FROM seq a JOIN seq b ON b.ck = a.ck AND b.rn = a.rn + 1),
+    s AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS s1,
+             CAST(SUM(g * g) AS BIGINT) AS s2
+      FROM gaps GROUP BY 1
+      HAVING COUNT(*) >= {_GAP_MIN_ORDERS - 1} AND SUM(g) > 0)
+    SELECT ck AS custkey, n AS n_gaps,
+           CAST(s1 AS DOUBLE) / n AS mean_gap_days,
+           sqrt(GREATEST(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (n - 1)), 0.0))
+             / (CAST(s1 AS DOUBLE) / n) AS gap_cv,
+           4 * n * (n * s2 - s1 * s1) <= (n - 1) * s1 * s1 AS regular
+    FROM s
+    """,
+)
+def customer_order_gap_regularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-order gap regularity per customer: mean gap, gap CV, and
+    a subscription-likeness flag (CV <= 0.5) — the cadence screen
+    that separates replenishment-like buyers (low CV: target with
+    auto-reorder) from bursty ones (high CV: target with win-back).
+    Complements ``orders_repeat_purchase_latency`` (typical gap
+    LENGTH; this reads gap STABILITY).
+
+    Exactness: gaps are integer days from consecutive order ranks
+    (window partitioned BY CUSTOMER — bounded partitions, never
+    global); CV is a power-sum chain, and the regularity flag is the
+    exact INTEGER inequality 4n(nS2 - S1^2) <= (n-1)S1^2 (the
+    ``supply_abc_xyz_matrix`` XYZ doctrine), so the boolean can never
+    flap on a float boundary.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    b = seq.select(
+        F.col("ck").alias("ck2"), F.col("d").alias("d2"), F.col("rn").alias("rn2")
+    )
+    gaps = seq.join(
+        b, (F.col("ck2") == F.col("ck")) & (F.col("rn2") == F.col("rn") + 1)
+    ).select("ck", (F.col("d2") - F.col("d")).alias("g"))
+    s = (
+        gaps.groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("g").cast("long").alias("s1"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+        )
+        .filter((F.col("n") >= _GAP_MIN_ORDERS - 1) & (F.col("s1") > 0))
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.greatest(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1)),
+        F.lit(0.0),
+    )
+    return s.select(
+        F.col("ck").alias("custkey"),
+        F.col("n").alias("n_gaps"),
+        mean.alias("mean_gap_days"),
+        (F.sqrt(var) / mean).alias("gap_cv"),
+        (
+            4
+            * F.col("n")
+            * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            <= (F.col("n") - 1) * F.col("s1") * F.col("s1")
+        ).alias("regular"),
+    )

@@ -830,3 +830,135 @@ def ml_uplift_aa_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rt - rc).alias("uplift"),
         (F.abs(rt - rc) > 2 * F.sqrt(se2)).alias("aa_alarm"),
     )
+
+
+_LC_FRACS = [1, 2, 4, 8, 16]  # keep 16/m of the md5 buckets => m in list
+
+
+@query(
+    "ml_stump_learning_curve",
+    oracle="""
+    WITH li AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS flag,
+             CAST(('0x' || substr(md5('lcv:' || l_orderkey || ':'
+                                       || l_linenumber), 1, 15)) AS BIGINT)
+               % 16 AS bucket
+      FROM lineitem),
+    full_ AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS nf,
+             CAST(SUM(y) AS BIGINT) AS sf
+      FROM li GROUP BY 1),
+    ms AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS m),
+    train AS (
+      SELECT m, flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM li JOIN ms ON bucket < m
+      GROUP BY m, flag),
+    pred AS (
+      SELECT m, flag,
+             CASE WHEN 2 * s > n THEN 1 ELSE 0 END AS yhat,
+             n AS train_n
+      FROM train),
+    acc AS (
+      SELECT pred.m,
+             CAST(SUM(train_n) AS BIGINT) AS train_rows,
+             CAST(SUM(CASE WHEN yhat = 1 THEN sf ELSE nf - sf END)
+                  AS BIGINT) AS n_correct,
+             CAST(SUM(nf) AS BIGINT) AS n_total
+      FROM pred JOIN full_ ON full_.flag = pred.flag
+      GROUP BY pred.m)
+    SELECT m AS n_buckets, train_rows, n_correct, n_total,
+           CAST(n_correct AS DOUBLE) / n_total AS accuracy
+    FROM acc
+    """,
+)
+def ml_stump_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of a one-split decision stump (quantity >= 25
+    predicting the return flag): the stump is fit on deterministic
+    md5-bucket samples of 1/16, 2/16, ... 16/16 of the data and
+    scored on the FULL set — the "how much labeled data do we
+    actually need" table that decides whether to buy more labels or
+    more features. A stable curve by 2/16 means the signal saturates
+    early; majority-class flips across fractions mean the feature is
+    noise.
+
+    Exactness: sampling is the cross-engine md5 mixer; the stump's
+    per-branch majority is the exact integer test ``2s > n``;
+    accuracy is exact integer counts with one shared division.
+    Scale: one md5 per row, a literal x5 threshold join on the
+    16-value bucket column, and two tiny grouped aggregates — the
+    fact table is scanned twice (train cells, full cells), never
+    joined to itself.
+    """
+    tune(spark)
+    from ..functions.hashing import md5_long
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(F.col("l_quantity") >= 25, 1).otherwise(0).alias("flag"),
+        (
+            md5_long(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                salt="lcv",
+            )
+            % 16
+        ).alias("bucket"),
+    )
+    li = li.persist()
+    full_ = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("nf"),
+        F.sum("y").cast("long").alias("sf"),
+    )
+    ms = li.sparkSession.createDataFrame(
+        [(m,) for m in _LC_FRACS], "m long"
+    )
+    train = (
+        li.join(F.broadcast(ms), F.col("bucket") < F.col("m"))
+        .groupBy("m", "flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+    pred = train.select(
+        "m",
+        "flag",
+        F.when(2 * F.col("s") > F.col("n"), 1).otherwise(0).alias("yhat"),
+        F.col("n").alias("train_n"),
+    )
+    f2 = full_.select(
+        F.col("flag").alias("flag2"), "nf", "sf"
+    )
+    acc = (
+        pred.join(F.broadcast(f2), F.col("flag2") == F.col("flag"))
+        .groupBy("m")
+        .agg(
+            F.sum("train_n").cast("long").alias("train_rows"),
+            F.sum(
+                F.when(F.col("yhat") == 1, F.col("sf")).otherwise(
+                    F.col("nf") - F.col("sf")
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.sum("nf").cast("long").alias("n_total"),
+        )
+    )
+    out = acc.select(
+        F.col("m").alias("n_buckets"),
+        "train_rows",
+        "n_correct",
+        "n_total",
+        (F.col("n_correct").cast("double") / F.col("n_total")).alias(
+            "accuracy"
+        ),
+    )
+    rows = out.persist()
+    rows.count()
+    li.unpersist()
+    return rows

@@ -2122,3 +2122,95 @@ def embedding_centroid_separation(
             ).alias("centroid_l2"),
         )
     )
+
+
+_HUB_QUERIES = 200  # vec_id < 200 sample the query workload
+_HUB_K = 5
+
+
+@query(
+    "embedding_hubness_koccurrence",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT b.vec_id AS c_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < {_HUB_QUERIES}),
+    occ AS (
+      SELECT c_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+      FROM ranked WHERE rk <= {_HUB_K} GROUP BY c_id),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus
+               FROM embeddings),
+    dist AS (
+      SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM occ
+      GROUP BY k_occ
+      UNION ALL
+      SELECT CAST(0 AS BIGINT) AS k_occ,
+             n_corpus - (SELECT COUNT(*) FROM occ) AS n_vectors
+      FROM corpus)
+    SELECT k_occ, n_vectors FROM dist
+    """,
+)
+def embedding_hubness_koccurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hubness profile of the embedding space: how many corpus vectors
+    appear in exactly j of the sampled queries' top-5 neighbor lists
+    (including j = 0, the never-retrieved "anti-hubs") — the
+    curse-of-dimensionality diagnostic (Radovanovic et al. 2010): a
+    heavy right tail means a few hub vectors dominate every neighbor
+    list, and ANN recall targets / dedup thresholds tuned on average
+    behavior will mislead.
+
+    Scale shape: the query side is a FIXED 200-vector broadcast
+    (workload sample, constant at any corpus size), so the scan is
+    corpus x 200 map-only cosines into a per-query bounded top-k —
+    the ``sim_bruteforce_topk`` topology; k-occurrence and its
+    distribution are two map-side-combinable groupBys. Cosines are
+    shared IEEE chains on float32 inputs promoted identically.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _HUB_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+    cosine = (
+        _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    occ = (
+        pairs.select("q_id", "c_id", cosine)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_occ"))
+    )
+    occ = occ.persist()
+    corpus = e.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    n_occ = occ.agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    dist = occ.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    zero = (
+        corpus.crossJoin(F.broadcast(n_occ))
+        .select(
+            F.lit(0).cast("long").alias("k_occ"),
+            (F.col("n_corpus") - F.col("n_occ")).cast("long").alias(
+                "n_vectors"
+            ),
+        )
+    )
+    out = dist.unionAll(zero)
+    rows = out.persist()
+    rows.count()
+    occ.unpersist()
+    return rows

@@ -1860,17 +1860,17 @@ def stats_wasserstein_acctbal_nation(
 # Randomization (permutation) test with deterministic md5 relabeling
 # ---------------------------------------------------------------------------
 
-_PERM_B = 64  # deterministic pseudo-permutations
+_PERM_B = 48  # deterministic pseudo-permutations (bits of one md5)
 
 
 @query(
     "stats_permutation_test_mean_diff",
     oracle=f"""
     WITH rows_ AS (
-      SELECT o_orderkey AS k,
-             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
                AS cents,
-             CASE WHEN o_orderpriority = '{_CVM_A}' THEN 1 ELSE 0 END AS ia
+             CASE WHEN o_orderpriority = '{_CVM_A}' THEN 1 ELSE 0 END AS ia,
+             {DUCKDB_MD5_LONG("'perm:' || o_orderkey")} AS h
       FROM orders
       WHERE o_orderpriority IN ('{_CVM_A}', '{_CVM_B}')),
     obs AS (
@@ -1886,9 +1886,7 @@ _PERM_B = 64  # deterministic pseudo-permutations
              CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS psa,
              CAST(SUM(CASE WHEN g = 0 THEN cents END) AS BIGINT) AS psb
       FROM (
-        SELECT cents, u.b,
-               CAST({DUCKDB_MD5_LONG("k || ':' || u.b")} % 2 AS INTEGER)
-                 AS g
+        SELECT cents, u.b, CAST((h >> u.b) & 1 AS INTEGER) AS g
         FROM rows_, UNNEST(range(0, {_PERM_B})) AS u(b))
       GROUP BY b),
     pd AS (
@@ -1914,29 +1912,31 @@ def stats_permutation_test_mean_diff(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Randomization test for the URGENT-vs-LOW mean order-value
-    difference: 64 DETERMINISTIC pseudo-permutations relabel each
-    order by an md5 coin (``md5(key:b) % 2``), and the p-value is the
-    add-one-smoothed share of relabelings whose |mean difference|
-    meets or beats the observed one — the distribution-free
-    significance readout that needs no normality or variance
-    assumptions, made reproducible (and oracle-checkable) by replacing
-    the RNG with the cross-engine md5 mixer (``functions/hashing``
-    doctrine: md5 as deterministic mixer, not crypto).
+    difference: 48 DETERMINISTIC pseudo-permutations relabel each
+    order by the 48 low bits of ONE md5 per order (bit b is
+    permutation b's coin), and the p-value is the add-one-smoothed
+    share of relabelings whose |mean difference| meets or beats the
+    observed one — the distribution-free significance readout that
+    needs no normality or variance assumptions, made reproducible
+    (and oracle-checkable) by replacing the RNG with the cross-engine
+    md5 mixer (``functions/hashing`` doctrine).
 
     Exactness: every group sum is exact integer cents; each mean
     difference is two shared IEEE divisions; the >= comparisons see
-    bit-identical doubles in both engines. Scale: a literal x64
-    explode into ONE map-side-combinable groupBy — no join, no
-    window, no shuffle growth beyond the 64-row permutation frame.
+    bit-identical doubles in both engines. Scale: ONE md5 per fact
+    row (not one per permutation — bit extraction makes the x48
+    fan-out pure integer shifts inside codegen), then a literal x48
+    explode into one map-side-combinable 48-group aggregate — no
+    join, no window.
     """
     tune(spark)
     from ..functions.hashing import md5_long
 
     o = table(spark, sf_dir, "orders")
     rows = o.filter(F.col("o_orderpriority").isin(_CVM_A, _CVM_B)).select(
-        F.col("o_orderkey").cast("string").alias("k"),
         (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
         F.when(F.col("o_orderpriority") == _CVM_A, 1).otherwise(0).alias("ia"),
+        md5_long(F.col("o_orderkey").cast("string"), salt="perm").alias("h"),
     )
     rows = rows.persist()
     obs = rows.agg(
@@ -1945,17 +1945,17 @@ def stats_permutation_test_mean_diff(
         F.sum(F.when(F.col("ia") == 1, F.col("cents"))).cast("long").alias("sa"),
         F.sum(F.when(F.col("ia") == 0, F.col("cents"))).cast("long").alias("sb"),
     )
-    g = (
-        md5_long(F.concat_ws(":", F.col("k"), F.col("b"))) % 2
-    ).cast("int")
     perm = (
-        rows.select("k", "cents")
-        .select(
-            "k",
+        rows.select(
             "cents",
+            "h",
             F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
         )
-        .select("cents", "b", g.alias("g"))
+        .select(
+            "cents",
+            "b",
+            F.expr("CAST(shiftright(h, CAST(b AS INT)) & 1 AS INT)").alias("g"),
+        )
         .groupBy("b")
         .agg(
             F.sum("g").cast("long").alias("pna"),
@@ -2072,3 +2072,249 @@ def stats_beta_binomial_posterior(
         ).alias("post_var"),
         (s1 / n2 - F.col("s").cast("double") / nd).alias("shrinkage"),
     )
+
+
+@query(
+    "stats_mood_median_test",
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    dv AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dv),
+    med AS (
+      SELECT MIN(cents) AS med FROM (
+        SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum FROM dv), tot
+      WHERE cum >= (n + 1) // 2),
+    cells AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN cents > med THEN 1 ELSE 0 END) AS BIGINT)
+               AS above,
+             CAST(SUM(CASE WHEN cents <= med THEN 1 ELSE 0 END) AS BIGINT)
+               AS at_or_below
+      FROM rows_, med GROUP BY 1),
+    long_ AS (
+      SELECT g, 1 AS side, above AS obs FROM cells
+      UNION ALL
+      SELECT g, 0 AS side, at_or_below AS obs FROM cells),
+    rt AS (SELECT g, CAST(SUM(obs) AS BIGINT) AS rtot FROM long_ GROUP BY 1),
+    ct AS (SELECT side, CAST(SUM(obs) AS BIGINT) AS ctot
+           FROM long_ GROUP BY 1),
+    terms AS (
+      SELECT CAST(FLOOR(
+               ((CAST(obs AS DOUBLE)
+                 - CAST(rtot * ctot AS DOUBLE) / n)
+                * (CAST(obs AS DOUBLE)
+                   - CAST(rtot * ctot AS DOUBLE) / n)
+                / (CAST(rtot * ctot AS DOUBLE) / n)) * 1000000)
+               AS BIGINT) AS t6
+      FROM long_ JOIN rt USING (g) JOIN ct USING (side) CROSS JOIN tot)
+    SELECT (SELECT med FROM med) AS median_cents,
+           (SELECT n FROM tot) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(4 AS BIGINT) AS dof,
+           CAST(SUM(t6) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2
+    FROM terms
+    """,
+)
+def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities: is the
+    share of order values ABOVE the grand median the same in every
+    priority class? The bluntest, most outlier-proof k-sample
+    location test — the cross-check a analyst runs when
+    ``stats_kruskal_wallis`` (rank-based) and ANOVA (mean-based)
+    disagree.
+
+    Exactness: the grand lower median is an exact order statistic
+    from the distinct-value prefix scan (``bucketed_prefix_sums``,
+    never a global window on the Spark side); the 5x2 contingency
+    cells are exact integers; each chi-square term is floor-scaled to
+    int64 (x1e6) before summation — the ``stats_chi2_nation_segment``
+    order-free-reduction doctrine. Scale: one distinct-value scan +
+    one grouped aggregate over the fact table.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    rows = o.select(
+        F.col("o_orderpriority").alias("g"),
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+    )
+    dv = rows.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = bucketed_prefix_sums(dv, "cents", ["c"])
+    tot = dv.agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_c") >= F.floor((F.col("n") + 1) / 2))
+        .agg(F.min("cents").alias("med"))
+    )
+    cells = (
+        rows.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("cents") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.when(F.col("cents") <= F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("at_or_below"),
+        )
+    )
+    long_ = cells.select(
+        "g", F.lit(1).alias("side"), F.col("above").alias("obs")
+    ).unionAll(
+        cells.select(
+            "g", F.lit(0).alias("side"), F.col("at_or_below").alias("obs")
+        )
+    )
+    rt = long_.groupBy("g").agg(F.sum("obs").cast("long").alias("rtot"))
+    ct = long_.groupBy("side").agg(F.sum("obs").cast("long").alias("ctot"))
+    j = (
+        long_.join(F.broadcast(rt), "g")
+        .join(F.broadcast(ct), "side")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (F.col("rtot") * F.col("ctot")).cast("double") / F.col("n")
+    d = F.col("obs").cast("double") - exp
+    term = d * d / exp
+    chi2 = (
+        F.sum(F.floor(term * F.lit(1000000.0)).cast("long")).cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("n").alias("n_orders"),
+            chi2.alias("chi2"),
+        )
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("med").alias("median_cents"),
+            "n_orders",
+            "n_cells",
+            F.lit(4).cast("long").alias("dof"),
+            "chi2",
+        )
+    )
+
+
+@query(
+    "stats_cochran_q_event_types",
+    oracle="""
+    WITH cnts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    flags AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rk
+        FROM cnts)
+      WHERE rk <= 2),
+    k_ AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM cnts),
+    r0 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ri
+           FROM flags GROUP BY 1),
+    -- blocks with all-0 or all-k responses carry no within-block
+    -- contrast and are dropped (standard Cochran practice)
+    keep AS (SELECT user_id, ri FROM r0, k_ WHERE ri >= 1 AND ri < k),
+    f2 AS (SELECT flags.user_id, event_type
+           FROM flags JOIN keep ON keep.user_id = flags.user_id),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cj
+          FROM f2 GROUP BY 1),
+    rs AS (SELECT CAST(SUM(ri) AS BIGINT) AS sr,
+                  CAST(SUM(ri * ri) AS BIGINT) AS srr,
+                  CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM keep),
+    cs AS (SELECT CAST(SUM(cj) AS BIGINT) AS sc,
+                  CAST(SUM(cj * cj) AS BIGINT) AS scc
+           FROM c)
+    SELECT n_users, k AS n_treatments,
+           CAST((k - 1) * (k * scc - sc * sc) AS DOUBLE)
+             / CAST(k * sr - srr AS DOUBLE) AS q_stat,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM rs, cs, k_
+    """,
+)
+def stats_cochran_q_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's Q across the five event types: with each user as a
+    block and "is type t among this user's TOP-2 most frequent types"
+    as the binary response, Q tests whether the five types are
+    equally often a user staple — the k-treatment generalization of
+    McNemar (``stats_mcnemar_urgent_halves``) and the
+    preference-parity screen a product-analytics review starts with.
+    (The naive "ever emitted type t" response saturates — active
+    users touch every type — so the top-2 framing is what makes the
+    blocks informative.)
+
+    Exactness: Q = (k-1)(k*sum C_j^2 - (sum C_j)^2) /
+    (k*sum R_i - sum R_i^2) is a pure integer expression of row/column
+    totals of the 0/1 participation matrix — one shared IEEE division
+    at the end. Blocks with all-0 or all-k responses carry no
+    within-block contrast and are dropped first (standard Cochran
+    practice; it also keeps the denominator strictly positive). Scale:
+    one DISTINCT (user, type) projection (map-side combinable), then
+    two tiny marginal aggregates; the user x type matrix is never
+    materialized.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    cnts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cnts = cnts.persist()
+    wtop = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    flags = (
+        cnts.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 2)
+        .select("user_id", "event_type")
+    )
+    flags = flags.persist()
+    r0 = flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ri")
+    )
+    k_ = cnts.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    keep = r0.crossJoin(F.broadcast(k_)).filter(
+        (F.col("ri") >= 1) & (F.col("ri") < F.col("k"))
+    ).select("user_id", "ri")
+    f2 = flags.join(keep.select("user_id"), "user_id")
+    c = f2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cj")
+    )
+    rs = keep.agg(
+        F.sum("ri").cast("long").alias("sr"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("srr"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    cs = c.agg(
+        F.sum("cj").cast("long").alias("sc"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("scc"),
+    )
+    out = (
+        rs.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(k_))
+        .select(
+            "n_users",
+            F.col("k").alias("n_treatments"),
+            (
+                (
+                    (F.col("k") - 1)
+                    * (F.col("k") * F.col("scc") - F.col("sc") * F.col("sc"))
+                ).cast("double")
+                / (F.col("k") * F.col("sr") - F.col("srr")).cast("double")
+            ).alias("q_stat"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    flags.unpersist()
+    return rows

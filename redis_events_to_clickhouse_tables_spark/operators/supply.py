@@ -414,16 +414,15 @@ _REV_PART_CENTS = (
       SELECT l_partkey AS pk, {_REV_PART_CENTS} AS rc
       FROM lineitem GROUP BY 1),
     tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS trc FROM rev),
+    dv AS (SELECT rc, CAST(SUM(rc) AS BIGINT) AS vrev FROM rev GROUP BY 1),
     ranked AS (
-      SELECT pk, rc,
-             SUM(rc) OVER (ORDER BY rc DESC, pk) AS cum
-      FROM rev),
+      SELECT rc, SUM(vrev) OVER (ORDER BY rc DESC) AS cum FROM dv),
     abc AS (
-      SELECT pk, rc,
+      SELECT pk, rev.rc,
              CASE WHEN cum * 5 <= trc * 4 THEN 'A'
                   WHEN cum * 20 <= trc * 19 THEN 'B'
                   ELSE 'C' END AS abc_class
-      FROM ranked, tot),
+      FROM rev JOIN ranked ON ranked.rc = rev.rc, tot),
     wk AS (
       SELECT l_partkey AS pk,
              date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS w,
@@ -461,33 +460,50 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order).
 
     Exactness: ABC boundaries are integer inequalities on exact
-    cumulative revenue (``cum*5 <= tot*4``); XYZ thresholds avoid
-    floats entirely via the equivalent integer form ``c*n*(n*S2-S^2)
-    <= (n-1)*S^2`` in HUGEINT/DECIMAL(38,0) — no CV is ever
-    materialized, so no boundary can flap. Scale: cumulative revenue
-    rides ``global_rank_desc`` + ``bucketed_prefix_sums`` (never a
-    global window); weekly moments are map-side-combinable groupBys.
+    cumulative revenue (``cum*5 <= tot*4``), accumulated over the
+    DISTINCT revenue-value frame in descending order so parts with
+    identical revenue always share a class (no arbitrary tiebreak
+    splits a boundary); XYZ thresholds avoid floats entirely via the
+    equivalent integer form ``c*n*(n*S2-S^2) <= (n-1)*S^2`` in
+    HUGEINT/DECIMAL(38,0) — no CV is ever materialized, so no
+    boundary can flap. Scale: the cumulative rides
+    ``bucketed_prefix_sums`` on the value frame (never a global
+    window, no per-part rank needed); weekly moments are
+    map-side-combinable groupBys.
     """
     tune(spark)
     from ..functions.numeric import one_dec
-    from ..functions.ranks import bucketed_prefix_sums, global_rank_desc
+    from ..functions.ranks import bucketed_prefix_sums
 
     li = table(spark, sf_dir, "lineitem")
     rev_expr = dec("l_extendedprice", 14) * (one_dec() - dec("l_discount", 3))
-    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.floor(F.sum(rev_expr) * 100).cast("long").alias("rc")
+    # persist the per-part frames: the rank/prefix helpers each issue
+    # O(1) driver collects whose lineage would otherwise re-run the
+    # full lineitem aggregation 4-5x
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.floor(F.sum(rev_expr) * 100).cast("long").alias("rc"))
+        .persist()
     )
-    ranked, _n = global_rank_desc(rev, "rc", "pk", rank_col="r")
-    cum = bucketed_prefix_sums(ranked, "r", ["rc"])
+    dv = rev.groupBy("rc").agg(F.sum("rc").cast("long").alias("vrev"))
+    cumv = bucketed_prefix_sums(
+        dv.select((-F.col("rc")).alias("negrc"), "rc", "vrev"),
+        "negrc",
+        ["vrev"],
+    ).select(F.col("rc").alias("rc2"), F.col("cum_vrev").alias("cum"))
     tot = rev.agg(F.sum("rc").cast("long").alias("trc"))
-    abc = cum.crossJoin(F.broadcast(tot)).select(
-        "pk",
-        "rc",
-        "trc",
-        F.when(F.col("cum_rc") * 5 <= F.col("trc") * 4, "A")
-        .when(F.col("cum_rc") * 20 <= F.col("trc") * 19, "B")
-        .otherwise("C")
-        .alias("abc_class"),
+    abc = (
+        rev.join(F.broadcast(cumv), F.col("rc2") == F.col("rc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk",
+            "rc",
+            "trc",
+            F.when(F.col("cum") * 5 <= F.col("trc") * 4, "A")
+            .when(F.col("cum") * 20 <= F.col("trc") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
     )
     wk = li.groupBy(
         F.col("l_partkey").alias("pk"),
@@ -526,7 +542,7 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     )
-    return (
+    out = (
         abc.join(xyz, "pk")
         .groupBy("abc_class", "xyz_class", "trc")
         .agg(
@@ -541,5 +557,106 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue_cents").cast("double") / F.col("trc")).alias(
                 "revenue_share"
             ),
+        )
+    )
+    rows = out.persist()
+    rows.count()
+    rev.unpersist()
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Economic order quantity per part
+# ---------------------------------------------------------------------------
+
+_EOQ_ORDER_COST = 75  # $ fixed cost per replenishment order (model param)
+_EOQ_HOLD_RATE = "0.2"  # annual holding cost as a fraction of unit price
+
+
+@query(
+    "supply_eoq_model",
+    oracle=f"""
+    WITH dem AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(MIN(date_diff('day', DATE '1970-01-01', l_shipdate))
+                  AS BIGINT) AS d0,
+             CAST(MAX(date_diff('day', DATE '1970-01-01', l_shipdate))
+                  AS BIGINT) AS d1
+      FROM lineitem GROUP BY 1),
+    ann AS (
+      SELECT pk, d, n_lines,
+             CAST(d AS DOUBLE) * CAST(365 AS DOUBLE)
+               / CAST(d1 - d0 + 1 AS DOUBLE) AS annual_demand
+      FROM dem WHERE d1 > d0),
+    px AS (SELECT p_partkey, p_retailprice FROM part)
+    SELECT pk AS partkey, d AS total_qty, n_lines, annual_demand,
+           sqrt(CAST(2 AS DOUBLE) * {_EOQ_ORDER_COST} * annual_demand
+                / (CAST({_EOQ_HOLD_RATE} AS DOUBLE)
+                   * CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)))
+             AS eoq_units,
+           annual_demand
+             / sqrt(CAST(2 AS DOUBLE) * {_EOQ_ORDER_COST} * annual_demand
+                    / (CAST({_EOQ_HOLD_RATE} AS DOUBLE)
+                       * CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                              AS DOUBLE)))
+             AS orders_per_year
+    FROM ann JOIN px ON p_partkey = pk
+    """,
+)
+def supply_eoq_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per part: the classic Wilson formula
+    EOQ = sqrt(2*K*D / h) with K = $75 per order, D = annualized
+    shipped demand, h = 20% of the part's retail price — the
+    replenishment lot size that balances ordering cost against
+    holding cost, plus the implied orders-per-year cadence. Completes
+    the replenishment pair with ``part_reorder_point`` (WHEN to
+    order; EOQ is HOW MUCH).
+
+    Exactness: demand and the active-day span are exact integers;
+    annualization, the EOQ square root, and the cadence are one
+    shared IEEE chain (sqrt is correctly rounded in both engines).
+    Scale: one map-side-combinable per-part groupBy + a broadcast
+    part-price join.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    dd = F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01")))
+    dem = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(dec("l_quantity", 12)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min(dd).cast("long").alias("d0"),
+        F.max(dd).cast("long").alias("d1"),
+    )
+    ann = dem.filter(F.col("d1") > F.col("d0")).select(
+        "pk",
+        "d",
+        "n_lines",
+        (
+            F.col("d").cast("double")
+            * F.lit(365.0)
+            / (F.col("d1") - F.col("d0") + 1).cast("double")
+        ).alias("annual_demand"),
+    )
+    eoq = F.sqrt(
+        F.lit(2.0)
+        * F.lit(_EOQ_ORDER_COST)
+        * F.col("annual_demand")
+        / (
+            F.lit(float(_EOQ_HOLD_RATE))
+            * dec("p_retailprice", 12).cast("double")
+        )
+    )
+    return (
+        ann.join(F.broadcast(p), F.col("p_partkey") == F.col("pk"))
+        .select(
+            F.col("pk").alias("partkey"),
+            F.col("d").alias("total_qty"),
+            "n_lines",
+            "annual_demand",
+            eoq.alias("eoq_units"),
+            (F.col("annual_demand") / eoq).alias("orders_per_year"),
         )
     )

@@ -1268,3 +1268,132 @@ def timeseries_rolling_quantile_band(
     rows.count()
     win.unpersist()
     return rows
+
+
+@query(
+    "timeseries_theta_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, {_DAY} AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type,
+             list(CAST(x AS BIGINT) ORDER BY d) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1),
+    sums AS (
+      SELECT event_type, xs, n,
+             CAST(n * (n + 1) / 2 AS BIGINT) AS st,
+             CAST(n * (n + 1) * (2 * n + 1) / 6 AS BIGINT) AS stt,
+             CAST(list_sum(xs) AS BIGINT) AS sx,
+             CAST(list_sum(list_transform(range(1, len(xs) + 1),
+                                          i -> i * xs[i])) AS BIGINT) AS stx
+      FROM arr WHERE n >= 3),
+    ols AS (
+      SELECT event_type, xs, n,
+             CAST(n * stx - st * sx AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+             (CAST(sx AS DOUBLE)
+              - (CAST(n * stx - st * sx AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE))
+                * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+      FROM sums),
+    theta AS (
+      SELECT event_type, n, a, b,
+             list_transform(range(1, len(xs) + 1),
+                            i -> CAST(2 AS DOUBLE) * xs[i]
+                                 - (a + b * CAST(i AS DOUBLE))) AS z
+      FROM ols),
+    folded AS (
+      SELECT event_type, n, a, b,
+             list_reduce(z, (acc, v) -> acc * 0.5 + v * 0.5) AS ses_z
+      FROM theta)
+    SELECT event_type, n AS n_days, a AS trend_intercept,
+           b AS trend_slope, ses_z AS ses_theta2,
+           (ses_z + (a + b * (CAST(n AS DOUBLE) + CAST(7 AS DOUBLE))))
+             / CAST(2 AS DOUBLE) AS forecast_7d
+    FROM folded
+    """,
+)
+def timeseries_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3-competition winner) of each event type's daily count: the
+    series splits into the theta=0 line (the OLS trend, pure
+    long-run signal) and the theta=2 line (2x - trend, doubled
+    curvature), SES smooths the theta=2 line, and the h-step forecast
+    averages the two — the "simple method that beats fancy ones"
+    every forecasting bake-off includes.
+
+    Exactness: OLS runs on position indexes 1..n (sum of t and t^2
+    are closed-form integers); slope/intercept are one shared chain;
+    the theta=2 elements and the alpha = 1/2 SES fold are the
+    ``timeseries_ses_level`` parity pattern (identical IEEE sequence
+    in Spark ``aggregate`` and DuckDB ``list_reduce``). Scale: arrays
+    bounded by the calendar day count per type.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("d").alias("d"), F.col("x").alias("x"))
+                )
+            ),
+            lambda s: s.getField("x"),
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 3)
+    n = F.col("n")
+    st = (n * (n + 1) / 2).cast("long")
+    stt = (n * (n + 1) * (2 * n + 1) / 6).cast("long")
+    sx = F.aggregate(
+        F.col("xs"), F.lit(0).cast("long"), lambda a_, v: a_ + v
+    )
+    stx = F.aggregate(
+        F.sequence(F.lit(1), n.cast("int")),
+        F.lit(0).cast("long"),
+        lambda a_, i: a_ + i * F.element_at(F.col("xs"), i),
+    )
+    sums = arr.select("event_type", "xs", "n", st.alias("st"),
+                      stt.alias("stt"), sx.alias("sx"), stx.alias("stx"))
+    b = (n * F.col("stx") - F.col("st") * F.col("sx")).cast("double") / (
+        n * F.col("stt") - F.col("st") * F.col("st")
+    ).cast("double")
+    a = (
+        F.col("sx").cast("double") - b * F.col("st").cast("double")
+    ) / n.cast("double")
+    ols = sums.select("event_type", "xs", "n", b.alias("b"), a.alias("a"))
+    z = F.transform(
+        F.sequence(F.lit(1), F.col("n").cast("int")),
+        lambda i: F.lit(2.0) * F.element_at(F.col("xs"), i)
+        - (F.col("a") + F.col("b") * i.cast("double")),
+    )
+    theta = ols.select("event_type", "n", "a", "b", z.alias("z"))
+    ses_z = F.aggregate(
+        F.slice(F.col("z"), 2, 1_000_000),
+        F.element_at(F.col("z"), 1),
+        lambda acc, v: acc * F.lit(0.5) + v * F.lit(0.5),
+    )
+    folded = theta.select("event_type", "n", "a", "b", ses_z.alias("ses_z"))
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("a").alias("trend_intercept"),
+        F.col("b").alias("trend_slope"),
+        F.col("ses_z").alias("ses_theta2"),
+        (
+            (
+                F.col("ses_z")
+                + (
+                    F.col("a")
+                    + F.col("b") * (F.col("n").cast("double") + F.lit(7.0))
+                )
+            )
+            / F.lit(2.0)
+        ).alias("forecast_7d"),
+    )

@@ -285,7 +285,15 @@ _EXTERNALLY_VERIFIED = frozenset(
 # oracles; the TF-IDF pair re-quantized to 1e4) — those want external
 # re-verification even though earlier rounds sampled them.
 _SAMPLE_PRIORITY = (
-    # round-8 third..sixth wave (newest first: never sampled)
+    # round-8 third..eighth wave (newest first: never sampled)
+    "stats_cochran_q_event_types",
+    "embedding_hubness_koccurrence",
+    "ml_stump_learning_curve",
+    "customer_order_gap_regularity",
+    "sketch_linear_counting_users",
+    "timeseries_theta_forecast",
+    "stats_mood_median_test",
+    "supply_eoq_model",
     "timeseries_rolling_quantile_band",
     "text_kneser_ney_bigram",
     "ml_gini_feature_gain",

@@ -303,9 +303,9 @@ def test_rouge1_bounds_and_candidate_coverage(spark):
 
 def test_permutation_test_pvalue_range_and_count(spark):
     (r,) = _rows(spark, "stats_permutation_test_mean_diff")
-    assert 0 <= r.n_extreme <= 64
-    assert math.isclose(r.p_value, (1 + r.n_extreme) / 65.0)
-    assert 1 / 65.0 <= r.p_value <= 1.0
+    assert 0 <= r.n_extreme <= 48
+    assert math.isclose(r.p_value, (1 + r.n_extreme) / 49.0)
+    assert 1 / 49.0 <= r.p_value <= 1.0
     # URGENT vs LOW means differ by construction noise only at small
     # SF; the test just needs the statistic to be finite and signed
     assert r.diff_obs_cents is not None
@@ -464,3 +464,151 @@ def test_rolling_quantile_band_ordering_and_membership(spark):
         assert r.p10_cents == win[(n + 9) // 10 - 1]
         assert r.p50_cents == win[(n + 1) // 2 - 1]
         assert r.p90_cents == win[(9 * n + 9) // 10 - 1]
+
+
+# ----------------------------------------------------------- wave 7
+
+
+def test_linear_counting_close_to_exact(spark):
+    (r,) = _rows(spark, "sketch_linear_counting_users")
+    assert r.m == 4096
+    assert r.filled + r.empty_slots == r.m
+    assert 0 < r.filled <= r.m
+    # LC standard error is ~sqrt(m)/m-level at low load factors;
+    # allow a generous 15% envelope so the fixture can't flap
+    assert abs(r.lc_estimate - r.exact_users) <= max(
+        0.15 * r.exact_users, 50
+    )
+
+
+def test_eoq_scales_with_sqrt_of_demand(spark):
+    rows = _rows(spark, "supply_eoq_model")
+    assert rows
+    for r in rows[:200]:
+        assert r.eoq_units > 0
+        assert math.isclose(
+            r.orders_per_year, r.annual_demand / r.eoq_units
+        )
+        assert r.annual_demand >= r.total_qty * 365.0 / 3000  # sane span
+
+
+def test_theta_forecast_matches_python(spark):
+    daily = duckdb.sql(
+        f"""
+        SELECT event_type, date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS d, COUNT(*)
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    ser: dict[str, list[int]] = {}
+    for t, _, x in daily:
+        ser.setdefault(t, []).append(int(x))
+    got = {r.event_type: r for r in _rows(spark, "timeseries_theta_forecast")}
+    for t, xs in ser.items():
+        n = len(xs)
+        st, stt = n * (n + 1) // 2, n * (n + 1) * (2 * n + 1) // 6
+        sx = sum(xs)
+        stx = sum((i + 1) * x for i, x in enumerate(xs))
+        b = (n * stx - st * sx) / (n * stt - st * st)
+        a = (sx - b * st) / n
+        z = [2.0 * x - (a + b * (i + 1)) for i, x in enumerate(xs)]
+        s = z[0]
+        for v in z[1:]:
+            s = s * 0.5 + v * 0.5
+        fc = (s + (a + b * (n + 7.0))) / 2.0
+        assert math.isclose(got[t].trend_slope, b, rel_tol=1e-12)
+        assert math.isclose(got[t].forecast_7d, fc, rel_tol=1e-12)
+
+
+def test_mood_median_test_cells_partition(spark):
+    (r,) = _rows(spark, "stats_mood_median_test")
+    assert r.n_cells == 10  # 5 priorities x {above, at-or-below}
+    assert r.dof == 4
+    assert r.chi2 >= 0
+    med_rank = duckdb.sql(
+        f"""
+        SELECT SUM(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                             AS BIGINT) <= {r.median_cents}
+                        THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        """
+    ).fetchone()
+    le, n = int(med_rank[0]), int(med_rank[1])
+    assert n == r.n_orders
+    # lower median: at least ceil(n/2) values <= median, and removing
+    # the median's tie block drops below that threshold
+    assert le >= (n + 1) // 2
+
+
+# ----------------------------------------------------------- wave 8
+
+
+def test_cochran_q_matches_python(spark):
+    flags = duckdb.sql(
+        f"""
+        SELECT user_id, event_type FROM (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY COUNT(*) DESC, event_type)
+                   AS rk
+          FROM read_parquet('{SF_DIR}/events.parquet')
+          GROUP BY user_id, event_type)
+        WHERE rk <= 2
+        """
+    ).fetchall()
+    from collections import Counter
+
+    k = duckdb.sql(
+        f"SELECT COUNT(DISTINCT event_type) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    ri: Counter = Counter(u for u, _ in flags)
+    keep = {u for u, n in ri.items() if 1 <= n < k}
+    cj: Counter = Counter(t for u, t in flags if u in keep)
+    sr = sum(ri[u] for u in keep)
+    srr = sum(ri[u] ** 2 for u in keep)
+    sc, scc = sum(cj.values()), sum(v * v for v in cj.values())
+    expect = (k - 1) * (k * scc - sc * sc) / (k * sr - srr)
+    (r,) = _rows(spark, "stats_cochran_q_event_types")
+    assert r.n_users == len(keep)
+    assert r.n_treatments == k and r.dof == k - 1
+    assert math.isclose(r.q_stat, expect, rel_tol=1e-12)
+    assert r.q_stat >= 0
+
+
+def test_gap_regularity_flag_matches_cv(spark):
+    for r in _rows(spark, "customer_order_gap_regularity"):
+        assert r.n_gaps >= 3
+        assert r.mean_gap_days > 0
+        # integer flag must agree with the float CV except exactly at
+        # the boundary, where the integer form is the defined truth
+        if abs(r.gap_cv - 0.5) > 1e-9:
+            assert r.regular == (r.gap_cv <= 0.5)
+
+
+def test_hubness_distribution_accounts_for_corpus(spark):
+    rows = _rows(spark, "embedding_hubness_koccurrence")
+    n_corpus = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    # total top-k slots: 5 per query vector present in the corpus
+    n_q = min(200, n_corpus)
+    assert sum(r.k_occ * r.n_vectors for r in rows) == 5 * n_q
+    assert all(r.k_occ >= 0 and r.n_vectors >= 0 for r in rows)
+
+
+def test_stump_learning_curve_monotone_training_size(spark):
+    rows = sorted(_rows(spark, "ml_stump_learning_curve"), key=lambda r: r.n_buckets)
+    assert [r.n_buckets for r in rows] == [1, 2, 4, 8, 16]
+    sizes = [r.train_rows for r in rows]
+    assert all(b > a for a, b in zip(sizes, sizes[1:]))
+    n_total = rows[0].n_total
+    for r in rows:
+        assert r.n_total == n_total
+        assert 0.0 <= r.accuracy <= 1.0
+        assert math.isclose(r.accuracy, r.n_correct / r.n_total)
+    # the full-data stump (m=16) trains on every row
+    assert rows[-1].train_rows == n_total
