@@ -2318,3 +2318,137 @@ def stats_cochran_q_event_types(
     rows.count()
     flags.unpersist()
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend test
+# ---------------------------------------------------------------------------
+
+_JT_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _jt_pair_terms(prefix: str) -> str:
+    """DuckDB expression: doubled pairwise dominance contributions
+    sum_{i<j} c_j * (2*lt_i + c_i) at one distinct value, where
+    lt_i = cum_i - c_i (strictly-less count)."""
+    terms = []
+    for i in range(len(_JT_GROUPS)):
+        for j in range(i + 1, len(_JT_GROUPS)):
+            terms.append(
+                f"{prefix}c{j} * (2 * ({prefix}cum{i} - {prefix}c{i})"
+                f" + {prefix}c{i})"
+            )
+    return " + ".join(terms)
+
+
+@query(
+    "stats_jonckheere_terpstra",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderpriority AS g
+      FROM orders),
+    dv AS (
+      SELECT cents,
+             {", ".join(f"CAST(SUM(CASE WHEN g = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i, p in enumerate(_JT_GROUPS))}
+      FROM rows_ GROUP BY cents),
+    cum AS (
+      SELECT *,
+             {", ".join(f"SUM(c{i}) OVER (ORDER BY cents) AS cum{i}" for i in range(len(_JT_GROUPS)))}
+      FROM dv),
+    tot AS (
+      SELECT {", ".join(f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(len(_JT_GROUPS)))},
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM dv),
+    s AS (
+      SELECT CAST(SUM({_jt_pair_terms("")}) AS BIGINT) AS jt2 FROM cum),
+    f AS (
+      SELECT jt2,
+             {" + ".join(f"n{i}" for i in range(len(_JT_GROUPS)))} AS n,
+             {" + ".join(f"n{i} * n{i}" for i in range(len(_JT_GROUPS)))}
+               AS sn2,
+             {" + ".join(f"CAST(n{i} AS HUGEINT) * n{i} * (2 * n{i} + 3)" for i in range(len(_JT_GROUPS)))}
+               AS sn23
+      FROM s, tot)
+    SELECT CAST(jt2 AS DOUBLE) / CAST(2 AS DOUBLE) AS jt_stat,
+           n AS n_orders,
+           (CAST(jt2 AS DOUBLE) / CAST(2 AS DOUBLE)
+            - CAST(n * n - sn2 AS DOUBLE) / CAST(4 AS DOUBLE))
+             / sqrt(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23
+                         AS DOUBLE)
+                    / CAST(72 AS DOUBLE)) AS z_approx
+    FROM f
+    """,
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra trend test: do order values rise (or fall)
+    MONOTONICALLY across the ordered priority classes 1-URGENT ..
+    5-LOW? The ordered-alternative k-sample test — strictly more
+    powerful than ``stats_kruskal_wallis`` when the hypothesis is a
+    trend, not just "any difference" (JT aggregates all 10 pairwise
+    Mann-Whitney dominances in priority order).
+
+    Exactness: one distinct-value scan pivots the 5 group counts into
+    columns; ONE prefix pass (``bucketed_prefix_sums`` over all 5
+    columns — never a global window) yields every pairwise
+    strictly-less count, so the doubled statistic
+    ``2*JT = sum_v sum_(i<j) c_j*(2*lt_i + c_i)`` is an exact int64
+    (ties contribute half, staying integral in the doubled domain —
+    the ``stats_mann_whitney_u`` trick x10 pairs). The normal
+    approximation's mean/variance are closed-form integers; z is one
+    shared IEEE chain.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    rows = o.select(
+        (dec("o_totalprice", 14) * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col("g") == p, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, p in enumerate(_JT_GROUPS)
+    ]
+    dv = rows.groupBy("cents").agg(*cnt_cols)
+    cum = bucketed_prefix_sums(
+        dv, "cents", [f"c{i}" for i in range(len(_JT_GROUPS))]
+    )
+    pair_expr = None
+    for i in range(len(_JT_GROUPS)):
+        for j in range(i + 1, len(_JT_GROUPS)):
+            t = F.col(f"c{j}") * (
+                2 * (F.col(f"cum_c{i}") - F.col(f"c{i}")) + F.col(f"c{i}")
+            )
+            pair_expr = t if pair_expr is None else pair_expr + t
+    s = cum.agg(F.sum(pair_expr).cast("long").alias("jt2"))
+    tot = dv.agg(
+        *[
+            F.sum(f"c{i}").cast("long").alias(f"n{i}")
+            for i in range(len(_JT_GROUPS))
+        ]
+    )
+    n = None
+    sn2 = None
+    sn23 = None
+    for i in range(len(_JT_GROUPS)):
+        ni = F.col(f"n{i}")
+        n = ni if n is None else n + ni
+        sn2 = ni * ni if sn2 is None else sn2 + ni * ni
+        t23 = ni.cast("decimal(19,0)") * ni * (2 * ni + 3)
+        sn23 = t23 if sn23 is None else sn23 + t23
+    jt = F.col("jt2").cast("double") / F.lit(2.0)
+    mean = (n * n - sn2).cast("double") / F.lit(4.0)
+    var = (
+        (n.cast("decimal(19,0)") * n * (2 * n + 3) - sn23).cast("double")
+        / F.lit(72.0)
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            jt.alias("jt_stat"),
+            n.alias("n_orders"),
+            ((jt - mean) / F.sqrt(var)).alias("z_approx"),
+        )
+    )

@@ -286,6 +286,7 @@ _EXTERNALLY_VERIFIED = frozenset(
 # re-verification even though earlier rounds sampled them.
 _SAMPLE_PRIORITY = (
     # round-8 third..eighth wave (newest first: never sampled)
+    "stats_jonckheere_terpstra",
     "stats_cochran_q_event_types",
     "embedding_hubness_koccurrence",
     "ml_stump_learning_curve",

@@ -612,3 +612,41 @@ def test_stump_learning_curve_monotone_training_size(spark):
         assert math.isclose(r.accuracy, r.n_correct / r.n_total)
     # the full-data stump (m=16) trains on every row
     assert rows[-1].train_rows == n_total
+
+
+def test_jonckheere_terpstra_matches_python(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT),
+               o_orderpriority
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        """
+    ).fetchall()
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    gi = {g: i for i, g in enumerate(groups)}
+    from collections import Counter
+
+    per = [Counter() for _ in groups]
+    for v, g in rows:
+        per[gi[g]][int(v)] += 1
+    values = sorted(set().union(*per))
+    cum = [0] * 5
+    jt2 = 0
+    for v in values:
+        c = [per[i].get(v, 0) for i in range(5)]
+        for i in range(5):
+            for j in range(i + 1, 5):
+                jt2 += c[j] * (2 * cum[i] + c[i])
+        for i in range(5):
+            cum[i] += c[i]
+    (r,) = _rows(spark, "stats_jonckheere_terpstra")
+    assert math.isclose(r.jt_stat, jt2 / 2.0, rel_tol=1e-12)
+    assert r.n_orders == len(rows)
+    n = len(rows)
+    sn2 = sum(sum(c.values()) ** 2 for c in per)
+    sn23 = sum(
+        sum(c.values()) ** 2 * (2 * sum(c.values()) + 3) for c in per
+    )
+    mean = (n * n - sn2) / 4.0
+    var = (n * n * (2 * n + 3) - sn23) / 72.0
+    assert math.isclose(r.z_approx, (jt2 / 2.0 - mean) / var**0.5, rel_tol=1e-9)
