@@ -233,7 +233,7 @@ def finance_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON b.dv < a.dv OR (b.dv = a.dv AND b.d <= a.d)
       GROUP BY a.d, a.dv),
     tail AS (
-      SELECT MAX(dv) AS var_cents,
+      SELECT CAST(MAX(dv) AS BIGINT) AS var_cents,
              CAST(SUM(dv) AS BIGINT) AS tail_sum,
              CAST(COUNT(*) AS BIGINT) AS n_tail
       FROM ranked, n WHERE r <= k)

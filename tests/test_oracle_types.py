@@ -14,6 +14,11 @@ from __future__ import annotations
 from redis_events_to_clickhouse_tables_spark.registry import load_all
 
 _FORBIDDEN = {"HUGEINT", "UHUGEINT"}
+# DECIMAL(p,s) result columns share the hazard class: the driver
+# canonicalizes fixed-point values differently from Spark's double,
+# so ban them as result types too (prefix match — DuckDB renders the
+# parameterized name).
+_FORBIDDEN_PREFIXES = ("DECIMAL",)
 
 
 def test_no_oracle_emits_hugeint(ddb):
@@ -23,7 +28,8 @@ def test_no_oracle_emits_hugeint(ddb):
             continue
         rel = ddb.sql(spec.oracle)
         for col, typ in zip(rel.columns, rel.types):
-            if str(typ).upper() in _FORBIDDEN:
+            t = str(typ).upper()
+            if t in _FORBIDDEN or t.startswith(_FORBIDDEN_PREFIXES):
                 offenders.append(f"{name}.{col}: {typ}")
     assert not offenders, (
         "oracle columns typed HUGEINT/UHUGEINT (driver hash-canonicalizes "
