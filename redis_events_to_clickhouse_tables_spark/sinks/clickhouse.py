@@ -214,11 +214,22 @@ def render_value(v, col_type: str) -> str:
     return f"'{escaped}'"
 
 
-def insert_sql(table: str, schema: Schema, rows: list[Mapping]) -> str:
+def insert_sql(
+    table: str,
+    schema: Schema,
+    rows: list[Mapping],
+    settings: Mapping[str, str] | None = None,
+) -> str:
     """Multi-row INSERT (ts insertRows, :134-164) — exact whitespace.
 
     Column order and NULL-fill come from the prepared schema, exactly
     like the reference renders every schema column per row (:334-338).
+
+    ``settings`` (K3): per-statement ClickHouse settings rendered as a
+    ``SETTINGS k=v`` clause between the column list and ``VALUES`` —
+    the statement-level equivalent of the reference's client-level
+    ``clickhouse_settings`` (src/main.ts:232-238). ``None`` (default)
+    preserves the golden reference-parity string byte-for-byte.
     """
     cols = list(schema.keys())
     rendered = [
@@ -226,11 +237,23 @@ def insert_sql(table: str, schema: Schema, rows: list[Mapping]) -> str:
         for row in rows
     ]
     body = "),\n        (".join(rendered)
+    settings_clause = ""
+    if settings:
+        kv = ", ".join(f"{k}={v}" for k, v in settings.items())
+        settings_clause = f"SETTINGS {kv} "
     return (
         f"INSERT INTO {table} \n"
-        f"      ({','.join(cols)}) VALUES \n"
+        f"      ({','.join(cols)}) {settings_clause}VALUES \n"
         f"        ({body});"
     )
+
+
+#: K3 — the exact settings the reference enables when
+#: USE_CLICKHOUSE_ASYNC_INSERT=1 (src/main.ts:232-238).
+ASYNC_INSERT_SETTINGS: dict[str, str] = {
+    "async_insert": "1",
+    "wait_for_async_insert": "1",
+}
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +337,7 @@ def jdbc_options(
     password: str | None = None,
     batch_size: int = 100_000,
     num_partitions: int | None = None,
+    async_insert: bool = False,
 ) -> dict[str, str]:
     """Options for the 100-TB transport: ``df.write.format("jdbc")``.
 
@@ -325,6 +349,14 @@ def jdbc_options(
     reference's single-client constraint, because each INSERT makes an
     independent part. DDL still goes through ``evolution_sql`` first
     (JDBC's createTableOptions can't express ALTER evolution).
+
+    ``async_insert`` (K3, src/main.ts:232-238 —
+    ``USE_CLICKHOUSE_ASYNC_INSERT=1``): forwards
+    ``async_insert=1&wait_for_async_insert=1`` as session settings via
+    the ClickHouse JDBC driver's ``custom_http_params`` option, the
+    JDBC analogue of the reference client's ``clickhouse_settings``.
+    At 100-TB scale this lets many small executor-side INSERTs coalesce
+    server-side instead of creating a MergeTree part each.
     """
     opts = {
         "url": url,
@@ -339,6 +371,10 @@ def jdbc_options(
         opts["password"] = password
     if num_partitions is not None:
         opts["numPartitions"] = str(num_partitions)
+    if async_insert:
+        opts["custom_http_params"] = ",".join(
+            f"{k}={v}" for k, v in ASYNC_INSERT_SETTINGS.items()
+        )
     return opts
 
 
@@ -373,11 +409,18 @@ class ClickHouseSink:
         query: Callable[[str], list[dict]] | None = None,
         new_col_nullable: bool = True,
         insert_chunk_rows: int = 10_000,
+        async_insert: bool = False,
     ):
         self._execute = execute
         self._query = query
         self.new_col_nullable = new_col_nullable
         self.insert_chunk_rows = insert_chunk_rows
+        # K3 (src/main.ts:232-238): when set, every INSERT carries the
+        # reference's async_insert/wait_for_async_insert pair as a
+        # statement-level SETTINGS clause.
+        self.insert_settings: dict[str, str] | None = (
+            dict(ASYNC_INSERT_SETTINGS) if async_insert else None
+        )
 
     def _exec(self, sql: str) -> None:
         if self._execute is None:
@@ -430,10 +473,19 @@ class ClickHouseSink:
         for row in df.toLocalIterator():
             chunk.append(row.asDict())
             if len(chunk) >= self.insert_chunk_rows:
-                self._exec(insert_sql(table, reconciled, chunk))
+                self._exec(
+                    insert_sql(
+                        table, reconciled, chunk,
+                        settings=self.insert_settings,
+                    )
+                )
                 n += len(chunk)
                 chunk = []
         if chunk:
-            self._exec(insert_sql(table, reconciled, chunk))
+            self._exec(
+                insert_sql(
+                    table, reconciled, chunk, settings=self.insert_settings
+                )
+            )
             n += len(chunk)
         return n

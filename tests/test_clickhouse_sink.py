@@ -338,3 +338,64 @@ def test_sink_receives_normalized_layer_a_batch(spark):
     [insert] = [s for s in client.statements if s.startswith("INSERT INTO")]
     assert "'yolo'" in insert and "23" in insert
     assert "'2024-12-01 00:00:00.000'" in insert  # DATE64 ms rendering
+
+
+def test_k3_async_insert_settings_clause_golden():
+    """K3 (src/main.ts:232-238): statement-level SETTINGS renders
+    between the column list and VALUES; default path is unchanged."""
+    from redis_events_to_clickhouse_tables_spark.sinks.clickhouse import (
+        ASYNC_INSERT_SETTINGS,
+    )
+
+    schema = {"a": ColumnDef(INTEGER)}
+    rows = [{"a": 1}]
+    assert insert_sql("t", schema, rows, settings=ASYNC_INSERT_SETTINGS) == (
+        "INSERT INTO t \n"
+        "      (a) SETTINGS async_insert=1, wait_for_async_insert=1 VALUES \n"
+        "        (1);"
+    )
+    # settings=None must stay byte-identical to the reference rendering
+    assert insert_sql("t", schema, rows) == (
+        "INSERT INTO t \n"
+        "      (a) VALUES \n"
+        "        (1);"
+    )
+
+
+def test_k3_jdbc_options_async_passthrough():
+    from redis_events_to_clickhouse_tables_spark.sinks.clickhouse import (
+        jdbc_options,
+    )
+
+    opts = jdbc_options("jdbc:clickhouse://ch/db", "t", async_insert=True)
+    assert (
+        opts["custom_http_params"]
+        == "async_insert=1,wait_for_async_insert=1"
+    )
+    assert "custom_http_params" not in jdbc_options(
+        "jdbc:clickhouse://ch/db", "t"
+    )
+
+
+def test_k3_sink_async_insert_mode(spark):
+    client = RecordingClient()
+    sink = ClickHouseSink(
+        execute=client.execute, query=client.query, async_insert=True
+    )
+    df = spark.createDataFrame([(1,)], "a bigint")
+    assert sink.write(df, "event_k3") == 1
+    inserts = [s for s in client.statements if s.startswith("INSERT INTO")]
+    assert len(inserts) == 1
+    assert (
+        "SETTINGS async_insert=1, wait_for_async_insert=1 VALUES"
+        in inserts[0]
+    )
+    # default-constructed sink keeps the reference-parity INSERT
+    client2 = RecordingClient()
+    sink2 = ClickHouseSink(execute=client2.execute, query=client2.query)
+    assert sink2.write(df, "event_k3b") == 1
+    assert all(
+        "SETTINGS" not in s
+        for s in client2.statements
+        if s.startswith("INSERT INTO")
+    )
