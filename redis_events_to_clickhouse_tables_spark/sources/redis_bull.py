@@ -33,19 +33,29 @@ normalizer drops, config.py:42, after lineage extraction), and
 removes the legacy job. ``salvage_old_queue()`` is that loop over
 the failed list.
 
-Wire-format note (documented deviation): real Bull stores jobs as
-Redis hashes keyed by id, with the lists holding ids. This adapter
-keeps the PAYLOAD ITSELF in the lists — the wait/processing lists
-hold raw event JSON, the failed list holds ``{"name", "timestamp",
-"data"}`` envelopes (the fields main.ts:426-428 reads). Parity is at
-the semantic level (at-least-once hand-off, salvage triggers, tags),
-not the byte layout; a deployment against real Bull swaps the three
-list helpers for BullMQ's job API.
+Wire formats — ``wire_format`` selects the byte layout (both share
+the exact same at-least-once poll/ack/salvage protocol):
+
+- ``"payload"`` (default): the wait/processing lists hold the raw
+  event JSON itself; the failed list holds ``{"name", "timestamp",
+  "data"}`` envelopes (the fields main.ts:426-428 reads). Simplest
+  possible layout for a greenfield producer.
+- ``"bull"``: real classic-Bull layout (the ``bull`` npm package the
+  reference instantiates, src/main.ts:220-223). Jobs live as Redis
+  HASHES at ``bull:<queue>:<id>`` with fields ``name`` /
+  ``timestamp`` (ms epoch) / ``data`` (JSON string); the wait /
+  processing / failed lists hold job IDS; ``bull:<queue>:id`` is the
+  INCR counter new jobs draw from. ``ack()`` deletes the job hash
+  (the reference re-enqueues with ``removeOnComplete: true``,
+  main.ts:446) and ``salvage_old_queue()`` reads the envelope fields
+  from the hash instead of the list element — so a deployment can
+  point this adapter at a live reference queue unchanged.
 
 The ``redis`` client library is not available in this container, so
-``client`` is injectable (tests use a fake implementing the five
-list commands used: LMOVE, LREM, LRANGE, LPUSH, RPUSH); the
-``from_url`` path is gated on the import.
+``client`` is injectable (tests use a fake implementing the list
+commands LMOVE, LREM, LRANGE, LPUSH, RPUSH plus — for the bull wire
+format — HGETALL, HSET, INCR, DELETE); the ``from_url`` path is
+gated on the import.
 
 Scale note: a single poller thread feeding Spark is the reference's
 own topology (one worker, READ_MAX_CONCURRENCY handlers). For true
@@ -105,6 +115,7 @@ class RedisBullSource:
         max_batch: int = 1000,
         client=None,
         consumer: str = "worker-1",
+        wire_format: str = "payload",
     ):
         if client is None:
             if not HAVE_REDIS:
@@ -113,15 +124,24 @@ class RedisBullSource:
                     "inject a client, or use streaming.stream.start_file_ingest"
                 )
             client = redis.Redis.from_url(url)
+        if wire_format not in ("payload", "bull"):
+            raise ValueError(
+                f"wire_format must be 'payload' or 'bull', got {wire_format!r}"
+            )
         self.spark = spark
         self.client = client
         self.queue = queue
         self.max_batch = max_batch
         self.consumer = consumer
-        # payloads polled but not yet acked (mirror of the Redis
+        self.wire_format = wire_format
+        # list tokens polled but not yet acked (payload mode: the raw
+        # JSON itself; bull mode: job ids). Mirror of the Redis
         # processing list for this consumer; authoritative copy is in
-        # Redis — this is only the LREM shopping list for ack())
+        # Redis — this is only the LREM shopping list for ack().
         self._inflight: list[str] = []
+        # the event JSON for each in-flight token, in poll order (in
+        # payload mode this aliases _inflight's content)
+        self._inflight_payloads: list[str] = []
 
     # -- key layout -------------------------------------------------
     def _key(self, suffix: str) -> str:
@@ -141,6 +161,19 @@ class RedisBullSource:
     def failed_key(self) -> str:
         return self._key(FAILED_SUFFIX)
 
+    # bull wire format: per-job hash + id counter (classic Bull layout)
+    def _job_key(self, job_id: str) -> str:
+        return f"bull:{self.queue}:{job_id}"
+
+    @property
+    def id_counter_key(self) -> str:
+        return f"bull:{self.queue}:id"
+
+    def _job_fields(self, job_id: str) -> dict[str, str]:
+        """Decode a job hash (``name`` / ``timestamp`` / ``data``)."""
+        raw = self.client.hgetall(self._job_key(job_id)) or {}
+        return {_as_text(k): _as_text(v) for k, v in raw.items()}
+
     # -- at-least-once poll/ack --------------------------------------
     def salvage(self) -> int:
         """Re-deliver jobs a crashed run left in the processing list.
@@ -157,6 +190,7 @@ class RedisBullSource:
         while self.client.lmove(self.processing_key, self.wait_key, "RIGHT", "LEFT"):
             n += 1
         self._inflight.clear()
+        self._inflight_payloads.clear()
         return n
 
     def poll(self) -> DataFrame:
@@ -165,26 +199,43 @@ class RedisBullSource:
 
         Each job moves atomically (``LMOVE`` wait->processing), so a
         crash mid-poll strands jobs in exactly one of the two lists —
-        never loses one, never duplicates one.
+        never loses one, never duplicates one. In ``bull`` wire format
+        the moved tokens are job ids and the payload is read from the
+        job hash's ``data`` field (id stays tracked even if the hash
+        is missing, so ``ack()`` still clears the stale id).
         """
+        tokens: list[str] = []
         payloads: list[str] = []
         for _ in range(self.max_batch):
             job = self.client.lmove(self.wait_key, self.processing_key, "LEFT", "RIGHT")
             if job is None:
                 break
-            payloads.append(_as_text(job))
-        self._inflight.extend(payloads)
+            token = _as_text(job)
+            tokens.append(token)
+            if self.wire_format == "bull":
+                data = self._job_fields(token).get("data")
+                if data is not None:
+                    payloads.append(data)
+            else:
+                payloads.append(token)
+        self._inflight.extend(tokens)
+        self._inflight_payloads.extend(payloads)
         rows = [(p,) for p in payloads]
         return self.spark.createDataFrame(rows or [], "value string")
 
     def ack(self) -> int:
-        """Acknowledge the polled batch: remove each in-flight payload
-        from the processing list. Call only after the batch committed.
+        """Acknowledge the polled batch: remove each in-flight token
+        from the processing list (and, in bull wire format, delete the
+        job hash — the reference's ``removeOnComplete: true``,
+        src/main.ts:446). Call only after the batch committed.
         Returns the number of jobs acked."""
         n = 0
-        for payload in self._inflight:
-            n += int(self.client.lrem(self.processing_key, 1, payload))
+        for token in self._inflight:
+            n += int(self.client.lrem(self.processing_key, 1, token))
+            if self.wire_format == "bull":
+                self.client.delete(self._job_key(token))
         self._inflight.clear()
+        self._inflight_payloads.clear()
         return n
 
     def run_once(self, engine, batch_id: int | None = None):
@@ -237,7 +288,7 @@ class RedisBullSource:
             # the new batch). The flip side is deliberate: a producer
             # re-sending a byte-identical batch deduplicates.
             digest = hashlib.sha256(
-                "\x00".join(self._inflight).encode("utf-8")
+                "\x00".join(self._inflight_payloads).encode("utf-8")
             ).hexdigest()[:24]
             engine.process_raw_batch(df, batch_id=f"redis-{digest}")
             self.ack()
@@ -274,6 +325,14 @@ class RedisBullSource:
         ``now_iso`` is the ``__received_at`` stamp for data that lacks
         one (injectable for deterministic tests; defaults to current
         UTC time in ISO-8601, the reference's ``dayjs().toDate()``).
+
+        In ``bull`` wire format the failed list holds job IDS; the
+        envelope fields come from the job hash (``data`` is a JSON
+        string there, per classic Bull), the re-enqueued job is a NEW
+        hash under the next ``INCR``'d id pushed to the wait list
+        (what ``eventsQueue.add`` does, main.ts:441-454), and the
+        legacy job id + hash are removed (``job.remove()``,
+        main.ts:458).
         """
         if now_iso is None:
             from datetime import datetime, timezone
@@ -282,6 +341,28 @@ class RedisBullSource:
         requeued = 0
         for raw in list(self.client.lrange(self.failed_key, 0, -1)):
             text = _as_text(raw)
+            if self.wire_format == "bull":
+                envelope = self._job_fields(text)
+                if envelope.get("name") != jobname:
+                    continue
+                ts = envelope.get("timestamp")
+                if ts is None or len(str(ts)) > _OLD_QUEUE_TS_MAX_DIGITS:
+                    continue
+                try:
+                    data = json.loads(envelope.get("data", ""))
+                except ValueError:
+                    continue
+                if not isinstance(data, dict):
+                    continue
+                if not data.get("__received_at"):
+                    data["__received_at"] = now_iso
+                self._add_bull_job(
+                    {**data, "__is_from_old_queue": True}, now_iso=now_iso
+                )
+                self.client.lrem(self.failed_key, 1, text)
+                self.client.delete(self._job_key(text))
+                requeued += 1
+                continue
             try:
                 envelope = json.loads(text)
             except ValueError:
@@ -304,3 +385,26 @@ class RedisBullSource:
             self.client.lrem(self.failed_key, 1, text)
             requeued += 1
         return requeued
+
+    def _add_bull_job(self, data: dict, now_iso: str) -> str:
+        """``eventsQueue.add(data)`` in classic-Bull layout: draw the
+        next id from the INCR counter, write the job hash (name
+        ``__default__`` — Bull's name for nameless adds — and an
+        ms-granularity timestamp, so the new job can never re-trigger
+        the <=10-digit legacy signature), push the id to wait."""
+        from datetime import datetime
+
+        job_id = str(self.client.incr(self.id_counter_key))
+        ts_ms = int(
+            datetime.fromisoformat(now_iso).timestamp() * 1000
+        )
+        self.client.hset(
+            self._job_key(job_id),
+            mapping={
+                "name": "__default__",
+                "timestamp": str(ts_ms),
+                "data": json.dumps(data),
+            },
+        )
+        self.client.rpush(self.wait_key, job_id)
+        return job_id

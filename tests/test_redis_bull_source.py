@@ -24,6 +24,8 @@ class FakeRedis:
 
     def __init__(self):
         self.lists: dict[str, list[bytes]] = {}
+        self.hashes: dict[str, dict[bytes, bytes]] = {}
+        self.counters: dict[str, int] = {}
 
     def _l(self, key) -> list[bytes]:
         return self.lists.setdefault(key, [])
@@ -69,6 +71,28 @@ class FakeRedis:
 
     def llen(self, key):
         return len(self._l(key))
+
+    # hash + counter commands (bull wire format)
+    def hset(self, key, mapping):
+        h = self.hashes.setdefault(key, {})
+        for k, v in mapping.items():
+            h[self._b(k)] = self._b(v)
+        return len(mapping)
+
+    def hgetall(self, key):
+        return dict(self.hashes.get(key, {}))
+
+    def incr(self, key):
+        self.counters[key] = self.counters.get(key, 0) + 1
+        return self.counters[key]
+
+    def delete(self, *keys):
+        n = 0
+        for key in keys:
+            n += int(key in self.hashes or key in self.lists)
+            self.hashes.pop(key, None)
+            self.lists.pop(key, None)
+        return n
 
 
 def _event(i, etype="event_session", **extra):
@@ -307,3 +331,141 @@ def test_polling_worker_drains_salvages_and_survives_restart(spark, tmp_path):
         r["n"] for r in store.read("event_session").select("n").collect()
     )
     assert got == [0, 1, 2, 3, 4, 5, 100]  # replay absorbed, new landed
+
+
+# -- bull wire format (real classic-Bull layout) ------------------------
+
+
+def _add_bull_job(fake, queue, payload_dict, name="__default__",
+                  timestamp=1714000000123):
+    """Producer-side job add in classic-Bull layout: hash + id list."""
+    job_id = str(fake.incr(f"bull:{queue}:id"))
+    fake.hset(f"bull:{queue}:{job_id}", mapping={
+        "name": name,
+        "timestamp": str(timestamp),
+        "data": json.dumps(payload_dict),
+    })
+    fake.rpush(f"bull:{queue}:wait", job_id)
+    return job_id
+
+
+def test_bull_mode_poll_ack_parity_with_payload_mode(spark):
+    """Same jobs through both wire formats yield the same DataFrame;
+    bull-mode ack clears the processing list AND deletes job hashes
+    (removeOnComplete, main.ts:446)."""
+    fake = FakeRedis()
+    ids = [
+        _add_bull_job(fake, "q", {"event_type": "event_session", "n": i})
+        for i in range(3)
+    ]
+    src = _source(spark, fake, wire_format="bull", max_batch=10)
+    df = src.poll()
+    vals = sorted(json.loads(r["value"])["n"] for r in df.collect())
+    assert vals == [0, 1, 2]
+    assert fake.llen("bull:q:wait") == 0
+    assert fake.llen("bull:q:processing:worker-1") == 3
+
+    assert src.ack() == 3
+    assert fake.llen("bull:q:processing:worker-1") == 0
+    for job_id in ids:
+        assert fake.hgetall(f"bull:q:{job_id}") == {}  # hash deleted
+
+
+def test_bull_mode_crash_salvage_redelivers_by_id(spark):
+    """At-least-once in bull mode: un-acked ids return to wait on
+    salvage; payloads survive because the hashes were never deleted."""
+    fake = FakeRedis()
+    for i in range(3):
+        _add_bull_job(fake, "q", {"event_type": "event_session", "n": i})
+    crashed = _source(spark, fake, wire_format="bull", max_batch=10)
+    crashed.poll()  # dies before ack
+
+    revived = _source(spark, fake, wire_format="bull", max_batch=10)
+    assert revived.salvage() == 3
+    df = revived.poll()
+    vals = [json.loads(r["value"])["n"] for r in df.collect()]
+    assert sorted(vals) == [0, 1, 2]
+    assert revived.ack() == 3
+
+
+def test_bull_mode_old_queue_salvage(spark):
+    """S2 in bull layout: failed list holds ids; only the legacy-
+    timestamp job under the configured name re-enqueues (as a NEW job
+    hash with ms timestamp + next INCR id); legacy id+hash removed."""
+    fake = FakeRedis()
+    legacy_id = _add_bull_job(
+        fake, "q", {"event_type": "event_session", "n": 1},
+        timestamp=1714000000)          # 10 digits: legacy signature
+    modern_id = _add_bull_job(
+        fake, "q", {"event_type": "event_session", "n": 2},
+        timestamp=1714000000123)       # 13 digits: modern
+    other_id = _add_bull_job(
+        fake, "q", {"event_type": "event_session", "n": 3},
+        name="other_job", timestamp=1714000000)
+    # move all three to failed (simulating handler failures)
+    for job_id in (legacy_id, modern_id, other_id):
+        fake.lrem("bull:q:wait", 1, job_id)
+        fake.rpush("bull:q:failed", job_id)
+
+    src = _source(spark, fake, wire_format="bull")
+    assert src.salvage_old_queue(now_iso="2024-05-01T00:00:00+00:00") == 1
+
+    failed_left = [v.decode() for v in fake.lrange("bull:q:failed", 0, -1)]
+    assert sorted(failed_left) == sorted([modern_id, other_id])
+    assert fake.hgetall(f"bull:q:{legacy_id}") == {}  # job.remove()
+
+    [new_id] = [v.decode() for v in fake.lrange("bull:q:wait", 0, -1)]
+    assert new_id not in (legacy_id, modern_id, other_id)
+    env = {k.decode(): v.decode()
+           for k, v in fake.hgetall(f"bull:q:{new_id}").items()}
+    assert env["name"] == "__default__"
+    assert len(env["timestamp"]) >= 13  # ms: can't re-trigger salvage
+    data = json.loads(env["data"])
+    assert data["__is_from_old_queue"] is True
+    assert data["__received_at"] == "2024-05-01T00:00:00+00:00"
+    assert data["n"] == 1
+
+    # and the re-enqueued job flows through a normal bull-mode poll
+    df = src.poll()
+    [row] = df.collect()
+    assert json.loads(row["value"])["n"] == 1
+
+
+def test_bull_mode_ingest_end_to_end(spark, tmp_path):
+    """bull-mode poll -> IngestEngine -> table, then replay of the
+    same ids after a crash-before-ack is absorbed by the batch-id
+    commit log (same guarantees as payload mode)."""
+    fake = FakeRedis()
+    for i in range(4):
+        _add_bull_job(fake, "q", {"event_type": "event_session", "n": i})
+    engine, store = _engine(spark, tmp_path)
+    src = _source(spark, fake, wire_format="bull", max_batch=10)
+
+    df = src.poll()
+    engine.process_raw_batch(df, batch_id="bull-e2e-1")
+    src.ack()
+    assert store.read("event_session").count() == 4
+
+    # crash-before-ack replay of a committed batch: same ids, same
+    # payloads, same content-hash batch id -> commit log absorbs it
+    for i in range(2):
+        _add_bull_job(fake, "q", {"event_type": "event_session", "n": 10 + i})
+    src.poll()
+    engine.process_raw_batch(
+        spark.createDataFrame(
+            [(p,) for p in src._inflight_payloads], "value string"
+        ),
+        batch_id="bull-e2e-2",
+    )
+    # ...crash before ack: a restarted consumer salvages and replays
+    revived = _source(spark, fake, wire_format="bull", max_batch=10)
+    assert revived.salvage() == 2
+    df2 = revived.poll()
+    engine.process_raw_batch(df2, batch_id="bull-e2e-2")  # replay
+    revived.ack()
+    assert store.read("event_session").count() == 6  # 4 + 2, not 4 + 4
+
+
+def test_rejects_unknown_wire_format(spark):
+    with pytest.raises(ValueError, match="wire_format"):
+        _source(spark, FakeRedis(), wire_format="yaml")
