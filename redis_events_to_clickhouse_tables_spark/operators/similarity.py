@@ -391,7 +391,11 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query meets ~1/K of the corpus, the IVF promise.
     """
     tune(spark)
-    v = _km_vectors(spark, sf_dir)
+    # persist the corpus vectors once: every iteration's centroid
+    # update AND the final assignment scan this frame — without the
+    # persist each k-means round re-reads embeddings.parquet and
+    # re-casts the arrays (VERDICT r8 item 5)
+    v = _km_vectors(spark, sf_dir).persist()
     cents = v.filter(F.col("vec_id") < _K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
