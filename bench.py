@@ -510,6 +510,21 @@ def main() -> None:
             print(f"# scaling_sweep: FAILED {errors['scaling_sweep']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Acceptance band (VERDICT r8 item 7): run-to-run totals on this
+    # box spread up to ~20% above the min purely from ambient load /
+    # JIT state (r8 idle: 456.9 primary vs 479/538 resweeps of the
+    # same code). Report min/median/max over every full-sweep total
+    # observed this invocation so round-over-round comparison reads
+    # the band, not one draw: totals within 20% of each other are
+    # load noise; only a band-vs-band shift is a real regression.
+    observed_totals = sorted(resweep_totals + [total]) if resweep_totals else [total]
+    total_band = {
+        "min": observed_totals[0],
+        "median": observed_totals[len(observed_totals) // 2],
+        "max": observed_totals[-1],
+        "n_sweeps": max(1, len(resweep_totals)),
+        "accepted_variance_pct": 20,
+    }
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -518,6 +533,7 @@ def main() -> None:
         "loadavg_ambient": round(loadavg_ambient, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "resweep_totals": resweep_totals,
+        "total_band": total_band,
         "retried_outliers": retried,
         "scaling": scaling,
         "layer_a_ingest_events": ingest_events,
@@ -575,6 +591,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "loadavg_ambient": round(loadavg_ambient, 2),
                 "resweep_totals": resweep_totals,
+                "total_band": total_band,
                 "full_timings": "BENCH_FULL.json",
                 "layer_a_ingest_events": ingest_events,
                 "layer_a_ingest_events_per_sec": events_per_sec,

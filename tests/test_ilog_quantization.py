@@ -80,3 +80,65 @@ def test_ilog_critical_points_agree(spark):
         o = _duck_ilogs(CRITICAL_POINTS, scale)
         diffs = {x for x in CRITICAL_POINTS if s[x] != o[x]}
         assert not diffs, (scale, sorted(diffs))
+
+
+# Every registered oracle that floors a log2/log/ln term scaled by 1e6
+# (the flip-hazard construction the two tests above pin). VERDICT r8
+# item 8: the gate must cover every 1e6-scale consumer BY NAME — a new
+# query adopting the 1e6 construction must be added here consciously
+# (or, better, quantize at 1e4 like text_tf_idf_scores). The empirical
+# safety band the tests above establish covers integer log arguments
+# up to 2^24 (~16.7M): every listed consumer's log arguments are
+# bounded counts (tokens/chars/events per group) far below that at any
+# driver SF.
+ILOG_1E6_CONSUMERS = {
+    "dq_benford_first_digit",
+    "events_gap_lognormal_fit",
+    "events_kaplan_meier",
+    "events_markov_entropy_rate",
+    "events_retention_halflife",
+    "events_user_powerlaw_alpha",
+    "events_user_type_entropy",
+    "sim_kmeans_label_purity",
+    "sketch_linear_counting_users",
+    "stats_fisher_exact_logp",
+    "stats_g_test_nation_segment",
+    "stats_mutual_information_lang_source",
+    "stats_odds_ratio_urgent_by_segment",
+    "stats_psi_price_drift",
+    "stats_theil_between_nations",
+    "text_bigram_lm_bits",
+    "text_char_entropy",
+    "text_js_divergence_en_rest",
+    "text_js_divergence_lang_matrix",
+    "text_pmi_top_pairs",
+    "timeseries_hurst_rs",
+}
+
+
+def test_every_1e6_scale_consumer_is_registered_by_name():
+    """Scan every oracle for the floor(log*1e6) construction and
+    assert the consumer set matches the pinned list above — so the
+    exhaustive/flip-prone gates demonstrably cover every consumer,
+    and a new 1e6-scale query can't slip in unregistered."""
+    import re
+
+    from redis_events_to_clickhouse_tables_spark.registry import load_all
+
+    log_pat = re.compile(r"(log2|log|ln)\s*\(", re.I)
+    scale_pat = re.compile(r"\*\s*(1000000(?:\.0)?|1e6)\b")
+    found = set()
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        for m in scale_pat.finditer(spec.oracle):
+            window = spec.oracle[max(0, m.start() - 200): m.start()]
+            if log_pat.search(window):
+                found.add(name)
+                break
+    assert found == ILOG_1E6_CONSUMERS, (
+        "1e6-scale ilog consumer set changed; update ILOG_1E6_CONSUMERS "
+        "(and prefer SCALE=1e4 for new queries): "
+        f"added={sorted(found - ILOG_1E6_CONSUMERS)} "
+        f"removed={sorted(ILOG_1E6_CONSUMERS - found)}"
+    )
