@@ -913,7 +913,8 @@ _LC_LN2 = "0.6931471805599453"
            CAST({_LC_M} - filled AS BIGINT) AS empty_slots,
            CAST({_LC_M} AS DOUBLE) * CAST({_LC_LN2} AS DOUBLE)
              * (CAST(12000000 AS BIGINT)
-                - CAST(FLOOR(log2(CAST({_LC_M} - filled AS DOUBLE))
+                - CAST(FLOOR(log2(CAST(GREATEST({_LC_M} - filled, 1)
+                                        AS DOUBLE))
                              * 1000000) AS BIGINT))
              / CAST(1000000 AS DOUBLE) AS lc_estimate,
            exact_users
@@ -954,7 +955,14 @@ def sketch_linear_counting_users(
     occ = hits.agg(F.count(F.lit(1)).cast("long").alias("filled"))
     ex = e.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
     empty = (F.lit(_LC_M) - F.col("filled")).cast("long")
-    ilog_v = F.floor(F.log2(empty.cast("double")) * 1000000).cast("long")
+    # saturation guard (ADVICE r8): a full bitmap (empty = 0) would
+    # make log2 diverge — DuckDB's FLOOR(-inf)::BIGINT errors while
+    # Spark emits null. Clamp to >= 1 in BOTH engines: at saturation
+    # the estimate degrades to m*ln(m), the standard LC fallback
+    # before switching to HLL.
+    ilog_v = F.floor(
+        F.log2(F.greatest(empty, F.lit(1)).cast("double")) * 1000000
+    ).cast("long")
     return occ.crossJoin(F.broadcast(ex)).select(
         F.lit(_LC_M).alias("m"),
         "filled",

@@ -362,6 +362,13 @@ def finance_sharpe_sortino_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     volatility — the risk-adjusted consistency screen behind "which
     product lines grow smoothly vs erratically".
 
+    Convention (deliberate, ADVICE r8): Sharpe uses the n-1 SAMPLE
+    standard deviation of all deltas, while Sortino divides the
+    downside sum-of-squares by n — the POPULATION lower partial
+    moment, the common Sortino convention (downside deviation is a
+    target semideviation, not a sample estimator). The two divisors
+    differ on purpose; both engines implement the identical pair.
+
     Exactness: per-day revenue is an exact decimal sum floored to
     cents; deltas are int64; second moments are HUGEINT/DECIMAL(38,0)
     power sums (the ``stats_spearman_rho`` doctrine); each ratio is

@@ -860,14 +860,19 @@ _LC_FRACS = [1, 2, 4, 8, 16]  # keep 16/m of the md5 buckets => m in list
              CASE WHEN 2 * s > n THEN 1 ELSE 0 END AS yhat,
              n AS train_n
       FROM train),
+    gmaj AS (
+      SELECT CASE WHEN 2 * SUM(sf) > SUM(nf) THEN 1 ELSE 0 END AS g
+      FROM full_),
     acc AS (
-      SELECT pred.m,
-             CAST(SUM(train_n) AS BIGINT) AS train_rows,
-             CAST(SUM(CASE WHEN yhat = 1 THEN sf ELSE nf - sf END)
+      SELECT ms.m,
+             CAST(COALESCE(SUM(pred.train_n), 0) AS BIGINT) AS train_rows,
+             CAST(SUM(CASE WHEN COALESCE(pred.yhat, g) = 1
+                           THEN sf ELSE nf - sf END)
                   AS BIGINT) AS n_correct,
              CAST(SUM(nf) AS BIGINT) AS n_total
-      FROM pred JOIN full_ ON full_.flag = pred.flag
-      GROUP BY pred.m)
+      FROM ms CROSS JOIN full_ CROSS JOIN gmaj
+      LEFT JOIN pred ON pred.m = ms.m AND pred.flag = full_.flag
+      GROUP BY ms.m)
     SELECT m AS n_buckets, train_rows, n_correct, n_total,
            CAST(n_correct AS DOUBLE) / n_total AS accuracy
     FROM acc
@@ -934,15 +939,31 @@ def ml_stump_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = full_.select(
         F.col("flag").alias("flag2"), "nf", "sf"
     )
+    # score on the genuinely FULL set (ADVICE r8): every (m, branch)
+    # cell exists via ms x full_, a branch absent from the training
+    # sample predicts the GLOBAL majority class, and the denominator
+    # is always SUM(nf) over all branches
+    glob = full_.agg(
+        F.when(2 * F.sum("sf") > F.sum("nf"), 1).otherwise(0).alias("g")
+    )
+    grid = F.broadcast(ms).crossJoin(F.broadcast(f2)).crossJoin(
+        F.broadcast(glob)
+    )
     acc = (
-        pred.join(F.broadcast(f2), F.col("flag2") == F.col("flag"))
-        .groupBy("m")
+        grid.join(
+            pred,
+            (pred["m"] == grid["m"]) & (pred["flag"] == grid["flag2"]),
+            "left",
+        )
+        .groupBy(grid["m"])
         .agg(
-            F.sum("train_n").cast("long").alias("train_rows"),
+            F.coalesce(F.sum("train_n"), F.lit(0))
+            .cast("long")
+            .alias("train_rows"),
             F.sum(
-                F.when(F.col("yhat") == 1, F.col("sf")).otherwise(
-                    F.col("nf") - F.col("sf")
-                )
+                F.when(
+                    F.coalesce(F.col("yhat"), F.col("g")) == 1, F.col("sf")
+                ).otherwise(F.col("nf") - F.col("sf"))
             )
             .cast("long")
             .alias("n_correct"),
