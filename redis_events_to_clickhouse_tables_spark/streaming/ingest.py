@@ -152,8 +152,10 @@ class IngestReport:
     tables: dict[str, int] = field(default_factory=dict)
     errors: dict[str, str] = field(default_factory=dict)
     # Wall seconds per pipeline phase (BENCH r6 item 6: a depressed
-    # ingest headline must self-attribute). parse_infer and route are
-    # single wall spans; normalize/append are SUMS across the
+    # ingest headline must self-attribute). parse_infer is a single
+    # wall span; route is 0.0 by construction (the routing table rides
+    # the same grouped aggregate as the counts — kept as a key for
+    # record continuity); normalize/append are SUMS across the
     # concurrent per-table flushes, so they can exceed the batch wall
     # time — they attribute cost, they don't partition the clock.
     phase_seconds: dict[str, float] = field(default_factory=dict)
@@ -335,18 +337,26 @@ class IngestEngine:
 
         events = events.persist()
         try:
-            # one aggregate for total + F1 missing-routing-key counts
-            counts = events.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col(etp).isNull(), 1)).alias("miss"),
-            ).collect()[0]
-            report.n_events = counts["n"]
+            # ONE grouped aggregate yields total + F1 missing-routing-
+            # key counts AND the G1 routing table (the null group is
+            # the missing-key bucket; group cardinality is bounded by
+            # the number of destination tables, like the reference's
+            # bulker map) — the old separate count-agg and distinct()
+            # jobs each re-scanned the batch
+            groups = (
+                events.groupBy(F.col(etp).alias("__etype"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            report.n_events = sum(r["n"] for r in groups)
             # the agg above is what materializes the cached JSON parse,
             # so the span from parse_events to here is the parse+infer
             # cost
             _phase("parse_infer", time.perf_counter() - t_parse)
             # F1: events with no routing key are logged and dropped
-            report.n_missing_routing_key = int(counts["miss"])
+            report.n_missing_routing_key = sum(
+                r["n"] for r in groups if r["__etype"] is None
+            )
             if report.n_missing_routing_key:
                 self._trace(
                     {
@@ -356,12 +366,8 @@ class IngestEngine:
                     }
                 )
             valid = events.filter(F.col(etp).isNotNull())
-
-            # G1: route per event type — distinct() is bounded by the
-            # number of destination tables, like the reference's bulkers
-            t_route = time.perf_counter()
-            types = [r[0] for r in valid.select(etp).distinct().collect()]
-            _phase("route", time.perf_counter() - t_route)
+            types = [r["__etype"] for r in groups if r["__etype"] is not None]
+            _phase("route", 0.0)
 
             def _process_type(etype: str) -> None:
                 sub = valid.filter(F.col(etp) == etype)
@@ -375,10 +381,11 @@ class IngestEngine:
                     # two — VERDICT r8 item 6); normalize+evolve cost
                     # stays attributable separately from the append
                     t_norm = time.perf_counter()
-                    rows, cached = normalize_events(
+                    rows, cached, n = normalize_events(
                         sub, self.config, materialize=True
                     )
-                    n = rows.count()
+                    if n is None:  # custom P8 transform: count for real
+                        n = rows.count()
                     _phase("normalize", time.perf_counter() - t_norm)
                     t_append = time.perf_counter()
                     keys = self.config.upsert_keys

@@ -148,18 +148,20 @@ def normalize_events(
     df: DataFrame,
     cfg: IngestConfig | None = None,
     materialize: bool = False,
-) -> DataFrame | tuple[DataFrame, "DataFrame | None"]:
+) -> DataFrame | tuple[DataFrame, "DataFrame | None", "int | None"]:
     """Full P1-P8 pipeline over a typed event DataFrame (one table's rows).
 
     ``materialize=True`` is the ingest hot path (VERDICT r8 item 6):
     the flattened projection is persisted and filled by the SAME
     aggregate job that decides the D1/F3 refinements, and the call
-    returns ``(normalized, cached)`` where ``cached`` is the persisted
-    intermediate the caller must ``unpersist()`` after writing. The
-    returned frame is then a cheap cast/drop/transform projection over
-    that cache, so the whole normalize+count+append sequence executes
-    the flatten exactly once instead of twice (the refinement scan and
-    the post-persist count used to each run the full pipeline).
+    returns ``(normalized, cached, n_rows)`` where ``cached`` is the
+    persisted intermediate the caller must ``unpersist()`` after
+    writing and ``n_rows`` is the batch row count measured by that
+    same aggregate (``None`` when a custom P8 transform might change
+    it — re-count then). The returned frame is then a cheap
+    cast/drop/transform projection over that cache, so the whole
+    normalize+count+append sequence executes the flatten exactly once
+    and runs no separate count job.
     """
     cfg = cfg or IngestConfig()
 
@@ -225,6 +227,7 @@ def normalize_events(
     # (Counting pre-refinement is equivalent to the old post-
     # refinement count: a column only refines when EVERY defined
     # value parses, so the non-null count is unchanged by parsing.)
+    n_rows: int | None = None
     payload_cols = [c for c in flat.columns if c not in SYSTEM_COLUMNS]
     if payload_cols:
         string_cols = [
@@ -243,8 +246,13 @@ def normalize_events(
                 )
             ).alias(f"__d_{i}")
             for i, c in enumerate(string_cols)
+        ] + [
+            # total row count rides the same job: callers on the hot
+            # path get it for free instead of running a count job
+            F.count(F.lit(1)).alias("__n_rows")
         ]
         row = flat.agg(*aggs).collect()[0]
+        n_rows = int(row["__n_rows"])
         refinements = {
             c: T.TimestampType()
             for i, c in enumerate(string_cols)
@@ -259,5 +267,10 @@ def normalize_events(
     transform = cfg.transform or default_transform
     out = transform(flat)
     if materialize:
-        return out, cached
+        # n_rows is authoritative only for the default transform (it
+        # adds a column, never filters); a custom P8 hook may change
+        # the row count, so callers must re-count then
+        if cfg.transform is not None:
+            n_rows = None
+        return out, cached, n_rows
     return out

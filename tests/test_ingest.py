@@ -378,4 +378,9 @@ def test_ingest_reports_phase_timings(spark, tmp_path):
     assert report.n_events == 500
     for phase in ("parse_infer", "route", "normalize", "append"):
         assert phase in report.phase_seconds, report.phase_seconds
+    # route is 0.0 by construction now: the routing table rides the
+    # same grouped aggregate as the total/missing counts (one job),
+    # so its cost is attributed to parse_infer
+    assert report.phase_seconds["route"] == 0.0
+    for phase in ("parse_infer", "normalize", "append"):
         assert report.phase_seconds[phase] > 0
