@@ -1,0 +1,433 @@
+"""Third training-data curation wave: DSIR domain reweighting, a
+trained Naive-Bayes language router, and the corpus novelty-decay
+curve — the "which data do we keep buying" trio of a 100-TB pretraining
+pipeline.
+
+Exactness doctrine: all counts are exact int64; every logarithm rides
+the audited 1e4 integer-log fixed point (floor(log2(int) * 1e4),
+tests/test_ilog_quantization.py); argmax/top-k ordering happens on the
+INTEGER fixed-point scores with deterministic tiebreaks, so the
+floating tail is one shared IEEE division at the very end.
+
+Reference parity note: the reference ETL (src/main.ts) has no query
+operators; these are Layer-B training-data-pipeline surface (DSIR is
+Xie et al. 2023's importance-resampling selection; the NB router and
+novelty curve are standard corpus-curation instruments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..registry import query
+from ..session import tune
+from ..sources.tables import table
+
+_DSIR_B = 512  # hashed-unigram feature buckets
+_DSIR_TOPK = 20
+_NB_B = 256  # NB feature buckets
+_NB_FOLDS = 5  # md5 split: fold 0 is the held-out test set
+_NOV_BUCKETS = 10  # novelty-decay deciles over doc_id order
+
+
+def _ilog(c) -> F.Column:
+    """floor(log2(x) * 1e4) — the audited 1e4 fixed point."""
+    return F.floor(F.log2(c.cast("double")) * F.lit(1e4)).cast("long")
+
+
+def _sql_ilog(expr: str) -> str:
+    return (
+        f"CAST(FLOOR(log2(CAST({expr} AS DOUBLE)) * 10000) AS BIGINT)"
+    )
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {DUCKDB_MD5_LONG("t.tok", salt="dsir")} % {_DSIR_B} AS b
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY 1),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+            WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nt
+            FROM toks),
+    w AS (
+      SELECT raw.b,
+             {_sql_ilog("COALESCE(ct, 0) + 1")}
+             - {_sql_ilog("cr + 1")}
+             + {_sql_ilog(f"nr + {_DSIR_B}")}
+             - {_sql_ilog(f"nt + {_DSIR_B}")} AS wb
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
+    scored AS (
+      SELECT toks.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(wb) AS BIGINT) AS weight_fp
+      FROM toks JOIN w ON w.b = toks.b
+      GROUP BY 1)
+    SELECT doc_id, n_tokens, weight_fp,
+           CAST(weight_fp AS DOUBLE) / 10000 / n_tokens
+             AS bits_per_token
+    FROM scored
+    ORDER BY weight_fp DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a hashed-unigram LM fit on the
+    TARGET domain (lang = 'en') vs one fit on the RAW corpus, +1
+    smoothed over {B} feature buckets — the standard "find me more
+    data that looks like my target domain" selector. Returns the top
+    {k} documents by total log-ratio.
+
+    Per-bucket weight wb = ilog(ct+1) - ilog(cr+1) + ilog(Nr+B)
+    - ilog(Nt+B) in the 1e4 fixed point; a document's weight is the
+    exact int64 sum of wb over its tokens, so the top-k ordering
+    (weight desc, doc_id asc) is integer-deterministic.
+
+    Scale shape: token explode -> one groupBy on the {B}-value bucket
+    column (map-side combinable, {B}-row result) -> the bucket weight
+    table BROADCASTS back onto the token stream -> per-doc sum
+    (shuffle on doc_id) -> global top-k is a TakeOrdered, never a full
+    sort. The corpus is scanned twice and never self-joined.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (md5_long(F.col("tok"), salt="dsir") % _DSIR_B).alias("b"),
+        )
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                _ilog(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                - _ilog(F.col("cr") + F.lit(1))
+                + _ilog(F.col("nr") + F.lit(_DSIR_B))
+                - _ilog(F.col("nt") + F.lit(_DSIR_B))
+            ).alias("wb"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wb").cast("long").alias("weight_fp"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "weight_fp",
+            (
+                F.col("weight_fp").cast("double")
+                / F.lit(1e4)
+                / F.col("n_tokens")
+            ).alias("bits_per_token"),
+        )
+        .orderBy(F.desc("weight_fp"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+@query(
+    "ml_naive_bayes_lang",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text,
+             {DUCKDB_MD5_LONG("'nbsplit:' || doc_id")} % {_NB_FOLDS}
+               AS fold
+      FROM documents),
+    toks AS (
+      SELECT doc_id, lang, fold,
+             {DUCKDB_MD5_LONG("t.tok", salt="nb")} % {_NB_B} AS b
+      FROM docs, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    train AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM toks WHERE fold <> 0 GROUP BY 1, 2),
+    ltot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tl,
+                    CAST(COUNT(*) AS BIGINT) AS nb
+             FROM train GROUP BY 1),
+    prior AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+              FROM docs WHERE fold <> 0 GROUP BY 1),
+    test AS (SELECT doc_id, lang AS true_lang, b,
+                    CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks WHERE fold = 0 GROUP BY 1, 2, 3),
+    tdoc AS (SELECT doc_id, true_lang, CAST(SUM(tf) AS BIGINT) AS n_tokens
+             FROM test GROUP BY 1, 2),
+    hits AS (
+      SELECT test.doc_id, train.lang,
+             CAST(SUM(tf * {_sql_ilog("c + 1")}) AS BIGINT) AS s1
+      FROM test JOIN train ON train.b = test.b
+      GROUP BY 1, 2),
+    scores AS (
+      SELECT tdoc.doc_id, tdoc.true_lang, ltot.lang,
+             {_sql_ilog("nd + 1")}
+             - tdoc.n_tokens * {_sql_ilog(f"tl + {_NB_B}")}
+             + COALESCE(s1, 0) AS score_fp
+      FROM tdoc CROSS JOIN ltot
+      JOIN prior ON prior.lang = ltot.lang
+      LEFT JOIN hits ON hits.doc_id = tdoc.doc_id
+                    AND hits.lang = ltot.lang),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_fp DESC, lang) AS rk
+      FROM scores)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language router: train hashed-unigram
+    class-conditional counts ({B} buckets, +1 smoothing) plus document
+    priors on an md5 4/5 split, classify the held-out fold, and return
+    the confusion matrix — the trained upgrade of the n-gram-heuristic
+    language ID, and the canonical "cheap trained router" of corpus
+    pipelines (domain/language/quality routing before expensive
+    stages).
+
+    score(l) = ilog(nd_l + 1) - n_tokens * ilog(tl_l + B)
+    + sum_tokens tf * ilog(c_{{l,b}} + 1) in the 1e4 fixed point;
+    unseen (l, b) pairs contribute ilog(1) = 0, so the inner
+    token-to-train join needs no zero-fill. Argmax = integer score
+    desc with lang-asc tiebreak — deterministic in both engines.
+
+    Scale shape: the trained model is (langs x {B}) rows — broadcast;
+    scoring is one broadcast join on the token stream plus a per-doc
+    aggregate; the doc-x-lang score grid is |test docs| x |langs| rows
+    (langs is a handful). No corpus self-join anywhere.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (
+            md5_long(
+                F.concat(F.lit("nbsplit:"), F.col("doc_id").cast("string"))
+            )
+            % _NB_FOLDS
+        ).alias("fold"),
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            "fold",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            "fold",
+            (md5_long(F.col("tok"), salt="nb") % _NB_B).alias("b"),
+        )
+    )
+    train = (
+        toks.filter(F.col("fold") != 0)
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ltot = train.groupBy("lang").agg(F.sum("c").cast("long").alias("tl"))
+    prior = (
+        d.filter(F.col("fold") != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    test = (
+        toks.filter(F.col("fold") == 0)
+        .groupBy(F.col("doc_id"), F.col("lang").alias("true_lang"), F.col("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tdoc = test.groupBy("doc_id", "true_lang").agg(
+        F.sum("tf").cast("long").alias("n_tokens")
+    )
+    tr = train.select(
+        F.col("lang").alias("mlang"), "b", _ilog(F.col("c") + 1).alias("ic")
+    )
+    hits = (
+        test.join(F.broadcast(tr), "b")
+        .groupBy("doc_id", "mlang")
+        .agg(F.sum(F.col("tf") * F.col("ic")).cast("long").alias("s1"))
+    )
+    model = F.broadcast(
+        ltot.join(prior, "lang").select(
+            F.col("lang").alias("mlang"),
+            (
+                _ilog(F.col("nd") + 1)
+            ).alias("iprior"),
+            _ilog(F.col("tl") + F.lit(_NB_B)).alias("itl"),
+        )
+    )
+    scores = (
+        tdoc.crossJoin(model)
+        .join(hits, ["doc_id", "mlang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("mlang"),
+            (
+                F.col("iprior")
+                - F.col("n_tokens") * F.col("itl")
+                + F.coalesce(F.col("s1"), F.lit(0))
+            ).alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), "mlang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("mlang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "text_ngram_novelty_decay",
+    oracle=f"""
+    WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mdoc FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) - 1)) AS u(i)),
+    first AS (SELECT sh, CAST(MIN(doc_id) AS BIGINT) AS fdoc
+              FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN first.fdoc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN first ON first.sh = sh.sh
+      GROUP BY 1),
+    bucketed AS (
+      SELECT CAST(d.doc_id * {_NOV_BUCKETS} // (mdoc + 1) AS BIGINT)
+               AS bucket,
+             COALESCE(n_distinct, 0) AS n_distinct,
+             COALESCE(n_novel, 0) AS n_novel
+      FROM documents d
+      LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id, mx)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_distinct) AS BIGINT) AS distinct_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+           CAST(SUM(n_novel) AS DOUBLE)
+             / GREATEST(SUM(n_distinct), 1) AS novelty_rate
+    FROM bucketed GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty-decay curve: ingest documents in doc_id order,
+    split them into {nb} equal-width cohorts, and measure per cohort
+    what fraction of each document's distinct 3-gram shingles have
+    never appeared in ANY earlier document (first occurrence = min
+    doc_id over the corpus). A flattening curve is the
+    diminishing-returns signal — "more of this source adds volume,
+    not diversity" — the go/no-go metric for buying more of a data
+    source.
+
+    Exactness: novelty is pure integer set logic (min doc_id per
+    shingle, exact counts); the rate is one shared division with a
+    GREATEST(.., 1) guard so an all-short-docs cohort yields 0.0 in
+    both engines rather than an engine-specific divide-by-zero.
+
+    Scale shape: one shingle explode, one groupBy shingle (min — the
+    single big shuffle, map-side combinable), one shingle-keyed join
+    back to the per-doc stream, then a {nb}-row rollup. No corpus
+    self-join; the shingle stream is never re-scanned.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "CASE WHEN size(t) >= 3 THEN"
+                        " transform(sequence(1, size(t) - 2),"
+                        "           i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                        " ELSE array() END"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").cast("long").alias("fdoc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    mx = d.agg(F.max("doc_id").cast("long").alias("mdoc"))
+    bucketed = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.col("doc_id") * _NOV_BUCKETS / (F.col("mdoc") + 1)
+            )
+            .cast("long")
+            .alias("bucket"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_distinct").cast("long").alias("distinct_shingles"),
+            F.sum("n_novel").cast("long").alias("novel_shingles"),
+            (
+                F.sum("n_novel").cast("double")
+                / F.greatest(F.sum("n_distinct"), F.lit(1))
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )
