@@ -431,3 +431,225 @@ def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap CI — the one-pass bootstrap that actually runs at
+# 100 TB (per-row deterministic Poisson(1) weights; replicate sums are
+# map-side combinable, so B replicates cost one scan)
+# ---------------------------------------------------------------------------
+
+_PB_R = 50  # bootstrap replicates
+# Poisson(1) CDF * 1e5, rounded: P(X<=k) for k = 0..7; u in [0, 1e5)
+# maps to the weight k whose cumulative bin contains it (weights >= 8
+# collapse into the last bin — P(X>=8) ~ 1e-5).
+_PB_CDF = (36788, 73576, 91970, 98101, 99634, 99941, 99992, 99999)
+
+
+def _pb_weight_sql(u: str) -> str:
+    return (
+        "("
+        + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _PB_CDF)
+        + ")"
+    )
+
+
+def _pb_weight(u) -> F.Column:
+    w = F.lit(0)
+    for t in _PB_CDF:
+        w = w + F.when(u >= t, 1).otherwise(0)
+    return w
+
+
+_PB_U_SQL = DUCKDB_MD5_LONG("'pb:' || r || ':' || o_orderkey") + " % 100000"
+
+
+@query(
+    "eval_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT CAST(r AS BIGINT) AS r
+                  FROM UNNEST(range(0, {_PB_R})) AS t(r)),
+    wrows AS (
+      SELECT r,
+             {_pb_weight_sql(_PB_U_SQL)}
+               AS w,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders CROSS JOIN reps),
+    rep AS (
+      SELECT r, CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(w * cents) AS BIGINT) AS s
+      FROM wrows GROUP BY 1),
+    means AS (
+      SELECT r, CAST(s AS DOUBLE) / n_eff / 100 AS m,
+             ROW_NUMBER() OVER (ORDER BY CAST(s AS DOUBLE) / n_eff, r)
+               AS rk
+      FROM rep),
+    full_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders)
+    SELECT n AS n_rows,
+           CAST(s AS DOUBLE) / n / 100 AS mean_price,
+           MAX(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = 25 THEN m END) AS ci_med,
+           MAX(CASE WHEN rk = 48 THEN m END) AS ci_hi
+    FROM means, full_
+    GROUP BY n, s
+    """,
+)
+def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value: each
+    of {R} replicates weights every order by a DETERMINISTIC Poisson(1)
+    draw (md5 -> uniform in [0, 1e5) -> inverse-CDF lookup against the
+    pinned integer threshold table), the replicate means' 3rd / 25th /
+    48th order statistics give the ~90% CI — the one-pass bootstrap
+    used at data scales where resampling-by-index is impossible
+    (replicate sums are map-side combinable, so all {R} replicates
+    cost ONE scan of the fact table).
+
+    Exactness: weights are integer CDF-bin counts (identical CASE
+    cascade in both engines); replicate sums are exact int64 cents;
+    each mean is one shared IEEE division; the order statistics pick
+    by integer rank with replicate-id tiebreak.
+
+    Scale shape: fact x {R} literal replicate rows (a broadcast
+    nested-loop over a {R}-row frame — NOT a fact self-join), one
+    groupBy(r) ({R} result rows), then driver-sized rank logic.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    reps = spark.range(_PB_R).select(F.col("id").alias("r"))
+    cents = (
+        F.col("o_totalprice").cast("decimal(14,2)") * 100
+    ).cast("long")
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("pb:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        % 100000
+    )
+    rep = (
+        o.crossJoin(F.broadcast(reps))
+        .select("r", _pb_weight(u).alias("w"), cents.alias("cents"))
+        .groupBy("r")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+        )
+    )
+    means = rep.select(
+        "r", (F.col("s").cast("double") / F.col("n_eff") / 100).alias("m"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s").cast("double") / F.col("n_eff"), "r"))
+        .alias("rk"),
+    )
+    full = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+    )
+    return (
+        means.crossJoin(F.broadcast(full))
+        .groupBy("n", "s")
+        .agg(
+            F.max(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == 25, F.col("m"))).alias("ci_med"),
+            F.max(F.when(F.col("rk") == 48, F.col("m"))).alias("ci_hi"),
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            (F.col("s").cast("double") / F.col("n") / 100).alias(
+                "mean_price"
+            ),
+            "ci_lo",
+            "ci_med",
+            "ci_hi",
+        )
+    )
+
+
+_NV_CR_NUM, _NV_CR_DEN = 3, 4  # critical ratio 3/4 (Cu=3, Co=1)
+
+
+@query(
+    "supply_newsvendor_quantile",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_partkey AS partkey, l_shipdate AS d,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100
+                       AS BIGINT) AS BIGINT) AS q_c
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT partkey, q_c,
+             ROW_NUMBER() OVER (PARTITION BY partkey
+                                ORDER BY q_c, d) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY partkey) AS BIGINT) AS n_days
+      FROM daily)
+    SELECT partkey, n_days,
+           CAST((n_days * {_NV_CR_NUM} + {_NV_CR_DEN} - 1)
+                // {_NV_CR_DEN} AS BIGINT) AS k,
+           CAST(q_c AS DOUBLE) / 100 AS q_star
+    FROM ranked
+    WHERE rk = (n_days * {_NV_CR_NUM} + {_NV_CR_DEN} - 1) // {_NV_CR_DEN}
+    ORDER BY partkey
+    """,
+)
+def supply_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor order-up-to level per part: the critical-fractile
+    stocking rule q* = F^-1(Cu / (Cu + Co)) with underage 3 / overage 1
+    (critical ratio 3/4) over the part's observed daily-demand
+    distribution — the textbook single-period inventory decision, and
+    the quantile-per-key workload every demand-planning pipeline runs.
+
+    Exact order statistic: daily demand is an exact decimal sum in
+    quantity-cents (int64); q* is the k-th smallest daily demand with
+    k = ceil(3n/4) picked by ROW_NUMBER with a date tiebreak — no
+    percentile interpolation, no float rank.
+
+    Scale shape: one map-side-combinable groupBy(part, day), then a
+    single window over partitions keyed by part (the quantile never
+    crosses parts, so the shuffle is exactly one hash partition by
+    partkey); output is one row per part.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("q_c")
+        )
+    )
+    w = Window.partitionBy("partkey").orderBy("q_c", "d")
+    ranked = daily.select(
+        "partkey",
+        "q_c",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("partkey"))
+        .cast("long")
+        .alias("n_days"),
+    )
+    k = F.floor(
+        (F.col("n_days") * _NV_CR_NUM + _NV_CR_DEN - 1) / _NV_CR_DEN
+    ).cast("long")
+    return (
+        ranked.filter(F.col("rk") == k)
+        .select(
+            "partkey",
+            "n_days",
+            k.alias("k"),
+            (F.col("q_c").cast("double") / 100).alias("q_star"),
+        )
+        .orderBy("partkey")
+    )
