@@ -63,6 +63,13 @@ class IngestConfig:
     # sources.redis_bull.RedisBullSource.salvage_old_queue)
     re_enqueue_old_bull_events: bool = False
     re_enqueue_old_bull_events_jobname: str = "main"
+    # small-files guard (scale addition): target rows per written file;
+    # the per-table append coalesces its partitions down to
+    # ceil(batch_rows / target) before writing, so a 20k-row
+    # micro-batch lands as ONE parquet file instead of one per shuffle
+    # partition — the classic small-files failure at 100 TB (and the
+    # MergeTree too-many-parts analog). 0 disables.
+    target_rows_per_file: int = 1_000_000
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "IngestConfig":

@@ -388,6 +388,10 @@ class IngestEngine:
                         n = rows.count()
                     _phase("normalize", time.perf_counter() - t_norm)
                     t_append = time.perf_counter()
+                    target = self.config.target_rows_per_file
+                    coalesce_to = (
+                        max(1, -(-n // target)) if target and n else None
+                    )
                     keys = self.config.upsert_keys
                     if keys and all(k in rows.columns for k in keys):
                         # CDC mode: MERGE on the key tuple
@@ -408,6 +412,7 @@ class IngestEngine:
                             batch_id=batch_id,
                             partition_by=self.config.table_partition_by,
                             sort_by=self.config.table_sort_by,
+                            coalesce_to=coalesce_to,
                         )
                     _phase("append", time.perf_counter() - t_append)
                     with self._lock:

@@ -185,6 +185,7 @@ class TableStore:
         batch_id: int | str | None = None,
         partition_by: tuple[str, ...] | None = None,
         sort_by: tuple[str, ...] | None = None,
+        coalesce_to: int | None = None,
     ) -> T.StructType:
         """Append a batch, evolving the table schema to fit.
 
@@ -227,6 +228,11 @@ class TableStore:
                 self._save_schema(table, target)
 
         aligned = _align(df, target)
+        if coalesce_to is not None and coalesce_to >= 1:
+            # small-files guard: land the batch in ~coalesce_to files
+            # instead of one per shuffle partition (narrow dependency —
+            # no shuffle; a no-op when already narrower)
+            aligned = aligned.coalesce(coalesce_to)
         sort_cols = [c for c in meta["sort_by"] if c in set(target.fieldNames())]
         if sort_cols:
             aligned = aligned.sortWithinPartitions(*sort_cols)

@@ -229,3 +229,54 @@ def test_empty_shard_store_reads_cleanly(spark, tmp_path):
     assert docs.count() == 0
     assert "doc_id" in docs.columns and "shard" in docs.columns
     assert store.manifest().count() == 0
+
+
+def test_small_files_guard_coalesces_appends(spark, tmp_path):
+    """A micro-batch below target_rows_per_file lands as ONE data file
+    per table (the small-files / too-many-parts guard); disabling the
+    target (0) keeps the natural partitioning."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from redis_events_to_clickhouse_tables_spark.config import IngestConfig
+    from redis_events_to_clickhouse_tables_spark.streaming.ingest import (
+        IngestEngine,
+    )
+    from redis_events_to_clickhouse_tables_spark.streaming.store import (
+        TableStore,
+    )
+
+    raw = (
+        spark.range(2000)
+        .repartition(8)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("event_small").alias("event_type"),
+                    F.col("id").alias("n"),
+                )
+            ).alias("value")
+        )
+    )
+    store = TableStore(spark, tmp_path / "w1")
+    IngestEngine(spark, store, IngestConfig()).process_raw_batch(raw, 1)
+    files = [
+        p
+        for p in (tmp_path / "w1" / "event_small" / "data").rglob("*.parquet")
+        if p.is_file()
+    ]
+    assert len(files) == 1, files
+    assert store.read("event_small").count() == 2000
+
+    store2 = TableStore(spark, tmp_path / "w2")
+    IngestEngine(
+        spark, store2, IngestConfig(target_rows_per_file=0)
+    ).process_raw_batch(raw, 1)
+    files2 = [
+        p
+        for p in (tmp_path / "w2" / "event_small" / "data").rglob("*.parquet")
+        if p.is_file()
+    ]
+    assert len(files2) > 1, files2
+    assert store2.read("event_small").count() == 2000
