@@ -114,6 +114,9 @@ _SCALE_FAMILY_PREFIXES = (
     # round-7 corpus-heavy additions: MATTR's O(tokens*window) slice
     # explode and PMI's per-doc vocabulary pair space
     "text_mattr_diversity", "text_pmi_top_pairs",
+    # round-9: novelty decay's full shingle explode + shingle-keyed
+    # min/join is the heaviest new corpus stage
+    "text_ngram_novelty_decay",
 )
 
 
