@@ -781,7 +781,7 @@ def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
                 ]
             )
         ).alias("m", "v"),
-    )
+    ).persist()  # every Lloyd round + the final encode re-scan this
     cents = sub.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
@@ -1372,7 +1372,9 @@ def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     training inside.
     """
     tune(spark)
-    v = _km_vectors(spark, sf_dir)
+    # persist the corpus vectors once across the Lloyd iterations
+    # (same discipline as sim_ivf_kmeans_topk, VERDICT r8 item 5)
+    v = _km_vectors(spark, sf_dir).persist()
     cents = v.filter(F.col("vec_id") < _K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
@@ -1386,7 +1388,10 @@ def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _km_assign(v, cents)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     cont = (
-        assigned.join(F.broadcast(e), "vec_id")
+        # labels are corpus-sized — a broadcast here would ship the
+        # whole corpus to every executor at 100 TB; plain equi-join on
+        # vec_id (AQE picks the strategy at fixture scale)
+        assigned.join(e, "vec_id")
         .groupBy("cid", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
