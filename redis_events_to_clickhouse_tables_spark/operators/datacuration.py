@@ -653,3 +653,347 @@ def supply_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 3: BLEU-2 verify stage, source-vocabulary Jaccard
+# matrix, max drawdown
+# ---------------------------------------------------------------------------
+
+
+def _register_bleu() -> None:
+    """Lazy registration: composes the dedup module's MinHash/LSH CTE
+    fragments (same pattern as text2's ROUGE registration)."""
+    from .dedup import _SQL_LSH_BAND, _SQL_MINHASH, _lsh_candidate_pairs
+
+    @query(
+        "eval_bleu2_candidates",
+        oracle=_SQL_MINHASH
+        + _SQL_LSH_BAND
+        + """,
+    tok AS (
+      SELECT doc_id, u.w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(w)
+      GROUP BY doc_id, u.w),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS w,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tok GROUP BY 1),
+    clip1 AS (
+      SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(ta.c, tb.c)) AS BIGINT) AS c1
+      FROM pairs p
+      JOIN tok ta ON ta.doc_id = p.doc_a
+      JOIN tok tb ON tb.doc_id = p.doc_b AND tb.w = ta.w
+      GROUP BY 1, 2),
+    clip2 AS (
+      SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(ba.c, bb.c)) AS BIGINT) AS c2
+      FROM pairs p
+      JOIN big ba ON ba.doc_id = p.doc_a
+      JOIN big bb ON bb.doc_id = p.doc_b AND bb.w = ba.w
+      GROUP BY 1, 2)
+    SELECT clip1.doc_a, clip1.doc_b,
+           c1 AS clip_1gram, COALESCE(c2, 0) AS clip_2gram,
+           na.n AS ref_tokens, nb.n AS cand_tokens,
+           CAST(c1 AS DOUBLE) / nb.n AS p1,
+           CAST(COALESCE(c2, 0) AS DOUBLE) / (nb.n - 1) AS p2,
+           SQRT((CAST(c1 AS DOUBLE) / nb.n)
+                * (CAST(COALESCE(c2, 0) AS DOUBLE) / (nb.n - 1)))
+             AS bleu2_no_bp,
+           LEAST(CAST(0 AS DOUBLE),
+                 CAST(1 AS DOUBLE)
+                 - CAST(na.n AS DOUBLE) / nb.n) AS bp_exponent
+    FROM clip1
+    LEFT JOIN clip2 ON clip2.doc_a = clip1.doc_a
+                   AND clip2.doc_b = clip1.doc_b
+    JOIN tot na ON na.doc_id = clip1.doc_a
+    JOIN tot nb ON nb.doc_id = clip1.doc_b
+    """,
+    )
+    def eval_bleu2_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BLEU-2 components (clipped 1-gram/2-gram precisions, their
+        geometric mean, and the brevity-penalty EXPONENT) for every
+        LSH near-dup candidate pair, treating doc_a as the reference —
+        the MT-style lexical verdict that complements ROUGE recall
+        (text_rouge1_candidates) with ORDER-SENSITIVE bigram evidence:
+        token-shuffled near-dups keep ROUGE-1 but lose the 2-gram
+        precision.
+
+        Exactness: clipped counts are exact integers; p1/p2 are shared
+        IEEE divisions; their geometric mean uses sqrt, which IEEE 754
+        requires to be correctly rounded (bit-identical cross-engine —
+        unlike exp/log, which is why the brevity penalty ships as its
+        RATIONAL exponent min(0, 1 - ref/cand) rather than as
+        exp(...): the consumer applies exp, the engines never do).
+
+        Scale shape: the two count frames are map-side-combinable
+        groupBys bounded by corpus tokens; both clip stages join the
+        LSH-BOUNDED candidate pairs (never all pairs) on the n-gram
+        key — the dedup_jaccard_verify_candidates verify topology,
+        twice.
+        """
+        tune(spark)
+        pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+        d = table(spark, sf_dir, "documents")
+        words = d.select(
+            "doc_id", F.split(F.col("text"), " ").alias("t")
+        )
+        tok = (
+            words.select(
+                "doc_id", F.explode(F.col("t")).alias("w")
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .persist()
+        )
+        big = (
+            words.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(t) >= 2 THEN"
+                        " transform(sequence(1, size(t) - 1),"
+                        "           i -> concat_ws(' ', t[i-1], t[i]))"
+                        " ELSE array() END"
+                    )
+                ).alias("w"),
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .persist()
+        )
+        tot = tok.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias("n")
+        )
+
+        def clip(counts: DataFrame, out: str) -> DataFrame:
+            a = counts.select(
+                F.col("doc_id").alias("doc_a"), "w", F.col("c").alias("ca")
+            )
+            b = counts.select(
+                F.col("doc_id").alias("db2"),
+                F.col("w").alias("wb"),
+                F.col("c").alias("cb"),
+            )
+            return (
+                pairs.join(a, "doc_a")
+                .join(
+                    b,
+                    (F.col("doc_b") == F.col("db2"))
+                    & (F.col("w") == F.col("wb")),
+                )
+                .groupBy("doc_a", "doc_b")
+                .agg(F.sum(F.least("ca", "cb")).cast("long").alias(out))
+            )
+
+        c1 = clip(tok, "clip_1gram")
+        c2 = clip(big, "clip_2gram")
+        na = tot.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("ref_tokens")
+        )
+        nb = tot.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("cand_tokens")
+        )
+        p1 = F.col("clip_1gram").cast("double") / F.col("cand_tokens")
+        p2 = F.col("clip_2gram").cast("double") / (
+            F.col("cand_tokens") - 1
+        )
+        return (
+            c1.join(c2, ["doc_a", "doc_b"], "left")
+            .withColumn(
+                "clip_2gram", F.coalesce("clip_2gram", F.lit(0))
+            )
+            .join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "clip_1gram",
+                "clip_2gram",
+                "ref_tokens",
+                "cand_tokens",
+                p1.alias("p1"),
+                p2.alias("p2"),
+                F.sqrt(p1 * p2).alias("bleu2_no_bp"),
+                F.least(
+                    F.lit(0).cast("double"),
+                    F.lit(1).cast("double")
+                    - F.col("ref_tokens").cast("double")
+                    / F.col("cand_tokens"),
+                ).alias("bp_exponent"),
+            )
+        )
+
+
+_register_bleu()
+
+
+@query(
+    "text_jaccard_source_similarity",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, u.w
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, i AS n_common,
+           na.n AS vocab_a, nb.n AS vocab_b,
+           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN sz na ON na.source = inter.src_a
+    JOIN sz nb ON nb.source = inter.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def text_jaccard_source_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source-by-source vocabulary Jaccard matrix: how much do two data
+    sources' distinct-token vocabularies overlap — the
+    corpus-composition diagnostic behind "are these two crawls the
+    same content under different names" (near-1 pairs are merge/drop
+    candidates before any document-level dedup runs).
+
+    Exactness: set sizes and intersections are exact integer distinct
+    counts; each Jaccard is one shared IEEE division.
+
+    Scale shape: the distinct (source, token) frame is bounded by
+    sources x vocabulary; the pair intersection self-joins THAT frame
+    on the token key — per-token fan-out is at most
+    |sources-containing-token| choose 2, and sources are a bounded
+    dimension (the reference's tables, a crawl registry), so the join
+    output is vocab x O(|sources|^2), never documents^2. Sizes
+    broadcast back onto the pair rows.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "w")
+    b = v.select(F.col("source").alias("src_b"), F.col("w").alias("wb"))
+    inter = (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = sz.select(F.col("source").alias("src_a"), F.col("n").alias("vocab_a"))
+    nb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "finance_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT d, v AS c,
+             CAST(MAX(v) OVER (ORDER BY d) AS BIGINT) AS rm
+      FROM daily),
+    dd AS (SELECT d, c, rm, rm - c AS drawdown FROM cum),
+    worst AS (
+      SELECT d AS trough_day, c AS trough_cum, rm AS peak_cum, drawdown
+      FROM dd
+      ORDER BY drawdown DESC, d
+      LIMIT 1)
+    SELECT CAST(worst.drawdown AS BIGINT) AS max_drawdown_cents,
+           CAST(worst.drawdown AS DOUBLE) / 100 AS max_drawdown,
+           MIN(dd.d) AS peak_day,
+           worst.trough_day
+    FROM worst JOIN dd ON dd.c = worst.peak_cum
+                      AND dd.d <= worst.trough_day
+    GROUP BY worst.drawdown, worst.trough_day
+    """,
+)
+def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the DAILY revenue level: the largest drop
+    from the best revenue day so far to a later day, with the peak
+    and trough dates — the canonical "worst stretch" risk statistic
+    next to VaR/ES (finance_var_es_daily). (The level series, not the
+    cumulative total: a cumulative revenue sum is monotone and its
+    drawdown is identically zero.)
+
+    Exactness: daily revenue is exact int64 cents; the running max
+    and every drawdown are integer window results; the
+    worst row is picked by integer ORDER BY with a date tiebreak
+    (earliest trough), and the peak day is the EARLIEST day whose
+    cumulative total equals the trough's running max — all integer
+    equality, one final /100 cast.
+
+    Scale shape: the windows run on the calendar-bounded daily model
+    frame (~2.4k rows at ANY corpus size — the finance_var_es_daily
+    doctrine), so the unpartitioned ORDER BY d window is a bounded
+    single-partition sort of the MODEL, not of the data; the only
+    data-sized stage is the map-side-combinable daily groupBy.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("v")
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.col("v").alias("c"),
+        F.max("v").over(wc).cast("long").alias("rm"),
+    )
+    dd = cum.select("d", "c", "rm", (F.col("rm") - F.col("c")).alias("drawdown"))
+    worst = (
+        dd.orderBy(F.desc("drawdown"), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("trough_day"),
+            F.col("rm").alias("peak_cum"),
+            F.col("drawdown").alias("wd"),
+        )
+    )
+    return (
+        F.broadcast(worst)
+        .join(
+            dd,
+            (F.col("c") == F.col("peak_cum"))
+            & (F.col("d") <= F.col("trough_day")),
+        )
+        .groupBy("wd", "trough_day")
+        .agg(F.min("d").alias("peak_day"))
+        .select(
+            F.col("wd").alias("max_drawdown_cents"),
+            (F.col("wd").cast("double") / 100).alias("max_drawdown"),
+            "peak_day",
+            "trough_day",
+        )
+    )
