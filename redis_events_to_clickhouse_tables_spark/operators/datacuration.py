@@ -228,6 +228,14 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-to-train join needs no zero-fill. Argmax = integer score
     desc with lang-asc tiebreak — deterministic in both engines.
 
+    Fixture note: the synthetic documents' text is language-
+    independent (lang is random metadata), so on the test corpora the
+    posterior collapses to the prior and the router predicts the
+    train-fold majority class — the mathematically correct NB output
+    for signal-free features; ``tests/test_round9_semantics.py`` pins
+    exactly that, plus the split accounting. On a real corpus the
+    identical pipeline separates languages.
+
     Scale shape: the trained model is (langs x {B}) rows — broadcast;
     scoring is one broadcast join on the token stream plus a per-doc
     aggregate; the doc-x-lang score grid is |test docs| x |langs| rows
