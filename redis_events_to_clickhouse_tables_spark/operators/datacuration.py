@@ -524,7 +524,9 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fact x {R} literal replicate rows (a broadcast
     nested-loop over a {R}-row frame — NOT a fact self-join), one
-    groupBy(r) ({R} result rows), then driver-sized rank logic.
+    groupBy(r) ({R} result rows); the order statistics come from a
+    broadcast rank self-join on the {R}-row replicate frame — no
+    global window anywhere (the plan-gate doctrine).
     """
     tune(spark)
     o = table(spark, sf_dir, "orders")
@@ -552,11 +554,28 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
         )
     )
-    means = rep.select(
-        "r", (F.col("s").cast("double") / F.col("n_eff") / 100).alias("m"),
-        F.row_number()
-        .over(Window.orderBy(F.col("s").cast("double") / F.col("n_eff"), "r"))
-        .alias("rk"),
+    # rank the 50 replicate means WITHOUT a global window (the
+    # no-global-window plan gate): broadcast rank self-join on the
+    # replicate model frame, the finance_var_es_daily doctrine
+    m0 = rep.select(
+        "r",
+        (F.col("s").cast("double") / F.col("n_eff")).alias("mraw"),
+        (F.col("s").cast("double") / F.col("n_eff") / 100).alias("m"),
+    )
+    m2 = m0.select(
+        F.col("r").alias("r2"), F.col("mraw").alias("mraw2")
+    )
+    means = (
+        m0.join(
+            F.broadcast(m2),
+            (F.col("mraw2") < F.col("mraw"))
+            | (
+                (F.col("mraw2") == F.col("mraw"))
+                & (F.col("r2") <= F.col("r"))
+            ),
+        )
+        .groupBy("r", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("rk"))
     )
     full = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -958,11 +977,11 @@ def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative total equals the trough's running max — all integer
     equality, one final /100 cast.
 
-    Scale shape: the windows run on the calendar-bounded daily model
-    frame (~2.4k rows at ANY corpus size — the finance_var_es_daily
-    doctrine), so the unpartitioned ORDER BY d window is a bounded
-    single-partition sort of the MODEL, not of the data; the only
-    data-sized stage is the map-side-combinable daily groupBy.
+    Scale shape: the running max is a broadcast range self-join on
+    the calendar-bounded daily model frame (~2.4k rows at ANY corpus
+    size — the finance_var_es_daily doctrine; no global window, per
+    the plan gate); the only data-sized stage is the map-side-
+    combinable daily groupBy.
     """
     tune(spark)
     o = table(spark, sf_dir, "orders")
@@ -973,11 +992,13 @@ def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v")
     )
-    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = daily.select(
-        "d",
-        F.col("v").alias("c"),
-        F.max("v").over(wc).cast("long").alias("rm"),
+    # running max WITHOUT a global window (no-global-window gate):
+    # broadcast range self-join on the calendar-bounded daily frame
+    b = daily.select(F.col("d").alias("e"), F.col("v").alias("w"))
+    cum = (
+        daily.join(F.broadcast(b), F.col("e") <= F.col("d"))
+        .groupBy("d", F.col("v").alias("c"))
+        .agg(F.max("w").cast("long").alias("rm"))
     )
     dd = cum.select("d", "c", "rm", (F.col("rm") - F.col("c")).alias("drawdown"))
     worst = (
