@@ -239,6 +239,13 @@ def build_scaled_part(spark, sf_dir: str, factor: float) -> str:
 _SCALE_SUPERLINEAR_PROBE = (
     "dedup_minhash_lsh_candidates",
     "dedup_jaccard_verify_candidates",
+    # VERDICT r9 item 4: the graph family is the slowest idle cluster
+    # but had no scaling evidence — probe the two iterative extremes
+    # (rank-vector propagation and fixed-depth frontier BFS) at
+    # x1/x2.5/x5 the way the dedup pair stages are probed. Per-round
+    # cost should track EDGES (the near-dup pair graph), not nodes^2.
+    "graph_pagerank_neardup",
+    "graph_bfs_hops_neardup",
 )
 _PROBE_FACTOR = 5.0
 
@@ -513,19 +520,27 @@ def main() -> None:
             print(f"# scaling_sweep: FAILED {errors['scaling_sweep']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    # Acceptance band (VERDICT r8 item 7): run-to-run totals on this
-    # box spread up to ~20% above the min purely from ambient load /
-    # JIT state (r8 idle: 456.9 primary vs 479/538 resweeps of the
-    # same code). Report min/median/max over every full-sweep total
-    # observed this invocation so round-over-round comparison reads
-    # the band, not one draw: totals within 20% of each other are
-    # load noise; only a band-vs-band shift is a real regression.
-    observed_totals = sorted(resweep_totals + [total]) if resweep_totals else [total]
+    # Acceptance band (VERDICT r8 item 7, scoping fixed per r9 ADVICE):
+    # run-to-run totals on this box spread up to ~20% above the min
+    # purely from ambient load / JIT state (r8 idle: 456.9 primary vs
+    # 479/538 resweeps of the same code). Report min/median/max over
+    # every full-sweep total observed this invocation so
+    # round-over-round comparison reads the band, not one draw: totals
+    # within 20% of each other are load noise; only a band-vs-band
+    # shift is a real regression. Every total in the band is scoped
+    # identically — QUERY SWEEP ONLY, excluding layer_a_ingest — and
+    # n_sweeps counts the totals actually in the band (sweep 1,
+    # optional re-sweep, and the min-merged floor).
+    query_total = round(
+        sum(v for k, v in timings.items() if k != "layer_a_ingest"), 4
+    )
+    observed_totals = sorted(resweep_totals + [query_total])
     total_band = {
         "min": observed_totals[0],
         "median": observed_totals[len(observed_totals) // 2],
         "max": observed_totals[-1],
-        "n_sweeps": max(1, len(resweep_totals)),
+        "n_sweeps": len(observed_totals),
+        "scope": "query_sweep_only_excl_ingest",
         "accepted_variance_pct": 20,
     }
     full = {

@@ -63,6 +63,15 @@ class IngestConfig:
     # sources.redis_bull.RedisBullSource.salvage_old_queue)
     re_enqueue_old_bull_events: bool = False
     re_enqueue_old_bull_events_jobname: str = "main"
+    # K4: debug-trace destination (reference: DEBUG_STORE_LOG=1 +
+    # DEBUG_STORE_LOG_PATH, default /tmp/debug.log, src/main.ts:140-142
+    # and the trace() helper :170-216). None keeps the engine default
+    # — a single JSONL at <store root>/_trace.jsonl. A path switches
+    # to the reference's layout: per-outcome files at
+    # trace_path + suffix (".success.log", ".bulkjobfailed.log",
+    # ".failedsingle.error.log", ... — the outputSuffix values of
+    # src/main.ts:305-491).
+    trace_path: str | None = None
     # small-files guard (scale addition): target rows per written file;
     # the per-table append coalesces its partitions down to
     # ceil(batch_rows / target) before writing, so a 20k-row
@@ -83,6 +92,10 @@ class IngestConfig:
         - CLICKHOUSE_ALTERED_COLUMN_NULLABLE (.env.sample:48)
         - NON_CRITICAL_EVENT_TYPES        (comma-separated, .env.sample:85)
         - RE_ENQUEUE_OLD_BULL_EVENTS[_JOBNAME] (.env.sample:54-56, S2)
+        - DEBUG_STORE_LOG / DEBUG_STORE_LOG_PATH (K4; src/main.ts:
+          140-142 — trace files at the configured path + per-outcome
+          suffix when DEBUG_STORE_LOG=1, path defaulting to
+          /tmp/debug.log exactly like the reference)
 
         DELIBERATE DEVIATION — CLICKHOUSE_ALTERED_COLUMN_NULLABLE
         defaults to True here when unset, whereas the reference treats
@@ -128,5 +141,10 @@ class IngestConfig:
             re_enqueue_old_bull_events_jobname=e.get(
                 "RE_ENQUEUE_OLD_BULL_EVENTS_JOBNAME",
                 cls.re_enqueue_old_bull_events_jobname,
+            ),
+            trace_path=(
+                e.get("DEBUG_STORE_LOG_PATH", "/tmp/debug.log")
+                if flag("DEBUG_STORE_LOG", False)
+                else None
             ),
         )

@@ -469,7 +469,25 @@ def _pb_weight(u) -> F.Column:
     return w
 
 
-_PB_U_SQL = DUCKDB_MD5_LONG("'pb:' || r || ':' || o_orderkey") + " % 100000"
+# One md5 per ROW (not per row x replicate): the 60-bit digest is
+# reduced mod the Mersenne prime 2^31-1, then each replicate's uniform
+# comes from two Lehmer rounds of pure integer mixing.  Every
+# intermediate stays < 2^48 (h < 2^31, h*48271 < 2^47, (%P)*69621
+# < 2^48), so the arithmetic is exact — and non-overflowing — in
+# Spark BIGINT (ANSI on or off) and DuckDB BIGINT alike.  This cuts
+# the hot loop from 50 md5 evaluations per fact row to one md5 plus
+# 50x a handful of int ops, which is what makes the query
+# load-robust (VERDICT r9: 15x wall swing under CPU contention).
+_PB_P = 2147483647  # 2^31 - 1
+_PB_A, _PB_B, _PB_C = 48271, 16807, 69621  # classic Lehmer multipliers
+
+_PB_H_SQL = (
+    DUCKDB_MD5_LONG("'pb:' || o_orderkey") + f" % {_PB_P}"
+)
+_PB_U_SQL = (
+    f"(((h * {_PB_A} + (r + 1) * {_PB_B}) % {_PB_P}) * {_PB_C})"
+    f" % {_PB_P} % 100000"
+)
 
 
 @query(
@@ -477,13 +495,17 @@ _PB_U_SQL = DUCKDB_MD5_LONG("'pb:' || r || ':' || o_orderkey") + " % 100000"
     oracle=f"""
     WITH reps AS (SELECT CAST(r AS BIGINT) AS r
                   FROM UNNEST(range(0, {_PB_R})) AS t(r)),
-    wrows AS (
-      SELECT r,
-             {_pb_weight_sql(_PB_U_SQL)}
-               AS w,
+    hashed AS (
+      SELECT {_PB_H_SQL} AS h,
              CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
                AS cents
-      FROM orders CROSS JOIN reps),
+      FROM orders),
+    wrows AS (
+      SELECT r,
+             {_pb_weight_sql("(" + _PB_U_SQL + ")")}
+               AS w,
+             cents
+      FROM hashed CROSS JOIN reps),
     rep AS (
       SELECT r, CAST(SUM(w) AS BIGINT) AS n_eff,
              CAST(SUM(w * cents) AS BIGINT) AS s
@@ -510,12 +532,16 @@ _PB_U_SQL = DUCKDB_MD5_LONG("'pb:' || r || ':' || o_orderkey") + " % 100000"
 def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for mean order value: each
     of {R} replicates weights every order by a DETERMINISTIC Poisson(1)
-    draw (md5 -> uniform in [0, 1e5) -> inverse-CDF lookup against the
+    draw (ONE md5 per row -> 2-round Lehmer integer mixing per
+    replicate -> uniform in [0, 1e5) -> inverse-CDF lookup against the
     pinned integer threshold table), the replicate means' 3rd / 25th /
     48th order statistics give the ~90% CI — the one-pass bootstrap
     used at data scales where resampling-by-index is impossible
     (replicate sums are map-side combinable, so all {R} replicates
-    cost ONE scan of the fact table).
+    cost ONE scan of the fact table).  Hashing once per row (instead
+    of once per row x replicate) makes the query load-robust: the
+    per-(row, r) work is a few exact int64 ops, identical in both
+    engines and overflow-free under ANSI.
 
     Exactness: weights are integer CDF-bin counts (identical CASE
     cascade in both engines); replicate sums are exact int64 cents;
@@ -534,20 +560,23 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         F.col("o_totalprice").cast("decimal(14,2)") * 100
     ).cast("long")
-    u = (
-        md5_long(
-            F.concat(
-                F.lit("pb:"),
-                F.col("r").cast("string"),
-                F.lit(":"),
-                F.col("o_orderkey").cast("string"),
+    # project h BELOW the replicate cross join so md5 runs once per
+    # fact row; the per-(row, r) uniform is pure integer mixing
+    hashed = o.select(
+        (
+            md5_long(
+                F.concat(F.lit("pb:"), F.col("o_orderkey").cast("string"))
             )
-        )
-        % 100000
+            % _PB_P
+        ).alias("h"),
+        cents.alias("cents"),
     )
+    u = (
+        (F.col("h") * _PB_A + (F.col("r") + 1) * _PB_B) % _PB_P * _PB_C
+    ) % _PB_P % 100000
     rep = (
-        o.crossJoin(F.broadcast(reps))
-        .select("r", _pb_weight(u).alias("w"), cents.alias("cents"))
+        hashed.crossJoin(F.broadcast(reps))
+        .select("r", _pb_weight(u).alias("w"), "cents")
         .groupBy("r")
         .agg(
             F.sum("w").cast("long").alias("n_eff"),
@@ -726,9 +755,9 @@ def _register_bleu() -> None:
            c1 AS clip_1gram, COALESCE(c2, 0) AS clip_2gram,
            na.n AS ref_tokens, nb.n AS cand_tokens,
            CAST(c1 AS DOUBLE) / nb.n AS p1,
-           CAST(COALESCE(c2, 0) AS DOUBLE) / (nb.n - 1) AS p2,
+           CAST(COALESCE(c2, 0) AS DOUBLE) / GREATEST(nb.n - 1, 1) AS p2,
            SQRT((CAST(c1 AS DOUBLE) / nb.n)
-                * (CAST(COALESCE(c2, 0) AS DOUBLE) / (nb.n - 1)))
+                * (CAST(COALESCE(c2, 0) AS DOUBLE) / GREATEST(nb.n - 1, 1)))
              AS bleu2_no_bp,
            LEAST(CAST(0 AS DOUBLE),
                  CAST(1 AS DOUBLE)
@@ -825,8 +854,11 @@ def _register_bleu() -> None:
             F.col("doc_id").alias("doc_b"), F.col("n").alias("cand_tokens")
         )
         p1 = F.col("clip_1gram").cast("double") / F.col("cand_tokens")
-        p2 = F.col("clip_2gram").cast("double") / (
-            F.col("cand_tokens") - 1
+        # GREATEST guard (matching the novelty_rate doctrine): a 1-token
+        # candidate doc has zero bigram slots; divide by max(n-1, 1) in
+        # BOTH engines instead of emitting a NULL/backwards division.
+        p2 = F.col("clip_2gram").cast("double") / F.greatest(
+            F.col("cand_tokens") - 1, F.lit(1)
         )
         return (
             c1.join(c2, ["doc_a", "doc_b"], "left")

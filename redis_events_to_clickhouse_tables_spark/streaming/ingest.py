@@ -187,8 +187,21 @@ class IngestEngine:
         self._interruption_replays: dict[tuple[int, str], int] = {}
 
     # -- K4: trace side-output -------------------------------------------
-    def _trace(self, payload: dict) -> None:
-        path = Path(self.store.root) / "_trace.jsonl"
+    def _trace(self, payload: dict, suffix: str = "") -> None:
+        """JSONL trace append (reference trace(), src/main.ts:170-216).
+
+        Default destination is one file, ``<store root>/_trace.jsonl``,
+        with the outcome in the ``event`` field. When
+        ``config.trace_path`` is set (the reference's DEBUG_STORE_LOG=1
+        + DEBUG_STORE_LOG_PATH mode), writes go to ``trace_path +
+        suffix`` instead — the reference's per-outcome file layout
+        (".success.log", ".bulkjobfailed.log", ..., main.ts:305-491;
+        no suffix appends to the bare path, like its outputSuffix ||
+        "")."""
+        if self.config.trace_path is not None:
+            path = Path(self.config.trace_path + suffix)
+        else:
+            path = Path(self.store.root) / "_trace.jsonl"
         with self._lock, path.open("a") as fh:
             fh.write(json.dumps({"ts": time.time(), **payload}) + "\n")
 
@@ -232,7 +245,10 @@ class IngestEngine:
         n = dlq.count()
         with self._lock:
             report.n_dead_lettered += n
-        self._trace({"event": "dead_letter", "table": table, "rows": n, "error": error})
+        self._trace(
+            {"event": "dead_letter", "table": table, "rows": n, "error": error},
+            suffix=".bulkjobfailed.log",
+        )
 
     def read_dlq(self) -> DataFrame:
         data_dir = self.store.root / DLQ_TABLE / "data"
@@ -280,7 +296,10 @@ class IngestEngine:
                         n = rows.count()
                         rows.unpersist()
                         report.tables[t] = n
-                        self._trace({"event": "dlq_retry_ok", "table": t, "rows": n})
+                        self._trace(
+                            {"event": "dlq_retry_ok", "table": t, "rows": n},
+                            suffix=".success.log",
+                        )
                     except Exception as exc:  # noqa: BLE001 — back to the DLQ
                         err = str(exc)[:500]
                         report.errors[t] = err
@@ -289,7 +308,10 @@ class IngestEngine:
                             .withColumn("error", F.lit(err))
                             .withColumn("dead_lettered_at", F.current_timestamp())
                         )
-                        self._trace({"event": "dlq_retry_fail", "table": t, "error": err})
+                        self._trace(
+                            {"event": "dlq_retry_fail", "table": t, "error": err},
+                            suffix=".failedsingle.error.log",
+                        )
                 remaining = parked
                 for f in failures:
                     remaining = remaining.unionByName(f)
@@ -418,7 +440,8 @@ class IngestEngine:
                     with self._lock:
                         report.tables[etype] = n
                     self._trace(
-                        {"event": "insert", "batch": batch_id, "table": etype, "rows": n}
+                        {"event": "insert", "batch": batch_id, "table": etype, "rows": n},
+                        suffix=".success.log",
                     )
                 except Exception as exc:  # noqa: BLE001 — E1: dead-letter path
                     if _is_interruption(exc):

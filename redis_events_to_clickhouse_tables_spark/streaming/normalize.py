@@ -35,6 +35,32 @@ from ..plans.inference import (
 
 SYSTEM_COLUMNS = ("received_at", "sent_at", "message_id")
 
+# Steady-state expression cache (VERDICT r9 item 5): in a long-running
+# ingest the SAME event shapes arrive micro-batch after micro-batch,
+# and rebuilding the P2-P7 projection re-issues hundreds of py4j
+# round-trips per (batch x event type) to construct identical Column
+# trees. Column objects are immutable unresolved expression trees —
+# reusing one across DataFrames of the same schema is exactly how a
+# loop-invariant expression should behave — so the built (body,
+# received_at) pair is memoized on the full decision signature:
+# (JVM application id, payload schema JSON, cfg knobs that shape the
+# projection, batch max array lengths). The application id guards
+# against a restarted JVM invalidating the cached py4j handles; the
+# dict is bounded FIFO so a schema-churning workload can't grow it
+# unboundedly.
+_EXPR_CACHE: dict[tuple, tuple] = {}
+_EXPR_CACHE_MAX = 256
+
+
+def _cfg_expr_sig(cfg: IngestConfig) -> tuple:
+    """The cfg fields that influence the P1-P7 expression list."""
+    return (
+        cfg.event_type_property,
+        tuple(sorted(cfg.reserved_keys)),
+        cfg.split_records_as_columns,
+        cfg.split_array_items_as_columns,
+    )
+
 
 def default_transform(df: DataFrame) -> DataFrame:
     """The reference's default transform: timestamp = received_at
@@ -174,8 +200,6 @@ def normalize_events(
     tmp_of = dict(zip(orig_names, tmp_names))
     renamed = df.toDF(*tmp_names)
 
-    received_at = _received_at_expr(renamed, tmp_of.get("__received_at"))
-
     # P1: drop routing + bookkeeping keys
     drop = {cfg.event_type_property, *cfg.reserved_keys}
     payload = [
@@ -193,12 +217,28 @@ def normalize_events(
         ).collect()[0]
         max_lens = {c: (row[c] or 0) for c in array_tmps}
 
+    # key on the ORIGINAL schema (temp names are positional, so the
+    # original names + types determine every expression built below)
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.schema.json(),
+        _cfg_expr_sig(cfg),
+        tuple(sorted(max_lens.items())),
+    )
     df = renamed
-    body = _flatten_exprs(payload, cfg, max_lens)
-    # system columns overwrite same-named payload columns (the reference
-    # assigns them after spreading the row,
-    # clickhouse-batch-client.class.ts:280-288)
-    body = [(n, c) for n, c in body if n not in SYSTEM_COLUMNS]
+    hit = _EXPR_CACHE.get(cache_key)
+    if hit is not None:
+        body, received_at = hit
+    else:
+        received_at = _received_at_expr(renamed, tmp_of.get("__received_at"))
+        body = _flatten_exprs(payload, cfg, max_lens)
+        # system columns overwrite same-named payload columns (the
+        # reference assigns them after spreading the row,
+        # clickhouse-batch-client.class.ts:280-288)
+        body = [(n, c) for n, c in body if n not in SYSTEM_COLUMNS]
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+            _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
+        _EXPR_CACHE[cache_key] = (body, received_at)
 
     # P2-P7 in one projection
     flat = df.select(
@@ -230,27 +270,39 @@ def normalize_events(
     n_rows: int | None = None
     payload_cols = [c for c in flat.columns if c not in SYSTEM_COLUMNS]
     if payload_cols:
-        string_cols = [
-            c
-            for c in payload_cols
-            if isinstance(flat.schema[c].dataType, T.StringType)
-        ]
-        aggs = [
-            F.count(F.col(f"`{c}`")).alias(f"__n_{i}")
-            for i, c in enumerate(payload_cols)
-        ] + [
-            F.min(
-                F.when(
-                    F.col(f"`{c}`").isNotNull(),
-                    _is_date_string(F.col(f"`{c}`")).cast("int"),
-                )
-            ).alias(f"__d_{i}")
-            for i, c in enumerate(string_cols)
-        ] + [
-            # total row count rides the same job: callers on the hot
-            # path get it for free instead of running a count job
-            F.count(F.lit(1)).alias("__n_rows")
-        ]
+        # the aggregate's expression list is the second per-batch py4j
+        # builder on the hot path (3 Column trees per column, and
+        # _is_date_string is a deep one) — memoized on the same
+        # signature: flat's schema is fully determined by cache_key
+        agg_key = (*cache_key, "refinement_aggs")
+        agg_hit = _EXPR_CACHE.get(agg_key)
+        if agg_hit is not None:
+            string_cols, aggs = agg_hit
+        else:
+            string_cols = [
+                c
+                for c in payload_cols
+                if isinstance(flat.schema[c].dataType, T.StringType)
+            ]
+            aggs = [
+                F.count(F.col(f"`{c}`")).alias(f"__n_{i}")
+                for i, c in enumerate(payload_cols)
+            ] + [
+                F.min(
+                    F.when(
+                        F.col(f"`{c}`").isNotNull(),
+                        _is_date_string(F.col(f"`{c}`")).cast("int"),
+                    )
+                ).alias(f"__d_{i}")
+                for i, c in enumerate(string_cols)
+            ] + [
+                # total row count rides the same job: callers on the
+                # hot path get it for free instead of a count job
+                F.count(F.lit(1)).alias("__n_rows")
+            ]
+            if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+                _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
+            _EXPR_CACHE[agg_key] = (string_cols, aggs)
         row = flat.agg(*aggs).collect()[0]
         n_rows = int(row["__n_rows"])
         refinements = {

@@ -384,3 +384,41 @@ def test_ingest_reports_phase_timings(spark, tmp_path):
     assert report.phase_seconds["route"] == 0.0
     for phase in ("parse_infer", "normalize", "append"):
         assert report.phase_seconds[phase] > 0
+
+
+def test_k4_trace_path_per_outcome_files(spark, tmp_path):
+    """K4 parity: with trace_path set (DEBUG_STORE_LOG mode), traces
+    land at trace_path + per-outcome suffix exactly like the
+    reference's trace() (src/main.ts:170-216 appends to
+    DEBUG_STORE_LOG_PATH + outputSuffix; bulk success '.success.log'
+    :479, bulk failure '.bulkjobfailed.log' :491)."""
+    base = tmp_path / "debug.log"
+    engine, store = _engine(spark, tmp_path, trace_path=str(base))
+    engine.process_raw_batch(
+        _raw(spark, [{"event_type": "ok_t", "x": 1}, {"x": 2}])
+    )
+    success = (tmp_path / "debug.log.success.log").read_text()
+    assert '"event": "insert"' in success and "ok_t" in success
+    # no-suffix outcomes append to the bare path (outputSuffix || "")
+    bare = base.read_text()
+    assert "missing_routing_key" in bare
+    # the default single-file layout is NOT used in this mode
+    assert not (store.root / "_trace.jsonl").exists()
+
+
+def test_k4_trace_env_surface(monkeypatch):
+    """DEBUG_STORE_LOG=1 enables the reference trace mode with the
+    reference's default path (src/main.ts:140-142); unset leaves the
+    engine default (trace_path None)."""
+    assert IngestConfig.from_env({}).trace_path is None
+    assert (
+        IngestConfig.from_env({"DEBUG_STORE_LOG": "1"}).trace_path
+        == "/tmp/debug.log"
+    )
+    assert (
+        IngestConfig.from_env(
+            {"DEBUG_STORE_LOG": "1", "DEBUG_STORE_LOG_PATH": "/x/t.log"}
+        ).trace_path
+        == "/x/t.log"
+    )
+    assert IngestConfig.from_env({"DEBUG_STORE_LOG_PATH": "/x/t.log"}).trace_path is None

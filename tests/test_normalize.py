@@ -279,3 +279,39 @@ def test_ragged_arrays_null_fill_positions(spark):
     assert by_tag0["a"]["r_0_x"] is None and by_tag0["a"]["r_1_x"] is None
     assert by_tag0[None]["r_0_x"] == 1.5 and by_tag0[None]["r_1_x"] == 2.5
     assert by_tag0[None]["tags_1"] is None
+
+
+def test_expression_cache_reuse_and_correctness(spark):
+    """Steady-state expression cache (VERDICT r9 item 5): two batches
+    of the SAME shape share one cached (projection, received_at,
+    refinement-agg) build; a different shape gets its own entry; and a
+    cache-hit batch normalizes exactly like a cold one."""
+    from redis_events_to_clickhouse_tables_spark.streaming import normalize as N
+
+    N._EXPR_CACHE.clear()
+    cfg = IngestConfig()
+    b1 = _events(spark, [{"event_type": "t", "a": 1, "s": "x"}])
+    b2 = _events(spark, [{"event_type": "t", "a": 2, "s": "y"}])
+    r1 = {
+        r["a"]: r for r in normalize_events(b1, cfg).collect()
+    }
+    n_entries = len(N._EXPR_CACHE)
+    assert n_entries >= 1
+    r2 = normalize_events(b2, cfg).collect()
+    # identical shape: no new cache entries, identical output schema
+    assert len(N._EXPR_CACHE) == n_entries
+    assert r2[0]["a"] == 2 and r2[0]["s"] == "y"
+    assert set(r2[0].asDict()) == set(r1[1].asDict())
+    # per-batch uniqueness still stamps fresh (uuid not cached across
+    # batches into a constant)
+    assert r2[0]["message_id"] != r1[1]["message_id"]
+
+    # a different shape or different cfg gets its own entries
+    b3 = _events(spark, [{"event_type": "t", "a": 1, "s": "x", "extra": True}])
+    normalize_events(b3, cfg).collect()
+    assert len(N._EXPR_CACHE) > n_entries
+    grew = len(N._EXPR_CACHE)
+    normalize_events(
+        b1, IngestConfig(split_records_as_columns=True)
+    ).collect()
+    assert len(N._EXPR_CACHE) > grew

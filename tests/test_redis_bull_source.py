@@ -26,6 +26,7 @@ class FakeRedis:
         self.lists: dict[str, list[bytes]] = {}
         self.hashes: dict[str, dict[bytes, bytes]] = {}
         self.counters: dict[str, int] = {}
+        self.zsets: dict[str, dict[bytes, float]] = {}
 
     def _l(self, key) -> list[bytes]:
         return self.lists.setdefault(key, [])
@@ -89,10 +90,41 @@ class FakeRedis:
     def delete(self, *keys):
         n = 0
         for key in keys:
-            n += int(key in self.hashes or key in self.lists)
+            n += int(
+                key in self.hashes or key in self.lists or key in self.zsets
+            )
             self.hashes.pop(key, None)
             self.lists.pop(key, None)
+            self.zsets.pop(key, None)
         return n
+
+    # zset commands (delayed-job set) — redis-py semantics: members
+    # bytes out, ordered by (score, member)
+    def zadd(self, key, mapping):
+        z = self.zsets.setdefault(key, {})
+        added = 0
+        for member, score in mapping.items():
+            m = self._b(member)
+            added += int(m not in z)
+            z[m] = float(score)
+        return added
+
+    def zrangebyscore(self, key, lo, hi):
+        lo = float("-inf") if lo in ("-inf", b"-inf") else float(lo)
+        hi = float("inf") if hi in ("+inf", b"+inf") else float(hi)
+        z = self.zsets.get(key, {})
+        return [
+            m
+            for m, s in sorted(z.items(), key=lambda kv: (kv[1], kv[0]))
+            if lo <= s <= hi
+        ]
+
+    def zrem(self, key, *members):
+        z = self.zsets.get(key, {})
+        return sum(int(z.pop(self._b(m), None) is not None) for m in members)
+
+    def zcard(self, key):
+        return len(self.zsets.get(key, {}))
 
 
 def _event(i, etype="event_session", **extra):
