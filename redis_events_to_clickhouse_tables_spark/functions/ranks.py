@@ -26,6 +26,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a primitive's input frame unless the caller already
+    cached it.
+
+    Every primitive in this module runs 2+ driver actions over its
+    input (boundary sketch, bucket counts, exactness probe) and then
+    returns a frame that references the input AGAIN — without
+    pinning, the input's whole lineage re-executes once per
+    reference (measured: orders_abc_classification 10.1 s -> 4.4 s
+    at sf0.1 from pinning rev + the ranked intermediate; the rank
+    family's inputs are pre-aggregated model/feature frames, orders
+    of magnitude smaller than their base tables). MEMORY_AND_DISK
+    (the persist() default) spills instead of OOMing, so the pin is
+    safe at any scale where the primitive itself is usable."""
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+        return df.persist()
+    return df
+
+
 def global_rank_desc(
     df: DataFrame,
     key: str,
@@ -39,6 +59,7 @@ def global_rank_desc(
     ``key`` must be integral (boundaries are materialized as int
     literals); ``tiebreak`` must be unique so the order is total.
     """
+    df = _pin(df)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(F.percentile_approx(key, qs, 10_000).alias("bs")).first()
     bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
@@ -106,6 +127,12 @@ def bottomk_per_group(
 
     Groups with n <= c0*k keep every row (cutoff saturates at 1.0), so
     small groups are never wrong, only unpruned.
+
+    The input here is typically a corpus-sized exploded frame (all
+    (token, doc) pairs) — deliberately NOT pinned: caching it would
+    spill the whole corpus and hide the scan from filter pushdown;
+    the loop's extra passes are pipelined scans, which is the right
+    trade at 100 TB.
     """
     if counts is None:
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
@@ -170,6 +197,7 @@ def bucketed_prefix_sums(
     values must be unique rows (pre-aggregate duplicates first) and
     integral, ``sum_cols`` integral.
     """
+    df = _pin(df)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(F.percentile_approx(key, qs, 10_000).alias("bs")).first()
     bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
@@ -225,6 +253,7 @@ def bucketed_prefix_min(
     ``key`` values must be unique rows and integral; ``val`` integral
     (offsets are materialized as int literals).
     """
+    df = _pin(df)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(F.percentile_approx(key, qs, 10_000).alias("bs")).first()
     bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
@@ -290,6 +319,9 @@ def topk_by_value_per_group(
     termination is unconditional. Result EXACTLY equals the plain
     partitioned window the DuckDB oracle expresses.
     """
+    # input deliberately NOT pinned — corpus-sized (see
+    # bottomk_per_group's note); only the model-sized rank/prefix
+    # primitives pin.
     grid_bits = 20  # keep fractions 2^0 .. 2^-20
     qs = [1.0 - 2.0**-i for i in range(grid_bits + 1)]
     stats = df.groupBy(*group_cols).agg(

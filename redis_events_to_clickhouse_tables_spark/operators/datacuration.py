@@ -550,9 +550,11 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fact x {R} literal replicate rows (a broadcast
     nested-loop over a {R}-row frame — NOT a fact self-join), one
-    groupBy(r) ({R} result rows); the order statistics come from a
-    broadcast rank self-join on the {R}-row replicate frame — no
-    global window anywhere (the plan-gate doctrine).
+    groupBy(r) ({R} result rows); the order statistics come from ONE
+    sorted-collect aggregation of the {R}-row replicate frame (a
+    model-sized array, never data-sized) — no global window and no
+    model-frame self-join anywhere, so the scan lineage executes
+    exactly once.
     """
     tune(spark)
     o = table(spark, sf_dir, "orders")
@@ -583,49 +585,46 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
         )
     )
-    # rank the 50 replicate means WITHOUT a global window (the
-    # no-global-window plan gate): broadcast rank self-join on the
-    # replicate model frame, the finance_var_es_daily doctrine
-    m0 = rep.select(
-        "r",
-        (F.col("s").cast("double") / F.col("n_eff")).alias("mraw"),
-        (F.col("s").cast("double") / F.col("n_eff") / 100).alias("m"),
-    )
-    m2 = m0.select(
-        F.col("r").alias("r2"), F.col("mraw").alias("mraw2")
-    )
-    means = (
-        m0.join(
-            F.broadcast(m2),
-            (F.col("mraw2") < F.col("mraw"))
-            | (
-                (F.col("mraw2") == F.col("mraw"))
-                & (F.col("r2") <= F.col("r"))
-            ),
+    # Order statistics of the {R} replicate means in ONE aggregation:
+    # sort_array(collect_list(struct(mraw, r, m))) over the {R}-row
+    # replicate frame, then element_at picks ranks 3/25/48 (struct
+    # sort is lexicographic — mraw then replicate id, the same
+    # total order as a rank with replicate-id tiebreak). This
+    # references the scan-heavy replicate frame exactly ONCE. The
+    # prior broadcast rank SELF-join referenced it on both sides and
+    # re-executed the full scan lineage per reference (measured
+    # 12-20 s vs ~1.5 s at sf0.1 — the real cause of the r9 "15x
+    # contention swing": the recorded 0.72 s idle predated the
+    # self-join rework). collect_list here is model-sized by
+    # construction ({R} = 50 rows), not data-sized — the plan-gate
+    # doctrine allows single-row model aggregates, and no global
+    # window appears anywhere.
+    ms = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (F.col("s").cast("double") / F.col("n_eff")).alias("mraw"),
+                F.col("r").alias("r"),
+                (F.col("s").cast("double") / F.col("n_eff") / 100).alias(
+                    "m"
+                ),
+            )
         )
-        .groupBy("r", "m")
-        .agg(F.count(F.lit(1)).cast("long").alias("rk"))
     )
+    stats = rep.agg(ms.alias("ms"))
     full = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents).cast("long").alias("s"),
     )
     return (
-        means.crossJoin(F.broadcast(full))
-        .groupBy("n", "s")
-        .agg(
-            F.max(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
-            F.max(F.when(F.col("rk") == 25, F.col("m"))).alias("ci_med"),
-            F.max(F.when(F.col("rk") == 48, F.col("m"))).alias("ci_hi"),
-        )
+        stats.crossJoin(F.broadcast(full))
         .select(
             F.col("n").alias("n_rows"),
             (F.col("s").cast("double") / F.col("n") / 100).alias(
                 "mean_price"
             ),
-            "ci_lo",
-            "ci_med",
-            "ci_hi",
+            F.element_at(F.col("ms"), 3).getField("m").alias("ci_lo"),
+            F.element_at(F.col("ms"), 25).getField("m").alias("ci_med"),
+            F.element_at(F.col("ms"), 48).getField("m").alias("ci_hi"),
         )
     )
 
