@@ -71,7 +71,14 @@ def connected_components(
         .distinct()
         .persist()
     )
-    n_nodes, n_edges = nodes.count(), edges.count()
+    # one job for both size probes (r10: two sequential count() jobs
+    # paid two scheduling round-trips for two 1-row answers)
+    sizes = (
+        nodes.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("e")))
+        .first()
+    )
+    n_nodes, n_edges = sizes["n"], sizes["e"]
 
     if n_nodes + n_edges <= budget:
         parent: dict = {}
@@ -136,11 +143,13 @@ def connected_components(
         lut = merged.select(
             F.col("doc_id").alias("l_doc"), F.col("label").alias("l_label")
         )
-        new_labels = (
-            merged.join(lut, merged.label == lut.l_doc)
-            .select("doc_id", F.col("l_label").alias("label"))
-            .persist()
-        )
+        # localCheckpoint, not persist (r10): persist leaves the round's
+        # LOGICAL plan chained through every earlier round, so Catalyst
+        # re-analysis grows per round; the checkpoint keeps each round's
+        # plan flat and the convergence probe reads materialized rows
+        new_labels = merged.join(lut, merged.label == lut.l_doc).select(
+            "doc_id", F.col("l_label").alias("label")
+        ).localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

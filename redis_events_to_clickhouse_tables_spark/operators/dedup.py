@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.components import connected_components
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import fanout, table
@@ -349,7 +350,9 @@ def _candidate_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     core of the Jaccard and containment verifiers (only the final
     ratio differs). Pairs whose docs share no shingle keep c NULL via
     the left join (callers coalesce to 0)."""
-    cands = _lsh_candidate_pairs(spark, sf_dir)
+    # checkpoint (r10): cands anchor the intersection subtree AND the
+    # final join — one LSH execution instead of two, leaf plans after
+    cands = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
@@ -716,16 +719,20 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and a star spans a clique. Pair cardinality is quadratic in
     # bucket size (7.4M pairs at sf0.1); stars are linear (~20k).
     buckets = _lsh_buckets(spark, sf_dir)
-    stars = buckets.select(
-        F.element_at("ids", 1).alias("hub"), F.explode("ids").alias("doc")
-    ).persist()
+    # model_checkpoint (not persist): the star list is graph-bounded,
+    # and the CC kernel's per-round plans would otherwise re-embed the
+    # whole LSH subtree per reference (r10: planning dominated compute)
+    stars = model_checkpoint(
+        buckets.select(
+            F.element_at("ids", 1).alias("hub"), F.explode("ids").alias("doc")
+        )
+    )
     comp = connected_components(
         spark,
         stars.select("doc"),
         stars.select("hub", "doc"),
         budget=_LOCAL_FINISH_MAX_STARS,
     )
-    stars.unpersist()
     return comp.select(F.col("node").alias("doc_id"), "component_id")
 
 
@@ -907,30 +914,27 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     # materialize the candidate pairs BEFORE the symmetrizing union:
-    # both union branches read the same lineage, so without this
-    # persist the whole LSH pipeline (shingle -> minhash -> band ->
-    # bucket join) executes twice inside the edges job (~2x the
-    # query's cost, measured). Pair rows are two longs.
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
-    # materialize the edge list once: every iteration joins it, and
-    # without the persist each round re-executes the whole LSH lineage
-    # (the same round-caching discipline as sim_ivf_kmeans_topk and
-    # dedup_cluster_components). Edge rows are two longs — at any
-    # corpus size this is the candidate graph, not the corpus.
+    # both union branches read the same lineage, so without this the
+    # whole LSH pipeline (shingle -> minhash -> band -> bucket join)
+    # executes twice inside the edges job (~2x the query's cost,
+    # measured). model_checkpoint (not persist): the iterative rounds
+    # below would otherwise re-embed the ~500-node LSH subtree into
+    # every round's logical plan — Catalyst re-analysis of the 10.9k-
+    # line plan cost more than the query's compute (r10 measurement).
+    # Pair rows are two longs.
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     edges_raw = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
     )
     # Pregel-style invariant state: bake each source's out-degree INTO
-    # the persisted edge list once, repartitioned by source node. The
-    # per-iteration join then shuffles only the (node, rank) vector to
-    # meet the edges' existing partitioning — at 100-TB edge counts
+    # the materialized edge list once, repartitioned by source node.
+    # The per-iteration join then shuffles only the (node, rank) vector
+    # to meet the edges' existing partitioning — at 100-TB edge counts
     # that's the difference between re-shuffling the edge list every
     # iteration and never moving it after setup.
     deg = edges_raw.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    edges = edges_raw.join(deg, "s").repartition(F.col("s")).persist()
-    edges.count()
-    pairs.unpersist()
+    edges = model_checkpoint(edges_raw.join(deg, "s").repartition(F.col("s")))
     r = edges.select(F.col("s").alias("v")).distinct().select(
         "v", F.lit(1.0).alias("r")
     )
@@ -958,13 +962,10 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("d").alias("v"), "r")
         )
-    # materialize the final rank vector, then release the edge list so
-    # a bench sweep doesn't accumulate cached blocks across queries
-    # (ADVICE r4). If the executor later evicts the final vector,
-    # lineage recomputes it.
-    r = r.persist()
-    r.count()
-    edges.unpersist()
+    # materialize the final rank vector (checkpoint blocks release on
+    # GC — the session pins periodicGC.interval=2min, so a bench sweep
+    # doesn't accumulate them).
+    r = model_checkpoint(r)
     return r.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))
 
 
@@ -1324,7 +1325,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a<b<c), then each corner credits its node.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    # model_checkpoint: pairs feed three aliased self-join branches —
+    # one materialization, leaf plans downstream (r10 lineage doctrine)
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1334,13 +1337,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("doc_id")))
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
-    out = nodes.groupBy("doc_id").agg(
+    return nodes.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
-    rows = out.persist()
-    rows.count()
-    pairs.unpersist()
-    return rows
 
 
 # registered after the def below (the oracle composes the LSH CTE
@@ -1721,16 +1720,16 @@ def graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex set — the edge list is persisted once and only shrinks.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
-    edges = (
+    # model_checkpoint (r10): the peeling rounds chain 3 window plans
+    # over the edge list — a leaf LogicalRDD keeps each round's plan
+    # flat instead of re-embedding the LSH subtree per round
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
+    edges = model_checkpoint(
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
         )
-        .persist()
     )
-    edges.count()
-    pairs.unpersist()
     # each round keeps edges whose BOTH endpoints currently have
     # degree >= k. Expressed as two per-endpoint COUNT windows + one
     # filter (2 exchanges/round) instead of a degree aggregate + two
@@ -1756,11 +1755,6 @@ def graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("core_degree") >= _KCORE_K)
         .select(F.col("s").alias("doc_id"), "core_degree")
     )
-    # one materializing pass so the persisted edge list can be freed
-    # before the bench sweep moves on (ADVICE r4 unpersist discipline)
-    out = out.persist()
-    out.count()
-    edges.unpersist()
     return out
 
 
@@ -1912,10 +1906,20 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component_id", F.col("doc_id")).alias("cid"),
     )
     k3 = assigned.groupBy("cid").agg(F.min("doc_id").alias("doc_id"))
-    n0 = d.count()
-    n1 = kept1.count()
-    n2 = kept2.count()
-    n3 = k3.count()
+    # ONE job for all four stage counts instead of four sequential
+    # actions (r10): |kept1| == |k1| and |kept2| == |k2| because
+    # doc_id is unique and each k-frame keeps exactly one doc_id per
+    # group, so the semi-joins drop out of the counting paths; the
+    # remaining shared subtrees (k1 inside k2's lineage) dedup via
+    # exchange reuse inside the single plan, where four separate
+    # count() jobs re-executed them per action.
+    counts = (
+        d.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(k1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(k2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(k3.agg(F.count(F.lit(1)).alias("n3")))
+    ).first()
+    n0, n1, n2, n3 = counts["n0"], counts["n1"], counts["n2"], counts["n3"]
     rows = [
         ("1_exact", n0, n0 - n1, n1),
         ("2_prefix", n1, n1 - n2, n2),
@@ -1965,7 +1969,10 @@ def dedup_minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = table(spark, sf_dir, "documents")
     sig = _minhash_sig_array(d)
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    # checkpoint (r10): the candidate pairs' lineage CONTAINS the
+    # signature pipeline, so an unmaterialized pairs frame made this
+    # plan compute signatures three times (pairs + sa + sb)
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     j = pairs.join(sa, "doc_a").join(sb, "doc_b")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.components import connected_components
+from ..functions.lineage import model_checkpoint
 from ..functions.numeric import dec
 from ..registry import query
 from ..session import tune
@@ -156,7 +157,10 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-collect assumption must be enforced, not assumed). The
     map back to parts is a join on the signature key, sized by AQE.
     """
-    sig = _sig_frame(spark, sf_dir).persist()
+    # checkpoint (r10): sig feeds the pair self-join (2 refs), the CC
+    # kernel's node set, and the final map-back join — one
+    # materialization, leaf plans downstream
+    sig = model_checkpoint(_sig_frame(spark, sf_dir))
     pairs = _sig_match_pairs(sig)
     comp = connected_components(
         spark, sig.select("rep_pk"), pairs.select("rep_a", "rep_b")
@@ -164,12 +168,10 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("rep_pk"), F.col("component_id").alias("cluster_id")
     )
     p = table(spark, sf_dir, "part")
-    out = p.join(
+    return p.join(
         sig.join(comp, "rep_pk"),
         ["p_name", "p_type", "p_size"],
     ).select("p_partkey", "p_name", "p_size", "p_retailprice", "cluster_id")
-    sig.unpersist()
-    return out
 
 
 @query("er_part_match_pairs", oracle=_SQL_SIG + "SELECT * FROM matched")
@@ -221,6 +223,11 @@ def er_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), membership and name cardinality, size span, exact
     decimal-summed average price."""
     tune(spark)
+    # NOT checkpointed (r10): the heavy subtrees (signature frame, CC
+    # kernel) are already leaf-materialized inside _cluster_map, so
+    # both references here re-run only a bounded map-back join — and
+    # the pushdown CI gate (test_plans._FULL_PUSHDOWN) requires this
+    # query's parquet scans to stay visible in the final plan.
     m = _cluster_map(spark, sf_dir)
     names = m.groupBy("cluster_id", "p_name").agg(F.count(F.lit(1)).alias("c"))
     canon = names.groupBy("cluster_id").agg(

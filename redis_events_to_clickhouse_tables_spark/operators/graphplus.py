@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -67,21 +68,20 @@ _SQL_EDGES = """,
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized near-dup edge list, persisted + source-partitioned
-    (pairs materialized first so the union's two branches don't run
-    the LSH lineage twice — the ``graph_pagerank_neardup`` shape)."""
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
-    edges = (
+    """Symmetrized near-dup edge list, materialized + source-partitioned
+    (pairs checkpointed first so the union's two branches don't run
+    the LSH lineage twice — the ``graph_pagerank_neardup`` shape;
+    model_checkpoint rather than persist so downstream iterative plans
+    see a leaf, not the ~500-node LSH subtree — r10 measurement: the
+    BFS rounds dropped 4.7-4.9 s -> 0.9-1.7 s from truncation alone)."""
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
+    return model_checkpoint(
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
         )
         .repartition(F.col("s"))
-        .persist()
     )
-    edges.count()
-    pairs.unpersist()
-    return edges
 
 
 def _bfs_round(cur: str, nxt: str) -> str:
@@ -145,15 +145,11 @@ def graph_bfs_hops_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = levels[0]
     for lv in levels[1:]:
         dist = dist.unionAll(lv)
-    out = (
+    return (
         dist.groupBy("v")
         .agg(F.min("hops").cast("int").alias("hops"))
         .select(F.col("v").alias("doc_id"), "hops")
-        .persist()
     )
-    out.count()
-    edges.unpersist()
-    return out
 
 
 _LINKPRED_THR = 0.03  # weak-similarity evidence graph (see docstring)
@@ -238,25 +234,23 @@ def graph_linkpred_common_neighbors(
     jac = F.col("c").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("c")
     )
-    # one persisted pairs frame feeds BOTH the edge list and the
+    # one materialized pairs frame feeds BOTH the edge list and the
     # final anti-join — without it the whole shingle->pair lineage
-    # would execute twice.
-    pairs = (
+    # would execute twice (checkpoint, not persist: the wedge join
+    # below references edges twice more — leaf plans downstream).
+    pairs = model_checkpoint(
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= _LINKPRED_THR)
         .select("doc_a", "doc_b")
-        .persist()
     )
-    edges = (
+    edges = model_checkpoint(
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
         )
         .repartition(F.col("s"))
-        .persist()
     )
-    edges.count()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     centers = deg.filter(
         (F.col("deg") >= 2) & (F.col("deg") <= _DEG_CAP)
@@ -277,7 +271,7 @@ def graph_linkpred_common_neighbors(
             F.sum("aa_w").alias("aa_q"),
         )
     )
-    out = (
+    return (
         cand.join(pairs, ["doc_a", "doc_b"], "left_anti")
         .select(
             "doc_a",
@@ -285,12 +279,7 @@ def graph_linkpred_common_neighbors(
             "common_neighbors",
             (F.col("aa_q").cast("double") / F.lit(_AA_FP)).alias("adamic_adar"),
         )
-        .persist()
     )
-    out.count()
-    edges.unpersist()
-    pairs.unpersist()
-    return out
 
 
 @query(
@@ -350,9 +339,11 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic); m broadcasts as a 1-row scalar frame.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    lab = (
+    # lab feeds FOUR downstream aggregates (mm/es/ds and the final
+    # projection) — checkpoint so each plans against a leaf (r10)
+    lab = model_checkpoint(
         pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("source", "sa")
         .join(
@@ -362,10 +353,7 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .select("sa", "sb")
-        .persist()
     )
-    lab.count()
-    pairs.unpersist()
     mm = F.broadcast(lab.agg(F.count(F.lit(1)).alias("m")))
     es = (
         lab.filter(F.col("sa") == F.col("sb"))
@@ -408,10 +396,7 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "modularity"
             ),
         )
-        .persist()
     )
-    out.count()
-    lab.unpersist()
     return out
 
 
@@ -460,7 +445,9 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     division chain.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    # pairs feed 5 references (degree union x2, wedge join x3) —
+    # checkpoint once, leaf plans downstream (r10)
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     edges = pairs.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionAll(
@@ -500,10 +487,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
-    rows = out.persist()
-    rows.count()
-    pairs.unpersist()
-    return rows
+    return out
 
 
 _RC_KS = [0, 1, 2, 3]  # rich-club degree thresholds
@@ -562,14 +546,16 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared IEEE chain.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     edges = pairs.select(F.col("doc_a").alias("s")).unionAll(
         pairs.select(F.col("doc_b").alias("s"))
     )
-    deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    # deg feeds gtot/nk/da/db — checkpoint once, leaf plans downstream
+    deg = model_checkpoint(
+        edges.groupBy(F.col("s").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
     )
-    deg = deg.persist()
     gtot = deg.agg(F.count(F.lit(1)).cast("long").alias("v")).crossJoin(
         F.broadcast(pairs.agg(F.count(F.lit(1)).cast("long").alias("e")))
     )
@@ -609,8 +595,4 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dens > rho).alias("richer_than_graph"),
         )
     )
-    rows = out.persist()
-    rows.count()
-    pairs.unpersist()
-    deg.unpersist()
-    return rows
+    return out

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -399,17 +400,13 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = v.filter(F.col("vec_id") < _K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
-    prev = None
     for _ in range(_KM_ITERS):
-        # materialize each round's centroids (K x dims doubles): the
-        # next assignment broadcasts them, and without the persist the
-        # broadcast job re-executes every earlier iteration's lineage —
-        # the same round-caching discipline as dedup_cluster_components
-        cents = _km_update(_km_assign(v, cents)).persist()
-        cents.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cents
+        # materialize each round's centroids (K x dims doubles) with a
+        # lineage-cutting checkpoint (r10): the next assignment
+        # broadcasts them, and persist alone left every round's plan
+        # chained through all earlier rounds — Catalyst re-analysis of
+        # the growing tree cost more than the Lloyd compute
+        cents = model_checkpoint(_km_update(_km_assign(v, cents)))
     assigned = _km_assign(v, cents)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -756,10 +753,10 @@ def _km_update_long(assigned: DataFrame) -> DataFrame:
 
 
 def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
-    """(codebook, codes, cached): per-subspace centroids (m, cid, c)
-    and the per-vector code words (vec_id, m, code), both in long
-    form; ``cached`` is the persisted centroid frame the caller must
-    unpersist after materializing its result.
+    """(codebook, codes): per-subspace centroids (m, cid, c) and the
+    per-vector code words (vec_id, m, code), both in long form. The
+    centroid frame is checkpoint-materialized (M x K rows; blocks
+    release on GC), so callers no longer manage an unpersist.
 
     The previous shape looped ``_PQ_M`` independent
     slice->Lloyd->assign chains and unioned them — 4 corpus scans per
@@ -788,12 +785,13 @@ def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
     for _ in range(_PQ_ITERS):
         cents = _km_update_long(_km_assign_long(sub, cents))
     # M x K rows; book, LUT and the code assignment all reuse it —
-    # without the persist each consumer replays the Lloyd lineage
-    cents = cents.persist()
+    # checkpoint (r10) so each consumer plans against a leaf instead
+    # of replaying/re-analyzing the Lloyd lineage
+    cents = model_checkpoint(cents)
     code = _km_assign_long(sub, cents).select(
         "vec_id", "m", F.col("cid").alias("code")
     )
-    return cents, code, cents
+    return cents, code
 
 
 @query("sim_pq_adc_topk", oracle=_pq_oracle_sql())
@@ -813,7 +811,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    book, code, cached = _pq_codebook_and_codes(spark, sf_dir)
+    book, code = _pq_codebook_and_codes(spark, sf_dir)
     vectors = _km_vectors(spark, sf_dir)
     qsubs = []
     for m in range(_PQ_M):
@@ -859,11 +857,6 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
-    # materialize the (queries x 3)-row result, then release the
-    # centroid cache so a bench sweep doesn't accumulate blocks
-    out = out.persist()
-    out.count()
-    cached.unpersist()
     return out
 
 
@@ -1378,19 +1371,20 @@ def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = v.filter(F.col("vec_id") < _K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
-    prev = None
     for _ in range(_KM_ITERS):
-        cents = _km_update(_km_assign(v, cents)).persist()
-        cents.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cents
+        # checkpoint per round (r10): flat per-round plans, see
+        # sim_ivf_kmeans_topk
+        cents = model_checkpoint(_km_update(_km_assign(v, cents)))
     assigned = _km_assign(v, cents)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    cont = (
+    cont = model_checkpoint(
         # labels are corpus-sized — a broadcast here would ship the
         # whole corpus to every executor at 100 TB; plain equi-join on
-        # vec_id (AQE picks the strategy at fixture scale)
+        # vec_id (AQE picks the strategy at fixture scale). The
+        # contingency table is K x |labels| — model-sized — and feeds
+        # ~12 downstream references (marginals, entropies, MI): the
+        # checkpoint makes the corpus-scanning assignment run ONCE
+        # (r10: the tail of this query dropped 4.7-6.3 s -> 1.6-2.5 s)
         assigned.join(e, "vec_id")
         .groupBy("cid", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1464,9 +1458,7 @@ def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("nmi"),
-    ).persist()
-    out.count()
-    cents.unpersist()
+    )
     return out
 
 
@@ -1865,7 +1857,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "c_id")
         .limit(_MMR_POOL)
-        .persist()
+        .localCheckpoint(eager=True)  # r10: leaf plans for the rounds
     )
     ca = cand.select(
         F.col("c_id").alias("x"),
@@ -1881,7 +1873,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
             (_dot("ea", "eb") / (_norm("ea") * _norm("eb"))).alias("cos"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     lam, oml = F.lit(0.7), F.lit(0.3)
     # Greedy rounds materialize ONE row each to the driver (an O(k)
@@ -1919,8 +1911,6 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         picks.append((k, row["c_id"], row["cosine"], row["mmr_score"]))
-    cand.unpersist()
-    pc.unpersist()
     return spark.createDataFrame(
         picks, "pick_order int, c_id long, cosine double, mmr_score double"
     )
@@ -1992,11 +1982,13 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one division.
     """
     tune(spark)
+    # checkpoint (r10): the ground-truth frame feeds both sweep points;
+    # a leaf keeps the brute-force lineage out of their plans
     ex = (
         sim_bruteforce_topk(spark, sf_dir)
         .filter(F.col("rk") <= 3)
         .select("q_id", "c_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -2042,10 +2034,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("avg_recall_at_3"),
             )
         )
-    out = rows[0].unionByName(rows[1]).persist()
-    out.count()
-    ex.unpersist()
-    return out
+    return rows[0].unionByName(rows[1])
 
 
 @query(
@@ -2203,7 +2192,9 @@ def embedding_hubness_koccurrence(
         .groupBy("c_id")
         .agg(F.count(F.lit(1)).cast("long").alias("k_occ"))
     )
-    occ = occ.persist()
+    # checkpoint (r10): occ feeds the count and the histogram — one
+    # materialization of the corpus x queries scan, leaf plans after
+    occ = model_checkpoint(occ)
     corpus = e.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     n_occ = occ.agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     dist = occ.groupBy("k_occ").agg(
@@ -2218,8 +2209,4 @@ def embedding_hubness_koccurrence(
             ),
         )
     )
-    out = dist.unionAll(zero)
-    rows = out.persist()
-    rows.count()
-    occ.unpersist()
-    return rows
+    return dist.unionAll(zero)

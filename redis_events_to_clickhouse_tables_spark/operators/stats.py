@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
 from ..functions.numeric import dec
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -1276,9 +1277,9 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair fan-out is cheap to hold (#days^2 rows of one long) and
     # the bracketed-rank primitive walks it three times (bracket agg,
     # counting scan, survivor selection) plus the n_pairs count —
-    # persist so the BNLJ fan-out runs once (same precedent as the
-    # Lloyd pipeline's per-round persist in similarity.py).
-    pairs = pairs.persist()
+    # checkpoint (r10) so the BNLJ fan-out runs once AND each walk
+    # plans against a leaf instead of the fan-out subtree.
+    pairs = model_checkpoint(pairs)
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     med = exact_quantile_values_per_group(

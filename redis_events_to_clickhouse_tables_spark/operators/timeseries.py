@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -789,22 +790,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_recency", -F.col("recency_days"))
     )
     # each global_rank_desc call runs two driver actions (boundary
-    # percentiles + bucket counts) on its input — persist the chain so
-    # those actions scan the per-customer aggregate, not the orders
-    # groupBy (and call 3 doesn't replay calls 1-2's windows)
-    cust = cust.persist()
+    # percentiles + bucket counts) on its input — checkpoint the chain
+    # (r10) so those actions scan the materialized per-customer
+    # aggregate, call 3 doesn't replay calls 1-2's windows, AND each
+    # stage plans against a leaf instead of the growing rank lineage
+    cust = model_checkpoint(cust)
     r1, n_total = global_rank_desc(
         cust, "neg_recency", "custkey", rank_col="r_rank", n_buckets=32
     )
-    r1 = r1.persist()
+    r1 = model_checkpoint(r1)
     r2, _ = global_rank_desc(
         r1, "frequency", "custkey", rank_col="f_rank", n_buckets=32
     )
-    r2 = r2.persist()
+    r2 = model_checkpoint(r2)
     r3, _ = global_rank_desc(
         r2, "cents", "custkey", rank_col="m_rank", n_buckets=32
     )
-    out = r3.select(
+    return r3.select(
         "custkey",
         "recency_days",
         "frequency",
@@ -812,12 +814,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_ntile_expr("r_rank", n_total, 5).alias("r_tile"),
         _exact_ntile_expr("f_rank", n_total, 5).alias("f_tile"),
         _exact_ntile_expr("m_rank", n_total, 5).alias("m_tile"),
-    ).persist()
-    out.count()
-    cust.unpersist()
-    r1.unpersist()
-    r2.unpersist()
-    return out
+    )
 
 
 def _trailing_distinct_users(ud: DataFrame, k: int, out: str) -> DataFrame:
@@ -878,7 +875,10 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     e = table(spark, sf_dir, "events")
-    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct().persist()
+    # checkpoint (r10): ud feeds the three coverage explodes + bounds
+    ud = model_checkpoint(
+        e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    )
     dau = _trailing_distinct_users(ud, 1, "dau")
     wau = _trailing_distinct_users(ud, 7, "wau")
     mau = _trailing_distinct_users(ud, 28, "mau")
@@ -901,9 +901,6 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = out.persist()
-    out.count()
-    ud.unpersist()
     return out
 
 

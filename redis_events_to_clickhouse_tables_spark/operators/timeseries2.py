@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..functions.ranks import bucketed_prefix_sums
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -261,31 +262,37 @@ def timeseries_esd_outlier_rounds(
     rounds as CTEs.
     """
     tune(spark)
+    import math
+
     cur = _daily_cents(spark, sf_dir).persist()
     out: list[tuple[int, int, int, float]] = []
     for rnd in range(1, _ESD_ROUNDS + 1):
+        # ONE job per round (r10: was two — a stats collect feeding
+        # literal n/S into a second pick job): the 1-row moment
+        # aggregate rides a broadcast cross join into the pick scan,
+        # same exact-integer dev and identical tiebreak
         st = cur.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("x").cast("long").alias("s"),
             F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
-        ).collect()[0]
+        )
         pick = (
-            cur.select(
+            cur.crossJoin(F.broadcast(st))
+            .select(
                 "d",
                 "x",
-                F.abs(F.col("x") * F.lit(st["n"]) - F.lit(st["s"])).alias(
-                    "dev"
-                ),
+                "n",
+                "s",
+                "s2",
+                F.abs(F.col("x") * F.col("n") - F.col("s")).alias("dev"),
             )
             .orderBy(F.desc("dev"), F.asc("d"))
             .limit(1)
             .collect()[0]
         )
-        import math
-
         # math.sqrt (IEEE correctly rounded) — NOT **0.5, whose libm
         # pow can differ from sqrt in the last ulp
-        var_n2 = float(st["n"] * st["s2"] - st["s"] * st["s"])
+        var_n2 = float(pick["n"] * pick["s2"] - pick["s"] * pick["s"])
         out.append(
             (rnd, pick["d"], pick["x"], float(pick["dev"]) / math.sqrt(var_n2))
         )
@@ -690,10 +697,9 @@ def timeseries_holdout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the union's three method branches and the scalar
     # frames all derive from this tiny (~one row per day) frame — at
     # 100 TB, without the cache each branch would re-scan orders.
-    daily = (
+    daily = model_checkpoint(
         o.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(dec("o_totalprice", 14) * 100).cast("long").alias("c"))
-        .persist()
     )
     mx = daily.agg(F.max("day").alias("m"))
     dd = daily.crossJoin(F.broadcast(mx))
@@ -1226,7 +1232,7 @@ def timeseries_rolling_quantile_band(
         F.broadcast(b),
         (F.col("md") >= F.col("d") - (_RQ_WIN - 1)) & (F.col("md") <= F.col("d")),
     ).select(F.col("d").alias("td"), "md", "mx")
-    win = win.persist()
+    win = model_checkpoint(win)  # r10: feeds w2/ranked/sized, leaf plans
     w2 = win.select(
         F.col("td").alias("td2"), F.col("md").alias("md2"), F.col("mx").alias("mx2")
     )
@@ -1264,10 +1270,7 @@ def timeseries_rolling_quantile_band(
             .alias("p90_cents"),
         )
     )
-    rows = out.persist()
-    rows.count()
-    win.unpersist()
-    return rows
+    return out
 
 
 @query(
