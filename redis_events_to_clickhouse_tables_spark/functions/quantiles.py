@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lineage import model_checkpoint
+
 
 def exact_quantile_values_per_group(
     df: DataFrame,
@@ -90,11 +92,20 @@ def exact_quantile_values_per_group(
                     F.when((F.col("__v") >= vlo) & (F.col("__v") <= vhi), 1)
                 ).alias(f"__s_{lbl}")
             )
-        stat = j.groupBy(
-            *group_cols,
-            "__n",
-            *[f"__br_{lbl}" for lbl, _a, _b in qs],
-        ).agg(*stat_aggs)
+        # model_checkpoint (r10): stat is group-bounded (one row per
+        # group), but its subtree holds BOTH corpus passes (sketch
+        # aggregate + bracket-count join). The exactness probe below
+        # plus every downstream reference (longf -> eq/rest -> surv
+        # join) would each re-embed — and re-execute — that subtree;
+        # the leaf materialization runs it exactly once per retry
+        # round.
+        stat = model_checkpoint(
+            j.groupBy(
+                *group_cols,
+                "__n",
+                *[f"__br_{lbl}" for lbl, _a, _b in qs],
+            ).agg(*stat_aggs)
+        )
         # long form: one row per (group, target)
         entries = []
         for lbl, a, b in qs:

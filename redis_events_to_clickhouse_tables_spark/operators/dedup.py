@@ -449,14 +449,22 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(band, bsig, ids): every collision bucket with its sorted
-    member ids — the shared substrate of pair emission and clustering."""
-    band = band_signatures(table(spark, sf_dir, "documents"))
+def _lsh_buckets_from_band(band: DataFrame) -> DataFrame:
+    """(band, bsig, ids) collision buckets from a band-signature frame
+    — split out so a composite query (``corpus_dedup_summary``) can
+    feed one shared band pass to both pair emission and clustering."""
     return (
         band.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+    )
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, bsig, ids): every collision bucket with its sorted
+    member ids — the shared substrate of pair emission and clustering."""
+    return _lsh_buckets_from_band(
+        band_signatures(table(spark, sf_dir, "documents"))
     )
 
 
@@ -719,6 +727,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and a star spans a clique. Pair cardinality is quadratic in
     # bucket size (7.4M pairs at sf0.1); stars are linear (~20k).
     buckets = _lsh_buckets(spark, sf_dir)
+    return _components_from_buckets(spark, buckets)
+
+
+def _components_from_buckets(spark: SparkSession, buckets: DataFrame) -> DataFrame:
+    """STAR-contract LSH collision buckets and run the CC kernel —
+    the body of ``dedup_cluster_components``, reusable by composite
+    queries that already hold the bucket frame."""
     # model_checkpoint (not persist): the star list is graph-bounded,
     # and the CC kernel's per-round plans would otherwise re-embed the
     # whole LSH subtree per reference (r10: planning dominated compute)
@@ -1456,6 +1471,15 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     tune(spark)
     comp = dedup_cluster_components(spark, sf_dir)
+    return _representatives_from_components(spark, sf_dir, comp)
+
+
+def _representatives_from_components(
+    spark: SparkSession, sf_dir: str, comp: DataFrame
+) -> DataFrame:
+    """Assignment + size + keep-mask over a component frame — the body
+    of ``dedup_cluster_representatives``, reusable by composite
+    queries that build the components from a shared band pass."""
     d = fanout(table(spark, sf_dir, "documents")).select("doc_id")
     assigned = d.join(comp, "doc_id", "left").select(
         "doc_id",
@@ -1517,12 +1541,16 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three scalar aggregates (corpus count, md5-distinct
     count, pair count) plus the components pipeline's cluster count —
     all shapes already proven by their per-row operators; the one-row
-    join of scalars is a broadcast by construction. Known cost: the
-    pair count and the components pipeline each build the minhash/LSH
-    prefix independently (two corpus passes); a deployment running the
-    summary alongside the per-row outputs would materialize the band
-    signatures once and feed both — kept separate here so each
-    registered query stays a self-contained driver-verifiable unit.
+    join of scalars is a broadcast by construction. The minhash/band
+    pipeline (the expensive corpus pass: shingle explode + 16 hashes)
+    runs ONCE and feeds both the pair count and the clustering (r10,
+    guide §8: materialize the per-doc fingerprint proxy, decide on it
+    twice): band rows are fixed-width (doc_id, band, bsig) metadata —
+    never the text — the §8 "fingerprints only" table. Deliberate
+    model_checkpoint exception for a corpus-LINEAR frame: the rows are
+    ~40 B/doc of decision metadata, exactly the §8 materialization,
+    and the persist() alternative measured 1.8x slower here (cache-
+    read + InMemoryRelation planning on both consumers).
     """
     tune(spark)
     d = fanout(table(spark, sf_dir, "documents"))
@@ -1532,10 +1560,12 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_exact_dup_docs"),
     )
-    pairs = _lsh_candidate_pairs(spark, sf_dir).agg(
+    band = model_checkpoint(band_signatures(table(spark, sf_dir, "documents")))
+    pairs = chunked_pairs(band, ["band", "bsig"]).distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_neardup_pairs")
     )
-    reps = dedup_cluster_representatives(spark, sf_dir)
+    comp = _components_from_buckets(spark, _lsh_buckets_from_band(band))
+    reps = _representatives_from_components(spark, sf_dir, comp)
     clusters = reps.agg(
         F.countDistinct("component_id").cast("long").alias("n_clusters"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..functions.lineage import model_checkpoint
 from ..functions.numeric import dec
 from ..registry import query
 from ..session import tune
@@ -1126,9 +1127,14 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("value").alias("m"))
     )
     idxed = bucketed_prefix_sums(daily, "d", ["one"])
-    signs = idxed.crossJoin(F.broadcast(med)).select(
-        F.col("cum_one").alias("idx"),
-        F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("s"),
+    # model_checkpoint: the calendar-bounded sign table feeds three
+    # references (both adjacency sides + the count aggregate) — leaf
+    # materialization runs the median/prefix subtree once (r10)
+    signs = model_checkpoint(
+        idxed.crossJoin(F.broadcast(med)).select(
+            F.col("cum_one").alias("idx"),
+            F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
     )
     a = signs.select(F.col("idx").alias("ia"), F.col("s").alias("sa"))
     b = signs.select((F.col("idx") - 1).alias("ia"), F.col("s").alias("sb"))

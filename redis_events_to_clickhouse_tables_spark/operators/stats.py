@@ -27,7 +27,7 @@ performs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
@@ -438,31 +438,52 @@ def sketch_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 _BOOT_B = 32  # bootstrap replicates
-# Poisson(1) CDF * 1e9, floored: P(W<=k) thresholds for the
-# inverse-CDF draw from a uniform 9-digit hash. Identical integer
+# Poisson(1) CDF * 1e5, floored: P(W<=k) thresholds for the
+# inverse-CDF draw from a uniform in [0, 1e5). Identical integer
 # literals on both engines => identical weights.
-_POIS_CDF = (367879441, 735758882, 919698602, 981011843, 996340153)
+_POIS_CDF = (36787, 73575, 91969, 98101, 99634)
 
-_BOOT_HASH = (
-    "CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':' "
-    "|| CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000000"
+# ONE md5 per event row; the per-(row, b) uniform is two Lehmer rounds
+# of exact integer mixing (the eval_poisson_bootstrap_ci doctrine —
+# r10 guide §1/§4: 32 md5 evaluations per row made this the stats
+# family's most CPU- and contention-heavy plan). Intermediates stay
+# < 2^48 (h < 2^31, h*48271 < 2^47, (%P)*69621 < 2^48): exact and
+# overflow-free in Spark BIGINT (ANSI on or off) and DuckDB BIGINT.
+_BOOT_P = 2147483647  # 2^31 - 1
+_BOOT_A, _BOOT_M, _BOOT_C = 48271, 16807, 69621
+
+_BOOT_H_SQL = (
+    "CAST(('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)), "
+    f"1, 15)) AS BIGINT) % {_BOOT_P}"
+)
+_BOOT_U_SQL = (
+    f"(((h * {_BOOT_A} + b * {_BOOT_M}) % {_BOOT_P}) * {_BOOT_C})"
+    f" % {_BOOT_P} % 100000"
 )
 _BOOT_W = (
-    f"CASE WHEN {_BOOT_HASH} < {_POIS_CDF[0]} THEN 0 "
-    f"WHEN {_BOOT_HASH} < {_POIS_CDF[1]} THEN 1 "
-    f"WHEN {_BOOT_HASH} < {_POIS_CDF[2]} THEN 2 "
-    f"WHEN {_BOOT_HASH} < {_POIS_CDF[3]} THEN 3 "
-    f"WHEN {_BOOT_HASH} < {_POIS_CDF[4]} THEN 4 ELSE 5 END"
+    f"CASE WHEN u < {_POIS_CDF[0]} THEN 0 "
+    f"WHEN u < {_POIS_CDF[1]} THEN 1 "
+    f"WHEN u < {_POIS_CDF[2]} THEN 2 "
+    f"WHEN u < {_POIS_CDF[3]} THEN 3 "
+    f"WHEN u < {_POIS_CDF[4]} THEN 4 ELSE 5 END"
 )
 
 _SQL_BOOTSTRAP = f"""
-    WITH reps AS (
-      SELECT e.event_type, r.b,
+    WITH repids AS (
+      SELECT CAST(unnest(generate_series(1, {_BOOT_B})) AS BIGINT) AS b),
+    hashed AS (
+      SELECT event_type, {_BOOT_H_SQL} AS h,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events),
+    wrows AS (
+      SELECT event_type, b, ({_BOOT_U_SQL}) AS u, v
+      FROM hashed CROSS JOIN repids),
+    reps AS (
+      SELECT event_type, b,
              CAST(SUM({_BOOT_W}) AS BIGINT) AS nb,
-             SUM({_BOOT_W} * CAST(e.value AS DECIMAL(12,2))) AS sb
-      FROM events e
-      CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) r
-      GROUP BY e.event_type, r.b),
+             SUM({_BOOT_W} * v) AS sb
+      FROM wrows
+      GROUP BY event_type, b),
     -- nb = 0 (all-zero Poisson weights, prob e^-n per replicate) makes
     -- mean_b NULL; Spark ranks NULLs first, DuckDB last, so the CI
     -- rank selection would pick different replicates cross-engine.
@@ -503,26 +524,33 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     to n.
 
     Determinism: weights come from the inverse Poisson CDF applied to
-    a 9-digit slice of the shared md5 hash family (integer threshold
-    compares — no float RNG), replicate sums are exact decimals, and
+    a deterministic uniform (ONE md5 per event row -> two Lehmer
+    rounds of exact integer mixing per replicate — integer threshold
+    compares, no float RNG), replicate sums are exact decimals, and
     the CI bounds are rank-selected (b tiebreak), so both engines pick
     the same replicate bit-for-bit. ``rand()`` would be none of
-    reproducible, engine-portable, or retry-stable.
+    reproducible, engine-portable, or retry-stable. Hashing once per
+    row instead of once per (row x replicate) cuts the hot loop's
+    hash work {B}x and makes the query load-robust (the
+    eval_poisson_bootstrap_ci rework, r10).
     """
     tune(spark)
     e = table(spark, sf_dir, "events")
-    rep = e.select(
+    # project h once per fact row; the per-(row, b) uniform is pure
+    # integer mixing
+    hashed = e.select(
         "event_type",
-        "event_id",
         dec("value", 12).alias("v"),
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        (
+            md5_long(F.col("event_id").cast("string"), salt="boot")
+            % _BOOT_P
+        ).alias("h"),
     )
-    u = md5_long(
-        F.concat_ws(
-            ":", F.lit("boot"), F.col("b").cast("string"),
-            F.col("event_id").cast("string"),
-        )
-    ) % F.lit(1_000_000_000)
+
+    repids = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    u = (
+        (F.col("h") * _BOOT_A + F.col("b") * _BOOT_M) % _BOOT_P * _BOOT_C
+    ) % _BOOT_P % 100000
     w = (
         F.when(u < _POIS_CDF[0], 0)
         .when(u < _POIS_CDF[1], 1)
@@ -531,7 +559,9 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < _POIS_CDF[4], 4)
         .otherwise(5)
     )
-    reps = rep.groupBy("event_type", "b").agg(
+    reps = hashed.crossJoin(F.broadcast(repids)).groupBy(
+        "event_type", "b"
+    ).agg(
         F.sum(w).cast("long").alias("nb"),
         F.sum(w * F.col("v")).alias("sb"),
     )
@@ -1130,11 +1160,13 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives the skew/outliers Pearson (``stats_corr_matrix``)
     is blind to.
 
-    Exact at scale: per-variable MIDRANKS come from
-    ``bucketed_prefix_sums`` over the distinct-value tables (doubled
-    domain 2*prev + count + 1 keeps tie midpoints integral — no
-    row-level rank windows, and tie order can't flap the result the
-    way row_number ranks would); rows join their midranks on the
+    Exact at scale: per-variable MIDRANKS come from the bucketed
+    prefix-sum recipe applied per variable over a SINGLE fused
+    distinct-value pass (explode to (k, v) — one corpus scan feeds
+    both variables' tables, r10 guide §2.3; doubled domain
+    2*prev + count + 1 keeps tie midpoints integral — no row-level
+    rank windows, and tie order can't flap the result the way
+    row_number ranks would); rows join their midranks on the
     value (hash join, partitioned by value), and Pearson-on-midranks
     runs as exact DECIMAL(38,0) power sums — midranks scale with 2n,
     so sum(a*a) ~ n*(2n)^2 wraps int64 past ~sf0.3; decimal sums stay
@@ -1144,26 +1176,95 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single final conversion agrees bit-for-bit.
     """
     tune(spark)
-    from ..functions.ranks import bucketed_prefix_sums
-
     li = table(spark, sf_dir, "lineitem")
     rows = li.select(
         (dec("l_quantity", 12) * 100).cast("long").alias("x"),
         (dec("l_extendedprice", 14) * 100).cast("long").alias("y"),
     )
 
-    def midranks(col: str):
-        d = rows.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
-        p = bucketed_prefix_sums(d, col, ["c"])
-        return p.select(
-            col,
-            (
-                2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1
-            ).alias("mr2"),
+    # BOTH variables' distinct-value tables from ONE corpus pass
+    # (guide §2.3/§2.4 — two per-column groupBys each re-scanned
+    # lineitem): explode each row to (k, v), k 0=x / 1=y, and build
+    # the doubled midranks with the bucketed-prefix recipe applied
+    # per k (boundaries per variable from one grouped sketch job,
+    # exact per-(k, bucket) offsets from one collect — approximation
+    # affects LOAD BALANCE only, the midrank values are exact counts
+    # regardless of the boundary set, same as bucketed_prefix_sums).
+    kv = rows.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("x").alias("v")),
+                F.struct(F.lit(1).alias("k"), F.col("y").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.k", "s.v")
+    dv = (
+        kv.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    n_buckets = 64
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    brows = (
+        dv.groupBy("k")
+        .agg(F.percentile_approx("v", qs, 10_000).alias("bs"))
+        .collect()
+    )
+    bounds = {
+        r["k"]: sorted({int(b) for b in (r["bs"] or []) if b is not None})
+        for r in brows
+    }
+
+    def bucket_expr(k: int) -> F.Column:
+        bs = bounds.get(k, [])
+        if not bs:
+            return F.lit(0)
+        barr = F.array(*[F.lit(b) for b in bs])
+        return F.size(F.filter(barr, lambda b: b < F.col("v")))
+
+    sb = dv.withColumn(
+        "__b",
+        F.when(F.col("k") == 0, bucket_expr(0)).otherwise(bucket_expr(1)),
+    )
+    totals = {
+        (r["k"], r["__b"]): r["t"]
+        for r in sb.groupBy("k", "__b")
+        .agg(F.sum("c").alias("t"))
+        .collect()
+    }
+    offs: dict[int, list[int]] = {}
+    for k in (0, 1):
+        acc, lst = 0, []
+        for b in range(len(bounds.get(k, [])) + 1):
+            lst.append(acc)
+            acc += totals.get((k, b), 0)
+        offs[k] = lst
+
+    def off_expr(k: int) -> F.Column:
+        return F.element_at(
+            F.array(*[F.lit(o) for o in offs[k]]), F.col("__b") + 1
         )
 
-    rx = midranks("x").withColumnRenamed("mr2", "a")
-    ry = midranks("y").withColumnRenamed("mr2", "b")
+    w = (
+        Window.partitionBy("k", "__b")
+        .orderBy(F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mr = sb.withColumn(
+        "cum_c",
+        F.when(F.col("k") == 0, off_expr(0)).otherwise(off_expr(1))
+        + F.sum("c").over(w),
+    ).select(
+        "k",
+        "v",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("mr2"),
+    )
+    rx = mr.filter(F.col("k") == 0).select(
+        F.col("v").alias("x"), F.col("mr2").alias("a")
+    )
+    ry = mr.filter(F.col("k") == 1).select(
+        F.col("v").alias("y"), F.col("mr2").alias("b")
+    )
     m = rows.join(rx, "x").join(ry, "y")
     # decimal(18,0) per-row (midranks < 1e18 at any plausible scale);
     # decimal(18)*decimal(18) -> decimal(37,0) per-row product, summed

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG
+from ..functions.lineage import model_checkpoint
 from ..functions.numeric import dec
 from ..functions.ranks import bucketed_prefix_min, bucketed_prefix_sums
 from ..registry import query
@@ -2145,12 +2146,18 @@ def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = rows.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cum = bucketed_prefix_sums(dv, "cents", ["c"])
     tot = dv.agg(F.sum("c").cast("long").alias("n"))
-    med = (
+    # model_checkpoint the 1-row median and the 5-row contingency
+    # cells: the chi-square tail below references cells 6x (unionAll
+    # x rt/ct/j) and med twice — without leaf materialization every
+    # reference re-embeds (and re-executes) the orders scan + prefix
+    # subtree (r10: the final action was ~4 s of repeated scans; the
+    # cells frame is group-count bounded, the doctrine case).
+    med = model_checkpoint(
         cum.crossJoin(F.broadcast(tot))
         .filter(F.col("cum_c") >= F.floor((F.col("n") + 1) / 2))
         .agg(F.min("cents").alias("med"))
     )
-    cells = (
+    cells = model_checkpoint(
         rows.crossJoin(F.broadcast(med))
         .groupBy("g")
         .agg(
