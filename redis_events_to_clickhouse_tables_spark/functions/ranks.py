@@ -52,12 +52,20 @@ def global_rank_desc(
     tiebreak: str,
     rank_col: str = "r",
     n_buckets: int = 64,
+    sum_cols: list[str] | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach ``rank_col`` = exact global 1-based rank of each row
     under (``key`` DESC, ``tiebreak`` ASC). Returns (frame, n_rows).
 
     ``key`` must be integral (boundaries are materialized as int
     literals); ``tiebreak`` must be unique so the order is total.
+
+    ``sum_cols`` (r10): also attach ``cum_<c>`` = the exact running
+    total of each listed integral column ALONG THE RANK ORDER —
+    identical values to chaining :func:`bucketed_prefix_sums` over the
+    ranked output (rank order is total, so cum over r ASC equals cum
+    over (key DESC, tiebreak ASC)), but it rides the SAME two driver
+    actions, one persist and one window instead of doubling all three.
     """
     df = _pin(df)
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -72,26 +80,41 @@ def global_rank_desc(
     else:
         bucket = F.lit(0)
     sb = df.withColumn("__rank_bucket", bucket)
-    cnt = {
-        r["__rank_bucket"]: r["n"]
+    scols = sum_cols or []
+    stats = {
+        r["__rank_bucket"]: r
         for r in sb.groupBy("__rank_bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(c) for c in scols],
+        )
         .collect()
     }
-    n_total = sum(cnt.values())
+    n_total = sum(r["n"] for r in stats.values())
     offsets, acc = [], 0
+    sum_offsets: dict[str, list[int]] = {c: [] for c in scols}
+    sum_acc = {c: 0 for c in scols}
     for b in range(len(bounds) + 1):
         offsets.append(acc)
-        acc += cnt.get(b, 0)
+        acc += stats[b]["n"] if b in stats else 0
+        for c in scols:
+            sum_offsets[c].append(sum_acc[c])
+            sum_acc[c] += stats[b][c] if b in stats else 0
     off = F.element_at(
         F.array(*[F.lit(o) for o in offsets]), F.col("__rank_bucket") + 1
     )
     w = Window.partitionBy("__rank_bucket").orderBy(
         F.desc(key), F.asc(tiebreak)
     )
-    out = sb.withColumn(rank_col, off + F.row_number().over(w)).drop(
-        "__rank_bucket"
-    )
+    out = sb.withColumn(rank_col, off + F.row_number().over(w))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in scols:
+        soff = F.element_at(
+            F.array(*[F.lit(o) for o in sum_offsets[c]]),
+            F.col("__rank_bucket") + 1,
+        )
+        out = out.withColumn(f"cum_{c}", soff + F.sum(c).over(wsum))
+    out = out.drop("__rank_bucket")
     return out, n_total
 
 

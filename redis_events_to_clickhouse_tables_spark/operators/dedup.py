@@ -1101,6 +1101,12 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
     """
     tune(spark)
     d = table(spark, sf_dir, "documents")
+    # Deliberately NO checkpoints here (r10): the pair, signature and
+    # shingle subtrees all share the minhash sub-pipeline inside ONE
+    # action, and Spark's exchange reuse dedups the identical
+    # subtrees; eagerly materializing any of them broke that sharing
+    # and measured SLOWER (pairs+sig+shingles 3.4 -> 5.0 s, pairs
+    # alone 3.4 -> 4.3 s at sf0.1 idle).
     pairs = _lsh_candidate_pairs(spark, sf_dir)
     sig = _minhash_signature(d)
     sa_sig = sig.select(
@@ -1831,13 +1837,19 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total. No window, no join on data keys.
     """
     tune(spark)
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    # model_checkpoint x2 (r10): both unionAll branches read the pair
+    # lineage (the LSH pipeline would execute twice in one action —
+    # the graph_pagerank_neardup precedent), and the max-degree-bounded
+    # histogram is referenced by the total AND the final projection.
+    pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
     und = pairs.select(F.col("doc_a").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("v"))
     )
     deg = und.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    hist = deg.groupBy("degree").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    hist = model_checkpoint(
+        deg.groupBy("degree").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
     )
     tot = hist.agg(F.sum("n_docs").cast("long").alias("nv"))
     return (

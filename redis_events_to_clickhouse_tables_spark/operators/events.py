@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import model_checkpoint
 from ..functions.numeric import dec
 from ..functions.temporal import epoch_us
 from ..registry import query
@@ -1468,7 +1469,10 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("d"),
     ).filter(F.col("d").isNotNull())
     c = seq.groupBy("s", "d").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    c = c.persist()
+    # model_checkpoint (r10, was persist): the K^2-bounded transition
+    # table feeds t/pq/k/pi-init/num AND every power iteration — each
+    # reference re-embedded the corpus LEAD-window subtree in its plan
+    c = model_checkpoint(c)
     t = c.groupBy("s").agg(F.sum("n").cast("long").alias("total"))
     pq = c.join(t, "s").select(
         "s", "d", F.expr(f"n * {_MK_FP} div total").alias("pq")

@@ -472,18 +472,20 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBys.
     """
     tune(spark)
+    from ..functions.lineage import model_checkpoint
     from ..functions.numeric import one_dec
     from ..functions.ranks import bucketed_prefix_sums
 
     li = table(spark, sf_dir, "lineitem")
     rev_expr = dec("l_extendedprice", 14) * (one_dec() - dec("l_discount", 3))
-    # persist the per-part frames: the rank/prefix helpers each issue
-    # O(1) driver collects whose lineage would otherwise re-run the
-    # full lineitem aggregation 4-5x
-    rev = (
+    # model_checkpoint the per-part revenue frame (part-catalog
+    # bounded): the rank/prefix helper's driver collects plus the
+    # dv/tot/abc references would otherwise re-run (and re-plan) the
+    # full lineitem aggregation 4-5x (r10: persist still re-embedded
+    # the subtree per reference)
+    rev = model_checkpoint(
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.floor(F.sum(rev_expr) * 100).cast("long").alias("rc"))
-        .persist()
     )
     dv = rev.groupBy("rc").agg(F.sum("rc").cast("long").alias("vrev"))
     cumv = bucketed_prefix_sums(

@@ -884,9 +884,18 @@ def _register_rouge1() -> None:
         exact integers; each ROUGE ratio is one shared IEEE division.
         """
         tune(spark)
-        pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+        from ..functions.lineage import model_checkpoint
+
+        # pairs: LSH-bounded model frame; tok: the per-(doc, token)
+        # count table — fixed-width metadata referenced three times
+        # (ta, tb, tot), the guide §8 fingerprint-proxy shape. Leaf
+        # materialization replaced the persist()+count()+unpersist()
+        # triple (r10): one execution each, no InMemoryRelation
+        # planning on the three consumers, and the query's returned
+        # frame pipelines instead of being double-materialized.
+        pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
         d = table(spark, sf_dir, "documents")
-        tok = (
+        tok = model_checkpoint(
             d.select(
                 "doc_id",
                 F.explode(F.split(F.col("text"), " ")).alias("w"),
@@ -894,7 +903,6 @@ def _register_rouge1() -> None:
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        tok = tok.persist()
         tot = tok.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
         ta = tok.select(
             F.col("doc_id").alias("doc_a"), "w", F.col("c").alias("ca")
@@ -937,11 +945,7 @@ def _register_rouge1() -> None:
                 ).alias("rouge1_f1"),
             )
         )
-        rows = out.persist()
-        rows.count()
-        pairs.unpersist()
-        tok.unpersist()
-        return rows
+        return out
 
 
 _register_rouge1()

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import model_checkpoint
 from ..functions.numeric import dec
 from ..functions.ranks import global_rank_desc
 from ..registry import query
@@ -287,11 +288,17 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    doc_bg = bigrams.groupBy("doc_id", "bg").agg(
-        F.count(F.lit(1)).alias("c")
+    # model_checkpoint x2 (r10): doc_bg (fixed-width per-doc counts,
+    # the guide §8 proxy table) feeds BOTH the model training side and
+    # the final scoring join; model_bg (|alphabet|^2-bounded) feeds
+    # ctx totals, vocab and the log-prob table. Without leaf
+    # materialization the corpus explode re-executed behind each
+    # reference.
+    doc_bg = model_checkpoint(
+        bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     )
-    model_bg = doc_bg.groupBy("bg").agg(
-        F.sum("c").cast("long").alias("cnt_bg")
+    model_bg = model_checkpoint(
+        doc_bg.groupBy("bg").agg(F.sum("c").cast("long").alias("cnt_bg"))
     )
     model_ctx = model_bg.groupBy(
         F.substring("bg", 1, 1).alias("ctx")

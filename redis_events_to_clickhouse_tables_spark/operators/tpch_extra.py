@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import model_checkpoint
 from ..functions.numeric import dec, one_dec
 from ..registry import query
 from ..session import tune
@@ -488,8 +489,13 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
-        .persist()  # the heaviest stage feeds four consumers below
     )
+    # model_checkpoint (r10, was persist): the (order, brand) basket —
+    # fixed-width decision metadata, guide §8 — feeds four consumers
+    # (scalar order count, per-brand counts, both pair-join sides);
+    # the leaf stops each reference re-embedding the join+distinct
+    # subtree and retires the trailing persist/count/unpersist triple.
+    basket = model_checkpoint(basket)
     n_orders = basket.select("okey").distinct().count()
     brand_n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
     a = basket.select("okey", F.col("brand").alias("brand_a"))
@@ -519,10 +525,7 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("ca") * F.col("cb"))
             ).alias("lift"),
         )
-        .persist()  # materialize (bounded by |brands|^2), then free the basket
     )
-    out.count()
-    basket.unpersist()
     return out
 
 

@@ -68,10 +68,14 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice", 14) * 100).cast("long").alias("cents")
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("total"))
-    ranked, _n = global_rank_desc(rev, "cents", "l_partkey", rank_col="r")
-    cum = bucketed_prefix_sums(ranked, "r", ["cents"]).withColumnRenamed(
-        "cum_cents", "c"
+    # rank + running revenue in ONE primitive call (r10): the chained
+    # global_rank_desc -> bucketed_prefix_sums form re-persisted the
+    # ranked frame and doubled the driver actions and window passes
+    # for identical cum values (rank order is total).
+    ranked, _n = global_rank_desc(
+        rev, "cents", "l_partkey", rank_col="r", sum_cols=["cents"]
     )
+    cum = ranked.withColumnRenamed("cum_cents", "c")
     cls = cum.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("c") * 100 <= F.col("total") * 80, "A")
         .when(F.col("c") * 100 <= F.col("total") * 95, "B")

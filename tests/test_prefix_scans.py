@@ -57,3 +57,41 @@ def test_prefix_sums_and_min_agree_on_shared_keys(spark):
     for k, v in sorted(rows):
         acc += v
         assert sums[k] == acc
+
+
+def test_global_rank_desc_sum_cols_matches_chained_prefix(spark):
+    """r10: global_rank_desc(sum_cols=...) must equal the chained
+    global_rank_desc -> bucketed_prefix_sums(ranked, rank_col)
+    composition it replaces (orders_abc_classification), and the
+    running totals must be the naive cumulative along the rank order."""
+    from redis_events_to_clickhouse_tables_spark.functions.ranks import (
+        global_rank_desc,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randint(-50, 50), rng.randint(0, 10**6))
+        for i in range(257)
+    ]
+    df = spark.createDataFrame(rows, "tb long, key long, c long")
+    fused, n_fused = global_rank_desc(
+        df, "key", "tb", rank_col="r", n_buckets=5, sum_cols=["c"]
+    )
+    got = {
+        r["tb"]: (r["r"], r["cum_c"]) for r in fused.collect()
+    }
+    assert n_fused == len(rows)
+    # naive reference: sort by (key DESC, tb ASC), rank + running sum
+    acc = 0
+    for rank, (tb, key, c) in enumerate(
+        sorted(rows, key=lambda t: (-t[1], t[0])), start=1
+    ):
+        acc += c
+        assert got[tb] == (rank, acc), (tb, got[tb], (rank, acc))
+    # chained composition (the form it replaces) agrees bit-for-bit
+    ranked, _ = global_rank_desc(df, "key", "tb", rank_col="r", n_buckets=5)
+    chained = {
+        r["tb"]: (r["r"], r["cum_c"])
+        for r in bucketed_prefix_sums(ranked, "r", ["c"], n_buckets=5).collect()
+    }
+    assert chained == got
