@@ -28,6 +28,23 @@ checkpoint IS the materialization, and the blocks release when the
 DataFrame is garbage-collected (the session pins
 ``spark.cleaner.periodicGC.interval=2min`` so a long bench sweep
 reclaims them promptly).
+
+Two measured LIMITS (r10 — checkpointing is not free, A/B each site):
+
+1. **Statistics loss.** The leaf is a ``LogicalRDD`` with
+   UnknownPartitioning and NO size statistics, so joins that
+   auto-broadcast the frame under ``persist()`` (whose
+   InMemoryRelation carries accurate sizes) can demote to sort-merge.
+   ``entity._cluster_map`` regressed 2-3x on the checkpoint variant
+   for exactly this reason and stays on ``persist``.
+2. **Exchange-reuse loss.** When a frame's consumers live inside ONE
+   action and the repeated subtrees are identical, Spark's exchange
+   reuse already dedups them; an eager checkpoint splits the work
+   into sequential jobs and can be slower
+   (``dedup_minhash_estimate_vs_exact``). Checkpoint pays when the
+   repeated subtree CANNOT be exchange-reused: iterative rounds,
+   driver-action probes between references, or references spread
+   across separate jobs.
 """
 
 from __future__ import annotations

@@ -157,19 +157,27 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-collect assumption must be enforced, not assumed). The
     map back to parts is a join on the signature key, sized by AQE.
     """
-    # checkpoint (r10): sig feeds the pair self-join (2 refs), the CC
-    # kernel's node set, and the final map-back join — one
-    # materialization, leaf plans downstream
-    sig = model_checkpoint(_sig_frame(spark, sf_dir))
+    # persist for the KERNEL phase, checkpoint only for the final
+    # plan (r10): the CC kernel's driver collects and the pair
+    # self-join plan against sig during build, and a localCheckpoint
+    # leaf loses size statistics (LogicalRDD, no stats), demoting the
+    # kernel-phase joins from broadcast to sort-merge — measured
+    # er_part_clusters 3.4 -> 7.8 s / golden_record 3.1 -> 9.5 s at
+    # sf0.1 idle on the checkpoint-everything variant, recovered on
+    # this hybrid. The post-kernel checkpoint of the (by then cached,
+    # signature-bounded) frame is cheap and keeps consumers' plans
+    # leaf-based.
+    sig = _sig_frame(spark, sf_dir).persist()
     pairs = _sig_match_pairs(sig)
     comp = connected_components(
         spark, sig.select("rep_pk"), pairs.select("rep_a", "rep_b")
     ).select(
         F.col("node").alias("rep_pk"), F.col("component_id").alias("cluster_id")
     )
+    sig_leaf = model_checkpoint(sig)
     p = table(spark, sf_dir, "part")
     return p.join(
-        sig.join(comp, "rep_pk"),
+        sig_leaf.join(comp, "rep_pk"),
         ["p_name", "p_type", "p_size"],
     ).select("p_partkey", "p_name", "p_size", "p_retailprice", "cluster_id")
 
