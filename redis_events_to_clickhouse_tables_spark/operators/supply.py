@@ -478,14 +478,34 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     rev_expr = dec("l_extendedprice", 14) * (one_dec() - dec("l_discount", 3))
-    # model_checkpoint the per-part revenue frame (part-catalog
-    # bounded): the rank/prefix helper's driver collects plus the
-    # dv/tot/abc references would otherwise re-run (and re-plan) the
-    # full lineitem aggregation 4-5x (r10: persist still re-embedded
-    # the subtree per reference)
-    rev = model_checkpoint(
-        li.groupBy(F.col("l_partkey").alias("pk"))
-        .agg(F.floor(F.sum(rev_expr) * 100).cast("long").alias("rc"))
+    # ONE lineitem pass feeds BOTH classification axes (r10, guide
+    # §2.3): the (part, week) partial frame carries the decimal
+    # revenue partials AND the weekly quantities; per-part revenue is
+    # the exact re-aggregation of the decimal partials (decimal sums
+    # are associative; FLOOR applies only to the final per-part
+    # total, so rc is bit-identical to the direct groupBy(pk) form
+    # the oracle expresses). model_checkpoint: the part-x-week frame
+    # is catalog x calendar bounded and feeds rev (3 references via
+    # dv/tot/abc + the rank helper's driver collects) and the weekly
+    # moments.
+    base = model_checkpoint(
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.floor(
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("w"),
+        ).agg(
+            F.sum(rev_expr).alias("rev_w"),
+            F.sum(dec("l_quantity", 12)).cast("long").alias("v"),
+        )
+    )
+    rev = base.groupBy("pk").agg(
+        F.floor(F.sum("rev_w") * 100).cast("long").alias("rc")
     )
     dv = rev.groupBy("rc").agg(F.sum("rc").cast("long").alias("vrev"))
     cumv = bucketed_prefix_sums(
@@ -507,17 +527,7 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
-    wk = li.groupBy(
-        F.col("l_partkey").alias("pk"),
-        F.floor(
-            F.datediff(
-                F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
-            )
-            / 7
-        )
-        .cast("long")
-        .alias("w"),
-    ).agg(F.sum(dec("l_quantity", 12)).cast("long").alias("v"))
+    wk = base.select("pk", "w", "v")
     m = wk.groupBy("pk").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s1"),
@@ -561,10 +571,7 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rows = out.persist()
-    rows.count()
-    rev.unpersist()
-    return rows
+    return out
 
 
 # ---------------------------------------------------------------------------
