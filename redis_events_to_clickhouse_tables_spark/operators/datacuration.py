@@ -791,20 +791,27 @@ def _register_bleu() -> None:
         twice.
         """
         tune(spark)
-        pairs = _lsh_candidate_pairs(spark, sf_dir).persist()
+        from ..functions.lineage import model_checkpoint
+
+        # model_checkpoint x3 (r10, were persists — the
+        # text_rouge1_candidates treatment): pairs feed BOTH clip
+        # stages, and the 1-gram/2-gram count tables are fixed-width
+        # per-doc metadata (guide §8) each referenced by both join
+        # sides (+ tot for the 1-gram) — leaf materialization runs
+        # each corpus pass once with no InMemoryRelation re-planning.
+        pairs = model_checkpoint(_lsh_candidate_pairs(spark, sf_dir))
         d = table(spark, sf_dir, "documents")
         words = d.select(
             "doc_id", F.split(F.col("text"), " ").alias("t")
         )
-        tok = (
+        tok = model_checkpoint(
             words.select(
                 "doc_id", F.explode(F.col("t")).alias("w")
             )
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .persist()
         )
-        big = (
+        big = model_checkpoint(
             words.select(
                 "doc_id",
                 F.explode(
@@ -818,7 +825,6 @@ def _register_bleu() -> None:
             )
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .persist()
         )
         tot = tok.groupBy("doc_id").agg(
             F.sum("c").cast("long").alias("n")
