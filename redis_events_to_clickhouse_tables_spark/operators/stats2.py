@@ -924,7 +924,11 @@ def stats_sample_size_two_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1/p2/pbar are exact count ratios; the z quantiles are fixed
     literals; the whole formula is one shared IEEE expression (the
     squared numerator is written as an explicit product — no pow()),
-    and ceil() of identical doubles is identical.
+    and ceil() of identical doubles is identical.  Spark's ceil()
+    returns LONG while DuckDB's CEIL returns DOUBLE, so n_per_arm is
+    cast back to double to keep the output type (and hence the
+    driver's canonical hash) aligned with the oracle; the value itself
+    is an exact small integer either way.
     """
     tune(spark)
     c = table(spark, sf_dir, "customer")
@@ -966,7 +970,9 @@ def stats_sample_size_two_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k2",
         p1.alias("p1"),
         p2.alias("p2"),
-        F.ceil(num * num / ((p1 - p2) * (p1 - p2))).alias("n_per_arm"),
+        F.ceil(num * num / ((p1 - p2) * (p1 - p2)))
+        .cast("double")
+        .alias("n_per_arm"),
     )
 
 
