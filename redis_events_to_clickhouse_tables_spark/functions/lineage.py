@@ -45,6 +45,21 @@ Two measured LIMITS (r10 — checkpointing is not free, A/B each site):
    repeated subtree CANNOT be exchange-reused: iterative rounds,
    driver-action probes between references, or references spread
    across separate jobs.
+
+Measured EXCEPTION to the model-bounded rule (r10, codified per
+ADVICE r10): a few corpus-LINEAR frames of fixed-width metadata —
+LSH band signatures (corpus_dedup_summary), candidate pairs and
+per-doc token/bigram count tables (BLEU/ROUGE/text_bigram_lm_bits) —
+are checkpointed because their A/B measured faster: the rows are a
+few dozen bytes each (keys + counts, never document text), so the
+materialization is a small fraction of the corpus bytes while the
+repeated subtree it cuts holds the full explode. Each such site
+carries its own justifying comment. The lifetime caveat applies
+doubly there: checkpoint blocks free on DataFrame GC (the session's
+``spark.cleaner.periodicGC.interval=2min``), not on an explicit
+unpersist, so corpus-linear checkpoints briefly outlive their query
+inside a sweep — bounded by the GC interval, acceptable for metadata
+rows, NOT acceptable for payload-carrying frames.
 """
 
 from __future__ import annotations

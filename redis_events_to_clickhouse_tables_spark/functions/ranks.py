@@ -81,25 +81,28 @@ def global_rank_desc(
         bucket = F.lit(0)
     sb = df.withColumn("__rank_bucket", bucket)
     scols = sum_cols or []
+    # reserved aliases (__rk_n / __rk_sum_<c>) so a sum_col named like
+    # the count alias can never collide (ADVICE r10); an all-null
+    # bucket sum collapses to 0 exactly like a missing bucket.
     stats = {
         r["__rank_bucket"]: r
         for r in sb.groupBy("__rank_bucket")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(c).alias(c) for c in scols],
+            F.count(F.lit(1)).alias("__rk_n"),
+            *[F.sum(c).alias(f"__rk_sum_{c}") for c in scols],
         )
         .collect()
     }
-    n_total = sum(r["n"] for r in stats.values())
+    n_total = sum(r["__rk_n"] for r in stats.values())
     offsets, acc = [], 0
     sum_offsets: dict[str, list[int]] = {c: [] for c in scols}
     sum_acc = {c: 0 for c in scols}
     for b in range(len(bounds) + 1):
         offsets.append(acc)
-        acc += stats[b]["n"] if b in stats else 0
+        acc += stats[b]["__rk_n"] if b in stats else 0
         for c in scols:
             sum_offsets[c].append(sum_acc[c])
-            sum_acc[c] += stats[b][c] if b in stats else 0
+            sum_acc[c] += (stats[b][f"__rk_sum_{c}"] or 0) if b in stats else 0
     off = F.element_at(
         F.array(*[F.lit(o) for o in offsets]), F.col("__rank_bucket") + 1
     )
@@ -156,6 +159,13 @@ def bottomk_per_group(
     spill the whole corpus and hide the scan from filter pushdown;
     the loop's extra passes are pipelined scans, which is the right
     trade at 100 TB.
+
+    r11: the SURVIVOR frame (bounded ~c0*k rows per group — the prune
+    is the whole point) IS persisted, so the exactness probe's count
+    doubles as its materializer and the returned frame's window reads
+    the cache instead of re-running the corpus scan + count join a
+    second time (guide §2: the probe and the consumer share one
+    corpus pass).
     """
     if counts is None:
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
@@ -173,8 +183,12 @@ def bottomk_per_group(
         # can never exceed 1.0, the widen-retry loop would then spin
         # forever (the probe fix surfaced this: before it, such a
         # group was silently dropped instead).
-        surv = df.join(counts, list(group_cols)).filter(
-            (frac >= 1.0) | (F.col(hash_col) < frac * F.lit(hash_space))
+        surv = (
+            df.join(counts, list(group_cols))
+            .filter(
+                (frac >= 1.0) | (F.col(hash_col) < frac * F.lit(hash_space))
+            )
+            .persist()
         )
         # Probe from COUNTS, not from survivors: a group whose every
         # hash lands above the cutoff has zero surviving rows and would
@@ -190,10 +204,11 @@ def bottomk_per_group(
                 F.coalesce(F.col("__s"), F.lit(0))
                 < F.least(F.lit(k), F.col("__n"))
             )
-            .count()  # 1-scalar probe, O(#groups) work
+            .count()  # 1-scalar probe, O(#groups); fills surv's cache
         )
         if short == 0:
             break
+        surv.unpersist()
         c *= 4.0
     w = Window.partitionBy(*group_cols).orderBy(hash_col, *tiebreak_cols)
     return (
@@ -364,8 +379,14 @@ def topk_by_value_per_group(
             - F.lit(widen),
         )
         cutoff = F.element_at(F.col("__qs"), idx + 1)
-        surv = df.join(stats, list(group_cols)).filter(
-            (idx <= 0) | (F.col(value_col) >= cutoff)
+        # survivors persisted for the same reason as bottomk_per_group
+        # (r11): the probe's count doubles as the materializer, so the
+        # final window reads the cache instead of re-running the
+        # corpus scan + sketch-stats join.
+        surv = (
+            df.join(stats, list(group_cols))
+            .filter((idx <= 0) | (F.col(value_col) >= cutoff))
+            .persist()
         )
         surv_counts = surv.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("__s")
@@ -376,10 +397,11 @@ def topk_by_value_per_group(
                 F.coalesce(F.col("__s"), F.lit(0))
                 < F.least(F.lit(k), F.col("__n"))
             )
-            .count()  # 1-scalar probe, O(#groups)
+            .count()  # 1-scalar probe, O(#groups); fills surv's cache
         )
         if short == 0:
             break
+        surv.unpersist()
         widen += 2  # fraction *= 4
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc(value_col), *[F.asc(c) for c in tiebreak_cols]

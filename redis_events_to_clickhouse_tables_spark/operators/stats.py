@@ -449,6 +449,14 @@ _POIS_CDF = (36787, 73575, 91969, 98101, 99634)
 # family's most CPU- and contention-heavy plan). Intermediates stay
 # < 2^48 (h < 2^31, h*48271 < 2^47, (%P)*69621 < 2^48): exact and
 # overflow-free in Spark BIGINT (ANSI on or off) and DuckDB BIGINT.
+#
+# Documented statistical trade (ADVICE r10): for a fixed row, the B
+# replicate uniforms are successive Lehmer steps from one seed, so
+# they are lattice-correlated rather than independent md5 draws, and
+# the CDF granularity is 1e5 (was 1e9). That weakens CI fidelity
+# slightly; it is the deliberate price of removing the per-(row, b)
+# hashing hot loop, and both engines evaluate the identical exact
+# integer expression so cross-engine determinism is unaffected.
 _BOOT_P = 2147483647  # 2^31 - 1
 _BOOT_A, _BOOT_M, _BOOT_C = 48271, 16807, 69621
 

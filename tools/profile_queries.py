@@ -34,6 +34,7 @@ def main() -> int:
     suffix = "before"
     reps = 2
     use_noop = "--noop" in sys.argv
+    count_jobs = "--jobs" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf = a.split("=", 1)[1]
@@ -74,9 +75,11 @@ def main() -> int:
             continue
         attempts = []
         build_secs = []
+        job_counts = []
         df = None
-        for _ in range(reps):
-            spark.sparkContext.setJobDescription(f"profile:{name}")
+        for rep in range(reps):
+            group = f"profile:{name}:{rep}"
+            spark.sparkContext.setJobGroup(group, group)
             t0 = time.perf_counter()
             df = spec.build(spark, sf)
             t1 = time.perf_counter()
@@ -87,14 +90,18 @@ def main() -> int:
             t2 = time.perf_counter()
             build_secs.append(t1 - t0)
             attempts.append(t2 - t0)
+            if count_jobs:
+                tracker = spark.sparkContext._jsc.sc().statusTracker()  # noqa: SLF001
+                job_counts.append(len(tracker.getJobIdsForGroup(group)))
             spark.catalog.clearCache()
-            spark.sparkContext.setJobDescription(None)
+            spark.sparkContext.setJobGroup(None, None)
         best = min(range(len(attempts)), key=lambda i: attempts[i])
+        jobs_msg = f" jobs={job_counts[best]}" if count_jobs else ""
         print(
             f"{name}: {attempts[best]:.3f}s"
             f" (build {build_secs[best]:.3f}s,"
             f" action {attempts[best] - build_secs[best]:.3f}s;"
-            f" all {[round(a, 3) for a in attempts]})"
+            f" all {[round(a, 3) for a in attempts]}{jobs_msg})"
         )
         if plans_dir and df is not None:
             os.makedirs(plans_dir, exist_ok=True)
