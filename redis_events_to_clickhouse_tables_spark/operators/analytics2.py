@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_MD5_LONG, md5_long
+from ..functions.lineage import model_checkpoint
 from ..registry import query
 from ..session import tune
 from ..sources.tables import table
@@ -108,30 +109,53 @@ def graph_copurchase_jaccard_linkpred(
     # an unmaterialized cache would recompute the order-pair self-join
     # once per branch (measured 4x wall at sf0.1)
     edges.count()
+    # post-materialization leaf (r11, the er_part hybrid pattern): six
+    # downstream references each re-embedded the ~10 KB order-pair
+    # self-join subtree into a 70 KB consumer plan and Catalyst
+    # planning dominated the action (1.75 s over a ~3.5k-row cached
+    # graph). Checkpointing the ALREADY-CACHED frame is one cheap
+    # cache scan, and the stats loss is moot: every downstream join
+    # carries an explicit broadcast hint.
+    edges = model_checkpoint(edges)
     deg = edges.groupBy(F.col("s").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
     centers = deg.filter(F.col("deg") <= _CP_DEG_CAP).select(
         F.col("v").alias("s")
     )
-    e1 = edges.join(centers, "s").select("s", F.col("d").alias("a"))
+    # r11 (guide §3.1): every join below pairs a frame bounded by the
+    # support-thresholded sparse graph (edges / deg — ~3.5k rows at
+    # sf0.01 AND sf0.1, the operator's own scale argument) against
+    # another; without hints the initial plan ran all five as
+    # SortMergeJoin and left the conversion to per-stage AQE jobs
+    # (measured 18 jobs / 1.8 s action). Explicit broadcasts put the
+    # exchange-free plan up front.
+    e1 = edges.join(F.broadcast(centers), "s").select(
+        "s", F.col("d").alias("a")
+    )
     e2 = edges.select("s", F.col("d").alias("b"))
     wedge = (
-        e1.join(e2, "s")
+        e1.join(F.broadcast(e2), "s")
         .filter(F.col("a") < F.col("b"))
+        # count(1) == countDistinct(s) here: edges is a set (e0 rows
+        # are unique (pa < pb) pairs and the two union halves have
+        # disjoint orientations), so each center s contributes at most
+        # one (s, a, b) wedge row — the oracle's COUNT(DISTINCT e1.s)
+        # over the same set. Dropping the DISTINCT removes the expand
+        # pass from the aggregate.
         .groupBy("a", "b")
-        .agg(F.countDistinct("s").cast("long").alias("cn"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
     )
     cand = wedge.join(
-        edges.select(F.col("s").alias("a"), F.col("d").alias("b")),
+        F.broadcast(edges.select(F.col("s").alias("a"), F.col("d").alias("b"))),
         ["a", "b"],
         "left_anti",
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
     out = (
-        cand.join(da, "a")
-        .join(db, "b")
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
         .select(
             F.col("a").alias("part_a"),
             F.col("b").alias("part_b"),
@@ -206,12 +230,25 @@ def graph_copurchase_assortativity(
         .persist()
     )
     edges.count()  # same multi-consumer materialization as linkpred
+    edges = model_checkpoint(edges)  # same post-cache leaf as linkpred
     deg = edges.groupBy(F.col("s").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+    # broadcast hints for the same reason as linkpred (r11): deg is
+    # bounded by the sparse support-thresholded graph's vertex set.
     ex = (
-        edges.join(deg.select(F.col("v").alias("s"), F.col("deg").alias("x")), "s")
-        .join(deg.select(F.col("v").alias("d"), F.col("deg").alias("y")), "d")
+        edges.join(
+            F.broadcast(
+                deg.select(F.col("v").alias("s"), F.col("deg").alias("x"))
+            ),
+            "s",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("v").alias("d"), F.col("deg").alias("y"))
+            ),
+            "d",
+        )
         .select("x", "y")
     )
     d38 = lambda c: F.col(c).cast("decimal(38,0)")

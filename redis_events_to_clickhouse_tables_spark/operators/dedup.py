@@ -302,7 +302,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; this variant now bounds MEMORY at any skew.
     """
     tune(spark)
-    sh = _hashed_shingles(spark, sf_dir)
+    # same corpus-linear metadata checkpoint as its stop-shingle
+    # sibling (r11): three consumers (sizes, chunked_pairs' slicing,
+    # its internal frequency aggregate) group sh by different keys —
+    # no exchange reuse — so each re-ran the per-shingle md5 explode.
+    sh = model_checkpoint(_hashed_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         chunked_pairs(sh, ["h"])
@@ -850,7 +854,14 @@ def dedup_jaccard_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     — chunking costs no extra aggregate here.
     """
     tune(spark)
-    sh0 = _hashed_shingles(spark, sf_dir)
+    # corpus-LINEAR checkpoint (the lineage.py metadata exception,
+    # r11): sh0 rows are fixed-width (doc_id, h) longs, but FOUR
+    # consumers (n_docs, the stop-shingle frequency aggregate, the
+    # size aggregate, chunked_pairs' slicing) group it by DIFFERENT
+    # keys, so exchange reuse cannot dedup them and each branch
+    # re-ran the documents scan + per-shingle md5 explode (the
+    # query's dominant cost). One materialization runs it once.
+    sh0 = model_checkpoint(_hashed_shingles(spark, sf_dir))
     n_docs = sh0.agg(F.countDistinct("doc_id").alias("n_docs"))
     keep = (
         sh0.groupBy("h")

@@ -1032,33 +1032,45 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_norm"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(_SRP_TABLES)],
     )
-    parts = [
-        sig.join(
-            F.broadcast(q),
-            (F.col(f"qb{t}") == F.col(f"b{t}"))
-            & (F.col("q_id") != F.col("vec_id")),
-        ).select(
-            "q_id",
-            F.col("vec_id").alias("c_id"),
-            "q_emb",
-            F.col("embedding").alias("c_emb"),
-            "q_norm",
-            F.col("nrm").alias("c_norm"),
+    # r11 rewrite (guide §2.3/§2.4): the old per-table form unioned 4
+    # separate sig-x-q joins, and each branch re-executed the corpus
+    # scan PLUS all 16 SRP dot products per row (no exchange below the
+    # branches, so nothing was reusable). Exploding each row into its
+    # 4 (table, bucket) keys computes the signatures ONCE and a single
+    # broadcast join replaces the union — identical candidate set
+    # (bucket collision in ANY table), and the cosine is computed
+    # BEFORE the dedup shuffle so the exchange carries 3 scalars per
+    # candidate instead of two 64-double embeddings (§2.3; the value
+    # is identical on every duplicate of a pair, so dropDuplicates
+    # keeps the same number).
+    tb = lambda pre: F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), F.col(f"{pre}{t}").alias("bk")
+                )
+                for t in range(_SRP_TABLES)
+            ]
         )
-        for t in range(_SRP_TABLES)
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["q_id", "c_id"])
-    cosine = (_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias(
-        "cosine"
+    ).alias("tb")
+    c_side = sig.select("vec_id", "embedding", "nrm", tb("b")).select(
+        "vec_id", "embedding", "nrm", "tb.t", "tb.bk"
+    )
+    q_side = q.select("q_id", "q_emb", "q_norm", tb("qb")).select(
+        "q_id", "q_emb", "q_norm", "tb.t", "tb.bk"
+    )
+    cosine = (
+        _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("nrm"))
+    ).alias("cosine")
+    cand = (
+        c_side.join(F.broadcast(q_side), ["t", "bk"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), cosine)
+        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
-    return (
-        cand.select("q_id", "c_id", cosine)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+    return cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
     )
 
 
