@@ -144,6 +144,21 @@ def _sig_match_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def _kernel_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The CC kernel's inputs exactly as ``_cluster_map`` builds them:
+    the PERSISTED signature frame and the blocked pair self-join over
+    it. Factored out so the plan gate
+    (tests/test_plans.py::test_er_kernel_pair_join_stays_broadcast)
+    inspects the real construction path: sig must stay ``persist()``
+    (InMemoryRelation, accurate size stats) and never become a
+    checkpoint leaf before pair formation — the r10 lesson, where a
+    stats-less LogicalRDD demoted this join to sort-merge (2-3x)."""
+    sig = _sig_frame(spark, sf_dir).persist()
+    return sig, _sig_match_pairs(sig)
+
+
 def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p_partkey, p_name, p_size, p_retailprice, cluster_id) for every
     part; cluster_id = min rep_pk of the signature component.
@@ -167,8 +182,7 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this hybrid. The post-kernel checkpoint of the (by then cached,
     # signature-bounded) frame is cheap and keeps consumers' plans
     # leaf-based.
-    sig = _sig_frame(spark, sf_dir).persist()
-    pairs = _sig_match_pairs(sig)
+    sig, pairs = _kernel_inputs(spark, sf_dir)
     comp = connected_components(
         spark, sig.select("rep_pk"), pairs.select("rep_a", "rep_b")
     ).select(

@@ -382,3 +382,27 @@ def test_every_scan_has_pushed_filters(spark, name):
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
     assert scans > 0, name
     assert pushed == scans, (name, f"{pushed}/{scans} scans pushed")
+
+
+def test_er_kernel_pair_join_stays_broadcast(spark):
+    """The ER signature self-join the CC kernel consumes must (a) plan
+    as a broadcast join and (b) consume the PERSISTED signature frame
+    (InMemoryTableScan), never a checkpoint leaf (Scan ExistingRDD) —
+    the r10 lesson (commit 9c01d5c): a checkpoint sweep replaced the
+    persist with a stats-less LogicalRDD and the kernel-phase joins
+    demoted to sort-merge (measured 2-3x at sf0.1). At the test SF the
+    demotion itself does not reproduce (the tiny leaf still fits the
+    broadcast threshold), so the gate pins the structural property
+    that caused it instead of the symptom."""
+    from redis_events_to_clickhouse_tables_spark.operators import entity
+
+    sig, pairs = entity._kernel_inputs(spark, SF_DIR)  # noqa: SLF001
+    try:
+        sig.count()  # the kernel's budget count materializes the cache
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ExistingRDD" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        sig.unpersist()
