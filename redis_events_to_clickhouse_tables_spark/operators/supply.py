@@ -513,7 +513,12 @@ def supply_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "negrc",
         ["vrev"],
     ).select(F.col("rc").alias("rc2"), F.col("cum_vrev").alias("cum"))
-    tot = rev.agg(F.sum("rc").cast("long").alias("trc"))
+    # total revenue from the distinct-value frame: sum over dv of
+    # (rc x multiplicity) is the identical exact integer as summing rc
+    # over rev, without a third re-aggregation of the part frame (r11;
+    # a persist-instead-of-checkpoint variant of base was also A/B'd
+    # here and measured 6.3 s vs 3.7 s — the leaf stays).
+    tot = dv.agg(F.sum("vrev").cast("long").alias("trc"))
     abc = (
         rev.join(F.broadcast(cumv), F.col("rc2") == F.col("rc"))
         .crossJoin(F.broadcast(tot))
