@@ -361,21 +361,6 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    probe = emb.filter(
-        (F.col("vec_id") % _KNN_PROBE_MOD == 0)
-        & (F.col("vec_id") < _KNN_PROBE_CAP)
-    ).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("label").alias("true_label"),
-    )
-    cand = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("ce"),
-        F.col("label").alias("cand_label"),
-    )
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(
@@ -398,6 +383,28 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    emb = table(spark, sf_dir, "embeddings")
+    # norms computed once per VECTOR before the join (r11, the
+    # sim_bruteforce_topk discipline): the higher-order-function norm
+    # over a 64-dim array per PAIR tripled the fold work of the
+    # 400k-pair scoring scan; same expression over the same array =
+    # same result bits, O(corpus + probes) instead of O(pairs) norms.
+    probe = emb.filter(
+        (F.col("vec_id") % _KNN_PROBE_MOD == 0)
+        & (F.col("vec_id") < _KNN_PROBE_CAP)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+        norm("embedding").alias("pnorm"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cand_label"),
+        norm("embedding").alias("cnorm"),
+    )
+
     # probes are corpus/40 — a frame that grows WITH the corpus, so
     # no forced broadcast (AQE demotes to shuffle when it outgrows the
     # threshold; the entity.py lesson from VERDICT r6)
@@ -408,7 +415,9 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "cand_id",
             "cand_label",
-            (dot("pe", "ce") / (norm("pe") * norm("ce"))).alias("cosine"),
+            (dot("pe", "ce") / (F.col("pnorm") * F.col("cnorm"))).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
